@@ -1,0 +1,135 @@
+"""FastAPI orchestration shell: Spark jobs via REST (reference api/main.py).
+
+Replicates the reference's endpoint surface and error model exactly
+(reference api/main.py:12-39, api/first100.py:3-48):
+- POST /extract  {number: int in [1,100]} -> 400 on out-of-range/duplicate
+- GET  /missing  -> Gauss-sum missing number; 400 unless exactly 1 extracted
+- POST /reset    -> fresh state
+plus the engine endpoints that make this an analytics service:
+- POST /etl/run                  -> run the cleaning pipeline on a CSV path
+- GET  /view/daily_company_totals?date=/start=/end= -> the flagship view
+- GET  /health
+
+State is table-backed (parquet keyed store), not a process global - the
+reference's own multi-worker flaw (SURVEY.md L7) fixed by construction.
+A single SparkSession lives for the app's lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+try:
+    from fastapi import FastAPI, HTTPException
+    from pydantic import BaseModel, Field
+    HAVE_FASTAPI = True
+except ImportError:  # container may lack fastapi; engine still importable
+    HAVE_FASTAPI = False
+
+from pyspark.sql import functions as F
+
+from ..operators.analytics import daily_company_totals
+from ..operators.clean import build_dim_fact, clean_pipeline
+from ..operators.first100 import First100, ValidationError
+from ..sources.csv_source import read_charges_csv
+
+
+def build_app(spark=None, state_path: str | None = None):
+    if not HAVE_FASTAPI:
+        raise RuntimeError("fastapi not installed in this environment")
+    if spark is None:
+        from ..session import get_spark
+        spark = get_spark("python_etl_rest_api_spark-api")
+    state_path = state_path or os.path.join(
+        tempfile.gettempdir(), "first100_state")
+
+    app = FastAPI(title="python_etl_rest_api_spark",
+                  description="PySpark-native analytics engine - "
+                              "Spark jobs orchestrated via REST")
+    state = First100(spark, store_path=state_path)
+
+    class ExtractRequest(BaseModel):
+        # mirror reference api/main.py:12-13 (Pydantic ge/le -> 422; the
+        # explicit range check in First100 -> 400 for raw ints)
+        number: int = Field(..., ge=1, le=100)
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok", "spark_version": spark.version}
+
+    @app.post("/extract")
+    def extract(req: ExtractRequest):
+        try:
+            return state.extract(req.number)
+        except ValidationError as e:  # reference api/main.py:24-25
+            raise HTTPException(status_code=400, detail=str(e))
+
+    @app.get("/missing")
+    def missing():
+        try:
+            return {"missing": state.missing()}
+        except ValidationError as e:  # reference api/main.py:32-33
+            raise HTTPException(status_code=400, detail=str(e))
+
+    @app.post("/reset")
+    def reset():
+        return state.reset()
+
+    @app.post("/etl/run")
+    def etl_run(csv_path: str, out_dir: str):
+        """The reference's batch ETL (etl/03_transform_and_load.py) as an
+        on-demand Spark job: clean + quarantine + dim/fact parquet."""
+        if not os.path.exists(csv_path):
+            raise HTTPException(status_code=404, detail=f"no such file: {csv_path}")
+        raw = read_charges_csv(spark, csv_path)
+        clean, critical = clean_pipeline(raw)
+        clean = clean.cache()
+        companies, charges = build_dim_fact(clean)
+        counts = {"original": raw.count(), "clean": clean.count(),
+                  "critical": critical.count()}
+        from ..operators.load import atomic_overwrite
+        atomic_overwrite(clean, os.path.join(out_dir, "clean"))
+        atomic_overwrite(critical, os.path.join(out_dir, "critical"))
+        atomic_overwrite(companies, os.path.join(out_dir, "companies"))
+        atomic_overwrite(charges, os.path.join(out_dir, "charges"))
+        return {"counts": counts, "out_dir": out_dir}
+
+    @app.get("/view/daily_company_totals")
+    def view_daily(warehouse_dir: str, date: str | None = None,
+                   start: str | None = None, end: str | None = None):
+        """The flagship view with the reference's two filter patterns
+        (readme.md:156-162): date equality and BETWEEN."""
+        charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
+        companies = spark.read.parquet(os.path.join(warehouse_dir, "companies"))
+        view = daily_company_totals(charges, companies)
+        if date:
+            view = view.filter(F.col("transaction_date") == F.lit(date).cast("date"))
+        elif start and end:
+            view = view.filter(F.col("transaction_date").between(start, end))
+        rows = view.collect()
+        return {"rows": [r.asDict() for r in rows]}
+
+    return app
+
+
+def main() -> None:
+    """CLI entry (reference api/main.py:41-57): --extract N reports the
+    missing number without HTTP."""
+    import argparse
+    parser = argparse.ArgumentParser(description="First100 CLI")
+    parser.add_argument("--extract", type=int, required=True)
+    args = parser.parse_args()
+    from ..session import get_spark
+    state = First100(get_spark("first100-cli"))
+    try:
+        state.extract(args.extract)
+        print(f"extracted: {args.extract}")
+        print(f"missing:   {state.missing()}")
+    except ValidationError as e:
+        print(f"error: {e}")
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""ETL-pipeline catalog entries: the reference's full transform stage
+(rename -> lenient casts -> normalize -> guards -> critical split -> impute)
+run on an inline dirty dataset that exercises every dirt class from
+SURVEY.md section 1.4, oracle-checked end-to-end against DuckDB.
+
+The literals live in DIRTY_ROWS once; the Spark side builds a DataFrame
+from them and the oracle SQL embeds them as a VALUES clause, so both
+engines process identical input. An explicit ``rid`` column carries file
+order (the reference's order-dependent G1/B2 semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import query
+from .operators.clean import clean_pipeline
+from .schemas import CHARGES_RAW_SCHEMA
+from .session import tune
+
+# (rid, id, name, company_id, amount, status, created_at, paid_at)
+# Amounts keep <=2 decimals so round(2) is a no-op on both engines.
+DIRTY_ROWS = [
+    (1, "a1", "Acme", "c1", "100.50", "paid", "2019-03-19", "2019-03-20"),
+    (2, "a2", "Acme", "c1", "3.0", " PENDING_payment ", "20190516", None),
+    (3, None, "Acme", "c1", "66.16", "paid", "2019-03-14", None),
+    (4, "", "Acme", "c1", "10.00", "paid", "2019-01-01", None),
+    (5, "a5", "Beta", "nan", "20.00", "voided", "2019-02-02", None),
+    (6, "a6", "Beta", None, "30.00", "paid", "2019-02-03", None),
+    (7, "a7", "Beta", "c2", "abc", "paid", "2019-02-04", None),
+    (8, "a8", "Beta", "c2", "3.0e213231213123", "paid", "2019-02-05", None),
+    (9, "a9", "Beta", "c2", "21321323123121133.0", "paid", "2019-02-06", None),
+    (10, "a10", "Beta", "c2", "3.0e34", "paid", "2019-02-07", None),
+    (11, "a11", "Beta", "c2", "40.00", "paid", None, None),
+    (12, "a12", "Beta", "c2", "50.00", "", "2019-02-08", None),
+    (13, "a13", None, "c1", "60.00", "paid", "2019-02-09", None),
+    (14, "a14", None, "c3", "70.00", "paid", "2019-02-10", None),
+    (15, "a15", "nan", "c1", "80.00", "paid", "2019-02-11", None),
+    (16, None, None, None, "abc", "", None, None),
+    (17, " A17 ", "Gamma", " C1 ", "90.00", "PAID", "2019-02-12", "2019-02-13"),
+]
+
+
+def _dirty_df(spark):
+    """The dirty literals as a raw-schema DataFrame + rid (a fresh schema
+    copy each call - StructType.add mutates in place)."""
+    from pyspark.sql import types as T
+    schema = T.StructType(list(CHARGES_RAW_SCHEMA.fields)
+                          + [T.StructField("rid", T.LongType(), False)])
+    return spark.createDataFrame(
+        [row[1:] + (row[0],) for row in DIRTY_ROWS], schema)
+
+
+def _values_sql() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in DIRTY_ROWS)
+    return rows
+
+
+# The oracle replicates the exact operator order of
+# reference etl/03_transform_and_load.py:36-94 in DuckDB SQL.
+_ORACLE_STAGE = f"""
+    WITH raw(rid, id, name, company_id, amount, status, created_at, paid_at) AS (
+      VALUES
+      {_values_sql()}
+    ),
+    casted AS (
+      SELECT rid,
+             lower(trim(id)) AS id,
+             name AS company_name,
+             lower(trim(company_id)) AS company_id,
+             try_cast(trim(amount) AS DOUBLE) AS amt0,
+             lower(trim(status)) AS status,
+             CAST(COALESCE(try_strptime(nullif(trim(created_at), ''), '%Y-%m-%d %H:%M:%S'),
+                           try_strptime(nullif(trim(created_at), ''), '%Y-%m-%d'),
+                           try_strptime(nullif(trim(created_at), ''), '%Y%m%d')) AS TIMESTAMP) AS created_at,
+             CAST(COALESCE(try_strptime(nullif(trim(paid_at), ''), '%Y-%m-%d %H:%M:%S'),
+                           try_strptime(nullif(trim(paid_at), ''), '%Y-%m-%d'),
+                           try_strptime(nullif(trim(paid_at), ''), '%Y%m%d')) AS TIMESTAMP) AS updated_at
+      FROM raw),
+    guarded AS (
+      SELECT *,
+             CASE WHEN amt1 IS NOT NULL AND abs(amt1) > 99999999999999.99
+                  THEN NULL ELSE amt1 END AS amount
+      FROM (SELECT *,
+                   CASE WHEN amt0 IS NULL OR isnan(amt0) OR isinf(amt0)
+                        THEN NULL ELSE round(amt0, 2) END AS amt1
+            FROM casted)),
+    flagged AS (
+      SELECT *,
+             (id IS NULL OR id IN ('', 'nan')) AS m_id,
+             (company_id IS NULL OR company_id IN ('', 'nan')) AS m_cid,
+             (amount IS NULL) AS m_amt,
+             (created_at IS NULL) AS m_created,
+             (status IS NULL OR status IN ('', 'nan')) AS m_status
+      FROM guarded)
+"""
+
+
+@query("etl_clean_pipeline", _ORACLE_STAGE + """
+    , clean AS (
+      SELECT * FROM flagged
+      WHERE NOT (m_id OR m_cid OR m_amt OR m_created OR m_status))
+    SELECT id,
+           COALESCE(name2,
+                    first_value(name2 IGNORE NULLS) OVER (
+                      PARTITION BY company_id ORDER BY rid
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                    'unknown') AS company_name,
+           company_id, amount, status, created_at, updated_at
+    FROM (SELECT *, CASE WHEN company_name IN ('', 'nan', '<NA>') THEN NULL
+                         ELSE company_name END AS name2 FROM clean)
+""")
+def etl_clean_pipeline(spark, sf_dir):
+    """The full clean tier (reference etl/03_transform_and_load.py:33-94):
+    every coercion, guard, split and the order-dependent imputation,
+    checked value-for-value against the SQL oracle."""
+    tune(spark)
+    raw = _dirty_df(spark)
+    clean, _ = clean_pipeline(raw, order_col="rid")
+    return clean
+
+
+@query("etl_critical_quarantine", _ORACLE_STAGE + """
+    SELECT id, company_name, company_id, amount, status, created_at, updated_at,
+           concat_ws('|',
+               CASE WHEN m_id THEN 'missing_id' END,
+               CASE WHEN m_cid THEN 'missing_company_id' END,
+               CASE WHEN m_amt THEN 'invalid_amount' END,
+               CASE WHEN m_created THEN 'missing_created_at' END,
+               CASE WHEN m_status THEN 'missing_status' END) AS _critical_reason
+    FROM flagged
+    WHERE (m_id OR m_cid OR m_amt OR m_created OR m_status)
+""")
+def etl_critical_quarantine(spark, sf_dir):
+    """The quarantine tier with ordered reason codes (reference
+    etl/03_transform_and_load.py:72-83)."""
+    tune(spark)
+    raw = _dirty_df(spark)
+    _, critical = clean_pipeline(raw, order_col="rid")
+    return critical
+
+
+@query("etl_dim_first_seen", _ORACLE_STAGE + """
+    , clean AS (
+      SELECT * FROM flagged
+      WHERE NOT (m_id OR m_cid OR m_amt OR m_created OR m_status)),
+    imputed AS (
+      SELECT rid, company_id,
+             COALESCE(name2,
+                      first_value(name2 IGNORE NULLS) OVER (
+                        PARTITION BY company_id ORDER BY rid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                      'unknown') AS company_name
+      FROM (SELECT *, CASE WHEN company_name IN ('', 'nan', '<NA>') THEN NULL
+                           ELSE company_name END AS name2 FROM clean)),
+    pairs AS (
+      SELECT company_id, company_name, min(rid) AS first_rid
+      FROM imputed GROUP BY 1, 2)
+    SELECT company_id, company_name FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY company_id ORDER BY first_rid) = 1
+""")
+def etl_dim_first_seen(spark, sf_dir):
+    """B2: the companies dim build - dedup on the PAIR then first-seen-wins
+    per PK in file order (reference etl/03_transform_and_load.py:113,125-131;
+    the 5-candidates -> 3-PKs order-dependence from SURVEY B2)."""
+    from pyspark.sql import Window
+    tune(spark)
+    raw = _dirty_df(spark)
+    clean, _ = clean_pipeline(raw, order_col="rid", keep_order_col=True)
+    pairs = (clean.groupBy("company_id", "company_name")
+             .agg(F.min("rid").alias("first_rid")))
+    w = Window.partitionBy("company_id").orderBy("first_rid")
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("company_id", "company_name"))

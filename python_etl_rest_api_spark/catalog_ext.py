@@ -1,0 +1,356 @@
+"""Extension catalog entries: dedup, similarity search, text analysis,
+event/stream analytics - the LLM-data-pipeline surface, each oracle-checked
+against DuckDB where SQL-expressible (minhash/simhash banding are checked
+rows-only plus pytest; their SQL equivalents are impractical).
+
+Portability recipes used here (see catalog.py header for the full list):
+- md5 for content hashes (identical hex in both engines);
+- list folds: F.aggregate <-> list_reduce, double, left-to-right;
+- n-gram construction via 1-indexed element access on both sides;
+- integer set sizes (array_intersect) divided in double for Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _events, _t, query
+from .operators import dedup, similarity, text
+from .session import tune
+
+# ---------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------
+
+@query("dedup_exact", """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (shuffles 32-byte digests,
+    not document bodies)."""
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_ngram_jaccard", """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+               i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id < 120)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                ELSE 0.0 END AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND (CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                ELSE 0.0 END) >= 0.2
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact bigram-Jaccard near-dup pairs on a bounded subset (brute-force
+    baseline; the scale path is dedup_minhash_lsh)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_id=120)
+
+
+@query("dedup_minhash_lsh")  # banding pipeline: rows-only check + pytest oracle
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle -> 8 md5 minhashes -> 4 bands ->
+    bucket self-join -> exact Jaccard verify >= 0.5). Candidate generation
+    is a band-key equi-join - never an all-pairs product."""
+    return dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
+
+
+@query("dedup_simhash")  # banding pipeline: rows-only check + pytest oracle
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit bit-majority sketch, 4x16-bit band
+    buckets, popcount verify <= 3)."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------
+
+_COSINE_PAIR_SQL = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    pairs AS (
+      SELECT q.qid, e.vec_id,
+             list_reduce(list_transform(range(1, len(q.qv) + 1),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM q, embeddings e WHERE e.vec_id != q.qid)
+    SELECT qid, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+"""
+
+
+@query("sim_topk_bruteforce", _COSINE_PAIR_SQL)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors {0,1,2}: broadcast the query
+    set against the corpus, sequential-fold dot products in double."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return similarity.topk_bruteforce(emb, queries, k=10) \
+        .select("qid", "vec_id", "sim", "rank")
+
+
+@query("sim_cosine_near_dups", """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM sub a, sub b
+      WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.8
+""")
+def sim_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs on a bounded subset (sim >= 0.8)."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8, max_id=200)
+
+
+@query("sim_topk_ann_srp")  # approximate by design: rows-only + recall pytest
+def sim_topk_ann_srp(spark, sf_dir):
+    """ANN top-k via signed-random-projection buckets + exact re-rank
+    (the 100 TB path; recall measured against sim_topk_bruteforce in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6) \
+        .select("qid", "vec_id", "sim", "rank")
+
+
+# ---------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------
+
+@query("text_token_count", """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           length(text) // 4 AS n_tokens_bpe_est
+    FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    """Whitespace token count + chars/4 BPE estimate, one projection."""
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+@query("text_quality_score", """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+           CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_token_len
+    FROM t
+""")
+def text_quality_score(spark, sf_dir):
+    """Cheap quality filters: lexical diversity, stopword ratio, token
+    length - exact-int ratios in double."""
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query("text_language_id", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS INTEGER) AS h_de,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS h_en,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un'))) AS INTEGER) AS h_es,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que'))) AS INTEGER) AS h_fr
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) > 0 THEN
+             CASE greatest(h_de, h_en, h_es, h_fr)
+               WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+               WHEN h_en THEN 'en' WHEN h_de THEN 'de' END
+           ELSE 'und' END AS predicted_lang,
+           greatest(h_de, h_en, h_es, h_fr) AS stopword_hits
+    FROM hits
+""")
+def text_language_id(spark, sf_dir):
+    """Stopword-vote language ID. Tiebreak = last language in sorted order
+    with the max hits (array_max on (hits, lang) structs <-> the CASE
+    chain checking fr, es, en, de in that order)."""
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint", """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           (length(lower(trim(text))) // 64) || '#'
+             || string_split(lower(trim(text)), ' ')[1] || '#'
+             || string_split(lower(trim(text)), ' ')[-1] AS fp_struct
+    FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """md5 content fingerprint + structural sketch (length bucket, first/
+    last token)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------
+# Event analytics (batch equivalents of the streaming operators;
+# streaming/windows.py applies the same transforms to readStream inputs)
+# ---------------------------------------------------------------------
+
+@query("stream_tumbling_hourly", """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+""")
+def stream_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1h window counts + exact decimal sums over events - the
+    batch twin of streaming/windows.py::tumbling_agg (same transform fn)."""
+    from .streaming.windows import tumbling_agg
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+@query("stream_sessionize", """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM g)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+""")
+def stream_sessionize(spark, sf_dir):
+    """Sessionization with a 30-min inactivity gap: lag -> new-session flag
+    -> running sum -> per-session aggregate. Integer-microsecond gap math
+    (unix_micros <-> epoch_us) for portability. Streaming twin: session
+    windows in streaming/windows.py."""
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = events.select(
+        "user_id", "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1)
+        .otherwise(0).alias("is_new"),
+        "event_id")
+    s = g.select(
+        "user_id", "ts",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"))
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
+
+
+@query("events_json_extract", """
+    SELECT event_id,
+           try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+""")
+def events_json_extract(spark, sf_dir):
+    """Typed extraction from a JSON props column (semi-structured columns
+    are first-class in event pipelines)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_value"))
+
+
+# ---------------------------------------------------------------------
+# Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
+# ---------------------------------------------------------------------
+
+@query("q1_pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * ((1 - CAST(l_discount AS DECIMAL(4,2)))
+                       * (1 + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: the scan+aggregate throughput
+    headliner. All sums decimal-exact; filter pushes to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (li.filter(F.col("l_shipdate") <= "2001-08-06 00:00:00")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * ((F.lit(1) - disc) * (F.lit(1) + tax)))
+                 .cast("double").alias("sum_charge"),
+                 (F.sum(qty).cast("double") / F.count(F.lit(1)))
+                 .cast("double").alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@query("q3_top_revenue", """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H-Q3-shaped: selective dim filter -> broadcast join -> join on
+    the fact -> top-k (TakeOrderedAndProject, no full sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.to_date("o_orderdate").alias("order_date"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10))

@@ -1,0 +1,143 @@
+"""The reference's transform stage as composable DataFrame operators.
+
+Replicates reference etl/03_transform_and_load.py:33-94 (rename -> lenient
+casts -> normalize -> guards -> critical split with reason codes -> imputation)
+as a declarative plan. Everything is native expressions - a single scan, a
+narrow (shuffle-free) critical split, and one window for the order-dependent
+imputation. Golden contract: on the reference's own CSV this yields exactly
+10,000 raw / 9,986 clean / 14 critical rows, value-identical to the
+committed df_clean.csv / df_critical.csv (reference readme.md:124-130).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import (
+    is_missing,
+    lenient_amount,
+    lenient_timestamp,
+    normalize_str,
+    reason_codes,
+    sentinel_to_null,
+)
+from ..sources.csv_source import ROW_ID
+
+# source -> warehouse column names (reference etl/03_transform_and_load.py:36-39)
+RENAMES = {"name": "company_name", "paid_at": "updated_at"}
+
+CRITICAL_FLAG = "_is_critical"
+CRITICAL_REASON = "_critical_reason"
+
+
+def standardize(df: DataFrame) -> DataFrame:
+    """Rename + lenient type coercion + normalization (steps 2-4).
+
+    One narrow projection; every expression codegen-friendly. Order matters
+    and mirrors the reference: casts happen on the RAW strings, then the id
+    /status strings are normalized (trim+lower), then amount guards apply
+    (folded into lenient_amount).
+    """
+    df = df.withColumnsRenamed(RENAMES)
+    return df.withColumns({
+        "amount": lenient_amount("amount"),
+        "updated_at": lenient_timestamp("updated_at"),
+        "created_at": lenient_timestamp("created_at"),
+        "id": normalize_str("id"),
+        "company_id": normalize_str("company_id"),
+        "status": normalize_str("status"),
+    })
+
+
+# Critical-split rules in reference declaration order
+# (etl/03_transform_and_load.py:56-81): (column predicate, reason code).
+def _critical_rules(df: DataFrame) -> list[tuple]:
+    return [
+        (is_missing("id"), "missing_id"),
+        (is_missing("company_id"), "missing_company_id"),
+        (F.col("amount").isNull(), "invalid_amount"),
+        (F.col("created_at").isNull(), "missing_created_at"),
+        (is_missing("status"), "missing_status"),
+    ]
+
+
+def flag_critical(df: DataFrame) -> DataFrame:
+    """Attach the split flag + pipe-joined reason codes in one pass.
+
+    The reference materializes five boolean masks and ORs them
+    (etl/03_transform_and_load.py:56-83); here the disjunction and the
+    reason string are computed in the same projection so the split needs a
+    single scan (cache the result before filtering both ways).
+    """
+    rules = _critical_rules(df)
+    any_critical = rules[0][0]
+    for cond, _ in rules[1:]:
+        any_critical = any_critical | cond
+    return df.withColumns({
+        CRITICAL_FLAG: any_critical,
+        CRITICAL_REASON: reason_codes(rules),
+    })
+
+
+def split_critical(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, critical) pair (reference etl/03_transform_and_load.py:72,86).
+
+    Returns two filters over the same flagged plan; callers that consume
+    both should ``.cache()`` the flagged frame (bench does) so the scan +
+    coercion run once. Clean drops the audit columns; critical keeps
+    ``_critical_reason``.
+    """
+    flagged = flag_critical(df)
+    clean = flagged.filter(~F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG, CRITICAL_REASON)
+    critical = flagged.filter(F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG)
+    return clean, critical
+
+
+def impute_company_name(df: DataFrame, order_col: str = ROW_ID) -> DataFrame:
+    """Group-wise first-valid fill, then constant fallback (G1+G2).
+
+    Replicates pandas ``fillna(groupby('company_id')['company_name']
+    .transform('first')).fillna('unknown')`` (reference
+    etl/03_transform_and_load.py:90-94): sentinels to null, then the first
+    NON-NULL name per company_id in FILE ORDER fills the gaps, then
+    'unknown'. File order = ``order_col`` (stable _row_id from the source),
+    which makes the fill deterministic under any partitioning - the window
+    shuffles once on company_id, the same key the dim build needs next.
+    """
+    name = sentinel_to_null("company_name")
+    w = (Window.partitionBy("company_id").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return df.withColumn(
+        "company_name",
+        F.coalesce(name, F.first(name, ignorenulls=True).over(w), F.lit("unknown")),
+    )
+
+
+def clean_pipeline(raw: DataFrame, order_col: str = ROW_ID,
+                   keep_order_col: bool = False) -> tuple[DataFrame, DataFrame]:
+    """Full transform: raw charges CSV frame -> (clean, critical).
+
+    Column sets mirror the reference's outputs: clean has the 7 curated
+    columns, critical additionally carries ``_critical_reason``.
+    ``order_col`` is the stable file-order column driving the
+    order-dependent imputation (and, with ``keep_order_col``, the
+    first-seen-wins dim load downstream).
+    """
+    staged = standardize(raw)
+    clean, critical = split_critical(staged)
+    clean = impute_company_name(clean, order_col=order_col)
+    cols = ["id", "company_name", "company_id", "amount", "status",
+            "created_at", "updated_at"]
+    clean_cols = cols + ([order_col] if keep_order_col else [])
+    return clean.select(*clean_cols), critical.select(*cols, CRITICAL_REASON)
+
+
+def build_dim_fact(clean: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project companies dim + charges fact (reference
+    etl/03_transform_and_load.py:113-114). Dedup on the PAIR - PK-level
+    first-seen-wins happens at load (operators/load.py)."""
+    companies = clean.select("company_id", "company_name").dropDuplicates()
+    charges = clean.select("id", "company_id", "amount", "status",
+                           "created_at", "updated_at")
+    return companies, charges

@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines (extension surface).
+
+Five families, each with a distinct scale posture:
+
+- exact:        hash-groupBy on the text (one shuffle on md5 key; at 100 TB
+                group on the 128-bit digest, never the raw text).
+- minhash-LSH:  shingle -> K min-hashes -> B bands -> bucket self-join.
+                Candidate generation never compares all pairs: the join is
+                on (band_id, band_key), so cost ~ sum of bucket sizes^2.
+- simhash:      64-bit weighted-bit sketch; near-dups share bands of the
+                digest (same bucket-join shape).
+- n-gram Jaccard: exact verify on candidate pairs (array_intersect on
+                distinct shingle sets - set sizes are integers, portable).
+- embedding cosine: delegated to similarity.py (same pair machinery).
+
+Hashes are md5-based (portable, deterministic across engines and runs) -
+NOT Python's hash() (salted per process) and not Spark's murmur (absent in
+DuckDB for the oracle checks). md5 is computed JVM-side via F.md5.
+
+Performance shape: the hash fan-out (K hashes per shingle) runs as
+explode -> flat projection -> groupBy-min, which stays inside whole-stage
+codegen. Doing the same work as nested higher-order lambdas
+(transform/array_min over an inline shingle expression) falls back to
+interpreted evaluation and re-computes the shingle array per hash seed -
+measured ~100x slower on the documents table. Keep sketch-building flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups of byte-identical texts; keeper = min id.
+    Shuffles on the md5 digest (fixed 32 bytes), not the document body."""
+    return (df.select(F.md5(F.col(text_col)).alias("fp"), id_col)
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array expression (1-indexed
+    element_at, portable to DuckDB list indexing). For hot paths prefer
+    shingled_docs(), which materializes the token array once per row."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def shingled_docs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles) with the token array materialized in its own
+    projection, so the n-gram lambda references a column (computed once
+    per row) instead of re-splitting the text per element."""
+    staged = df.select(id_col, tokens(text_col).alias("_toks"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]),
+    )
+    return staged.select(id_col, F.array_distinct(grams).alias("shingles"))
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 8) -> DataFrame:
+    """(id, h0..h{K-1}) minhash signature via explode -> K md5 projections
+    -> groupBy-min: all codegen, one shuffle on the id. Portable semantics:
+    h_j = min over shingles of md5('j:' || shingle) (min over fixed-length
+    hex = min over the 128-bit value)."""
+    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    return ex.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ])
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band_id, band_key) rows: band_key concatenates rows_per_band
+    consecutive minhashes. Docs sharing any band key are candidates."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingled_docs(df, id_col, text_col, n),
+                             id_col, num_hashes)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias("band_key"))
+        for b in range(bands)
+    ])
+    return (sig.select(id_col, F.explode(band_structs).alias("band"))
+            .select(id_col, "band.band_id", "band.band_key"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard on two distinct-element arrays: integer intersection /
+    union sizes divided in double (portable, order-independent)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Plan shape at scale: shingle (narrow) -> sign (one shuffle on id) ->
+    explode bands -> self-join on (band_id, band_key) = shuffle on band
+    keys, never an all-pairs product -> distinct candidate pairs -> verify
+    via joins back to the shingle sets. Skewed buckets (boilerplate docs)
+    are the known hazard - AQE skew-join handles moderate cases.
+
+    Both derived tables feed two join sides -> cached to avoid recomputing
+    the sketch pipeline per side.
+    """
+    shingled = shingled_docs(df, id_col, text_col, n).cache()
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingled, id_col, num_hashes)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias("band_key"))
+        for b in range(bands)
+    ])
+    bands_df = (sig.select(id_col, F.explode(band_structs).alias("band"))
+                .select(id_col, "band.band_id", "band.band_key")).cache()
+    left = bands_df.alias("l")
+    right = bands_df.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band_id") == F.col("r.band_id")) &
+                      (F.col("l.band_key") == F.col("r.band_key")) &
+                      (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .distinct())
+    sa = shingled.select(F.col(id_col).alias("id_a"),
+                         F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("id_b"),
+                         F.col("shingles").alias("sh_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 2,
+                        threshold: float = 0.2,
+                        max_id: int | None = None) -> DataFrame:
+    """All-pairs exact n-gram Jaccard on a bounded subset (the brute-force
+    baseline the LSH path is measured against). ``max_id`` bounds the
+    quadratic blow-up; the scale path is minhash_near_dups."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    sh = shingled_docs(base, id_col, text_col, n)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """SimHash: per-token 64-bit hash (xxhash64, JVM-side), bit-majority
+    vote -> one 64-bit sketch per doc. Near-dups differ in few bits.
+
+    Implemented as explode(tokens) -> per-bit sign aggregation -> bit
+    reassembly: one shuffle on doc_id, all native expressions. The 64
+    per-bit sums are a single aggregate pass (no per-bit jobs).
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    one = F.lit(1).cast("long")
+    bit_sums = toks.groupBy(id_col).agg(*[
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(one, b)) != 0, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ])
+    sketch = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
+               .otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch.bitwiseOR(bit)
+    return bit_sums.select(id_col, sketch.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via 4x16-bit band buckets (a sketch pair
+    within hamming distance 3 shares at least one of 4 bands), verified
+    with exact popcount on the XOR."""
+    sk = simhash64(df, id_col, text_col).cache()
+    bands = sk.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftrightunsigned("simhash", b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("band_key"))
+            for b in range(4)
+        ])).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.band_key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (l.join(r, (F.col("l.band_id") == F.col("r.band_id")) &
+                   (F.col("l.band_key") == F.col("r.band_key")) &
+                   (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                    F.col("l.simhash").alias("sh_a"),
+                    F.col("r.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (extension surface).
+
+Two paths over ``embeddings`` (vec_id, embedding: array<float>, label):
+
+- brute-force cosine top-k: the exactness baseline. Query set is small ->
+  broadcast it against the corpus; per-pair dot product is a sequential
+  fold over the array (F.aggregate), JVM-side, in double.
+- LSH-bucketed ANN (random hyperplane / SRP): H deterministic hyperplanes
+  derived from md5 bytes -> sign bits -> bucket key; candidates share a
+  bucket, then exact cosine re-rank. At 100 TB the bucket join replaces
+  the corpus-wide cross product; recall tunes with tables x bits.
+
+Determinism: folds run left-to-right in double on both engines
+(F.aggregate <-> DuckDB list_reduce), so cosine values are bit-identical
+for the oracle; ranking ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double: 0.0 + p1 + p2 + ...
+    (0.0 + x == x in IEEE, so this equals DuckDB's init-less list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "qid") -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    queries: (qid, qv) - small; broadcast against the corpus so the corpus
+    never shuffles. Ranking window partitions by qid (k small -> window
+    state tiny); ties broken by neighbor id for determinism.
+    """
+    pairs = (corpus.join(F.broadcast(queries),
+                         F.col(qid_col) != F.col(id_col))
+             .select(qid_col, id_col,
+                     cosine(F.col("qv"), F.col(vec_col)).alias("sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                            F.col(id_col).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force on a bounded subset;
+    the scale path is srp_buckets + bucket join)."""
+    base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("va"), F.col("vb")).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 bytes (no RNG state,
+    reproducible across runs/engines/partitions)."""
+    import hashlib
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"srp:{plane}:{i}".encode()).hexdigest()
+        # map first 8 hex chars to [-1, 1)
+        vals.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+    return vals
+
+
+def srp_buckets(df: DataFrame, dim: int, bits: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Signed-random-projection bucket key per vector: ``bits`` sign bits
+    of hyperplane dot products packed into a long. One narrow projection -
+    the ANN join is then an equi-join on bucket_key."""
+    key = F.lit(0).cast("long")
+    for p in range(bits):
+        plane = _hyperplane(dim, p)
+        proj = dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+        key = key.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p))
+            .otherwise(F.lit(0).cast("long")))
+    return df.select(id_col, vec_col, key.alias("bucket_key"))
+
+
+def topk_ann_srp(corpus: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, bits: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "qid") -> DataFrame:
+    """ANN top-k: SRP-bucket the corpus once, probe with the query's
+    bucket, exact cosine re-rank within the bucket. Recall < 1 by design;
+    the bruteforce path is the correctness baseline."""
+    bucketed = srp_buckets(corpus, dim, bits, id_col, vec_col)
+    qb = srp_buckets(queries.select(F.col(qid_col).alias(id_col),
+                                    F.col("qv").alias(vec_col)),
+                     dim, bits, id_col, vec_col) \
+        .select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("qv"),
+                F.col("bucket_key").alias("q_bucket"))
+    pairs = (bucketed.join(F.broadcast(qb),
+                           (F.col("bucket_key") == F.col("q_bucket")) &
+                           (F.col(qid_col) != F.col(id_col)))
+             .select(qid_col, id_col,
+                     cosine(F.col("qv"), F.col(vec_col)).alias("sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                            F.col(id_col).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines (extension surface).
+
+All native expressions over the ``documents`` table (doc_id, text, lang,
+source, n_chars) - no UDFs, so everything stays in whole-stage codegen and
+scales linearly: each operator is a narrow map over the scan, no shuffle.
+
+Determinism: ratios are exact-int divisions in double; fingerprints are
+md5 (portable across engines for the oracle checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Real corpora would use larger lists; the heuristic structure
+# (token-set hit ratio, argmax across languages) is the operator.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que"),
+}
+
+
+def tokens(col: Column | str = "text") -> Column:
+    """Whitespace tokenization (split on single spaces; the corpus is
+    single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish proxy (chars/4,
+    the common LLM token estimate) in one projection."""
+    toks = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.length(text_col).cast("long") / F.lit(4)).cast("long").alias("n_tokens_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token stats, lexical diversity, stopword
+    ratio - the standard cheap filters in front of LLM training data."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        ((F.length(text_col) - (n_tokens - 1)).cast("double") / n_tokens)
+        .alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: hits per language list, argmax with a
+    deterministic tiebreak (language name), 'und' when nothing hits."""
+    toks = tokens(text_col)
+
+    def in_list(sw):
+        # factory: capture the stopword tuple as a closure constant
+        return lambda t: t.isin(*sw)
+
+    hit_cols = [
+        F.struct(
+            F.size(F.filter(toks, in_list(sw))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*hit_cols))
+    return df.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (exact-dup key)
+    plus a cheap structural sketch (length bucket + first/last token)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = tokens(norm)
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.concat_ws("#",
+                    (F.length(norm) / 64).cast("long").cast("string"),
+                    F.element_at(toks, 1),
+                    F.element_at(toks, -1)).alias("fp_struct"),
+    )

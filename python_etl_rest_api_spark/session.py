@@ -1,0 +1,62 @@
+"""SparkSession construction and engine-wide conventions.
+
+Conventions (SURVEY.md section 7.3):
+- coercion never throws: use ``try_*`` functions / ``try_cast`` everywhere a
+  lenient pandas-style coercion-to-null is expected, so the engine behaves
+  identically whether or not ``spark.sql.ansi.enabled`` is on.
+- money arithmetic goes through DecimalType (exact, order-independent sums)
+  and is cast to double only at the output boundary, so results are
+  reproducible across partitionings and engines.
+- AQE on: runtime re-planning (skew joins, partition coalescing) is the
+  scale posture for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs that are safe to (re)apply to an externally provided session
+# (e.g. the verification driver's). All of these are runtime-mutable.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime conventions to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on some deployments; keep going
+    return spark
+
+
+def get_spark(app_name: str = "python_etl_rest_api_spark",
+              cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    local[N] for tests/bench; on a real cluster the master/memory settings
+    come from spark-submit and only the SQL confs below matter.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # match local core count, not the 200 default; AQE coalesces further
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,88 @@
+"""Structured Streaming operators over the events stream.
+
+Design rule: every streaming aggregation is a plain DataFrame->DataFrame
+transform applied identically to a batch frame (oracle-checkable, used by
+the catalog) and to a readStream frame (watermarked, incremental). The
+transform IS the operator; batch/stream is a property of the source.
+
+The reference has no streaming surface (SURVEY.md section 2.K) - these are
+the extension operators for the events table, plus a streaming First100
+built on the same state-table idea as operators/first100.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import money
+
+
+def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
+    """Tumbling-window counts + exact decimal value sums per event_type.
+
+    Batch form uses date_trunc (portable to the DuckDB oracle). The
+    streaming form (tumbling_agg_stream) swaps in F.window + watermark -
+    same grouping semantics, epoch-aligned buckets.
+    """
+    return (events
+            .groupBy(F.date_trunc(bucket, F.col("ts")).alias("window_start"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money("value")).cast("double").alias("total_value")))
+
+
+def tumbling_agg_stream(events: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin: watermarked tumbling window. Late rows beyond the
+    watermark are dropped; state is bounded by (watermark / window) keys
+    per event_type."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(money("value")).cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sliding_agg_stream(events: DataFrame, window: str = "1 hour",
+                       slide: str = "15 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window event rates (each row lands in window/slide panes)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows with an inactivity gap - the streaming twin of the
+    catalog's lag/cumsum sessionization (session_window merges panes whose
+    events are within `gap` of each other)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
+def run_stream_on_batch(spark: SparkSession, events_path: str,
+                        transform, out_path: str) -> None:
+    """Execute a streaming transform over a bounded parquet source using
+    availableNow (test/backfill harness: stream semantics, batch data)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(events_path))
+    q = (transform(stream).writeStream
+         .format("parquet").option("path", out_path)
+         .option("checkpointLocation", out_path + "_chk")
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,71 @@
+"""Dedup operator semantics on controlled synthetic documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.operators import dedup
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep dark forest to find some food for the long cold night")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("cold", "warm")            # 1-word change: near-dup
+    far = "completely different content with no overlap whatsoever at all " \
+          "zebra xylophone quantum banana rocket ship ocean mountain valley"
+    rows = [
+        (0, BASE), (1, BASE),                       # exact dups
+        (2, near),                                  # near-dup of 0/1
+        (3, far),                                   # unrelated
+        (4, "tiny"),                                # shorter than shingle n
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dup_groups(docs):
+    groups = dedup.exact_dup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[0] == 2          # docs 0 and 1 collapse
+    assert sum(by_keep.values()) == 5
+
+
+def test_shingles_deterministic_and_distinct(docs):
+    sh = dedup.shingled_docs(docs, n=3).collect()
+    by_id = {r["doc_id"]: r["shingles"] for r in sh}
+    assert by_id[0] == by_id[1]
+    assert len(by_id[0]) == len(set(by_id[0]))      # distinct
+    assert by_id[4] == []                           # too short -> empty
+    assert "the quick brown" in by_id[0]
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sig = dedup.minhash_signatures(dedup.shingled_docs(docs)).collect()
+    by_id = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8)) for r in sig}
+    assert by_id[0] == by_id[1]                     # exact dups: same sig
+    assert by_id[0] != by_id[3]                     # unrelated: differ
+
+
+def test_minhash_near_dups_finds_pair(docs):
+    pairs = dedup.minhash_near_dups(docs, threshold=0.4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found                          # exact dup pair
+    jacc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jacc[(0, 1)] == 1.0
+    assert all(p[0] != 3 and p[1] != 3 for p in found)   # 'far' never pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    jacc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jacc[(0, 1)] == 1.0
+    # near-dup (one word changed) shares most trigrams but not all
+    assert 0.5 < jacc[(0, 2)] < 1.0
+
+
+def test_simhash_near_dups(docs):
+    sk = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sk[0] == sk[1]
+    pairs = dedup.simhash_near_dups(docs, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 1)] == 0

@@ -1,0 +1,62 @@
+"""First100 set engine: the reference's documented API error cases
+(reference readme.md:179-196) against the table-backed implementation."""
+
+import pytest
+
+from python_etl_rest_api_spark.operators.first100 import First100, ValidationError
+
+
+@pytest.fixture()
+def f100(spark):
+    return First100(spark)
+
+
+def test_extract_and_missing(f100):
+    out = f100.extract(57)
+    assert out == {"extracted": 57, "remaining_count": 99}
+    assert f100.missing() == 57          # Gauss closed form
+    assert f100.missing_via_set() == [57]  # alternate impl agrees
+
+
+def test_extract_out_of_range_400(f100):
+    with pytest.raises(ValidationError):
+        f100.extract(0)
+    with pytest.raises(ValidationError):
+        f100.extract(101)
+    with pytest.raises(ValidationError):
+        f100.extract("57")
+    with pytest.raises(ValidationError):
+        f100.extract(True)   # bool is not a number here
+
+
+def test_duplicate_extract_400(f100):
+    f100.extract(10)
+    with pytest.raises(ValidationError):
+        f100.extract(10)
+
+
+def test_missing_requires_exactly_one(f100):
+    with pytest.raises(ValidationError):
+        f100.missing()       # zero extracted
+    f100.extract(1)
+    f100.extract(2)
+    with pytest.raises(ValidationError):
+        f100.missing()       # two extracted
+    assert f100.missing_via_set() == [1, 2]   # alternate impl has no precondition
+
+
+def test_reset(f100):
+    f100.extract(5)
+    out = f100.reset()
+    assert out["remaining_count"] == 100
+    assert f100.remaining_df().count() == 100
+
+
+def test_state_persists_across_instances(spark, tmp_path):
+    path = str(tmp_path / "state")
+    a = First100(spark, store_path=path)
+    a.extract(42)
+    b = First100(spark, store_path=path)   # fresh "worker"
+    assert b.missing() == 42
+    with pytest.raises(ValidationError):
+        b.extract(42)                       # duplicate across workers

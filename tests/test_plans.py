@@ -1,0 +1,57 @@
+"""Plan-shape assertions: the 100 TB design invariants. A query that is
+correct but has the wrong plan (no pushdown, shuffled dim join, pruning
+lost) fails HERE, not in production."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.catalog import (
+    d4b_threshold_filter,
+    d5_view_date_eq,
+    h1_daily_totals,
+    i1_join_inner,
+)
+from python_etl_rest_api_spark.plans.explain import (
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+    uses_broadcast_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushed_to_scan(spark):
+    df = d4b_threshold_filter(spark, SF)
+    assert has_pushed_filter(df, "o_totalprice")
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = i1_join_inner(spark, SF)
+    cols = set(read_schema_columns(df))
+    # only the 3 projected + join key columns may be read
+    assert cols <= {"o_orderkey", "o_custkey", "o_totalprice",
+                    "c_custkey", "c_name"}
+    assert "o_orderpriority" not in cols
+
+
+def test_dim_join_broadcasts(spark):
+    df = h1_daily_totals(spark, SF)
+    assert uses_broadcast_join(df)
+    # broadcast join + single aggregation: at most one real shuffle
+    # (plus AQE reads); broadcast exchange is not a shuffle of the fact
+    plan_shuffles = shuffle_count(df)
+    assert plan_shuffles <= 3  # BroadcastExchange + 1 shuffle + AQE wrapper
+
+
+def test_group_key_filter_pushes_below_aggregate(spark):
+    df = d5_view_date_eq(spark, SF)
+    # the date filter must reach the orders scan as a pushed filter
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_scan_agg_stays_in_codegen(spark):
+    from python_etl_rest_api_spark.catalog_ext import q1_pricing_summary
+    from python_etl_rest_api_spark.plans.explain import codegen_stage_count
+    df = q1_pricing_summary(spark, SF)
+    assert codegen_stage_count(df) >= 1

@@ -1,0 +1,73 @@
+"""Similarity-search semantics: exact cosine values, top-k ranking, ANN
+recall against the brute-force baseline."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),     # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),     # close to 0
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal to 0
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_exact_values(spark, vectors):
+    a = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    pairs = (vectors.crossJoin(F.broadcast(a))
+             .select("vec_id", similarity.cosine(F.col("qv"), F.col("embedding"))
+                     .alias("sim")).collect())
+    sims = {r["vec_id"]: r["sim"] for r in pairs}
+    assert sims[1] == pytest.approx(1.0)
+    assert sims[3] == pytest.approx(0.0)
+    assert sims[4] == pytest.approx(-1.0)
+    assert sims[2] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01))
+
+
+def test_topk_ranking_and_ties(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = similarity.topk_bruteforce(vectors, q, k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in ranked] == [1, 2, 3]   # self excluded
+
+
+def test_near_dup_pairs_threshold(vectors):
+    pairs = similarity.cosine_near_dup_pairs(vectors, threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 3) not in found
+
+
+def test_ann_recall_against_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = similarity.topk_bruteforce(emb, q, k=10).collect()
+    approx = similarity.topk_ann_srp(emb, q, dim=64, k=10, bits=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    # SRP with 4 bits on random data: expect meaningful (not perfect) recall
+    recalls = [len(exact_sets[q_] & approx_sets.get(q_, set())) / 10
+               for q_ in exact_sets]
+    assert sum(recalls) / len(recalls) > 0.2
+    # every ANN hit must carry the exact cosine (re-rank is exact)
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == pytest.approx(exact_sims[key])
