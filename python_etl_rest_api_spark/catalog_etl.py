@@ -17,6 +17,11 @@ from .operators.clean import clean_pipeline
 from .schemas import CHARGES_RAW_SCHEMA
 from .session import tune
 
+# Spark-side mirror of the oracle's try_strptime coalesce list (the
+# engine's lenient multi-format mode; golden replication uses the strict
+# reference default instead - see schemas.REFERENCE_PANDAS_FORMATS)
+_ETL_FORMATS = ("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd", "yyyyMMdd")
+
 # (rid, id, name, company_id, amount, status, created_at, paid_at)
 # Amounts keep <=2 decimals so round(2) is a no-op on both engines.
 DIRTY_ROWS = [
@@ -122,7 +127,7 @@ def etl_clean_pipeline(spark, sf_dir):
     checked value-for-value against the SQL oracle."""
     tune(spark)
     raw = _dirty_df(spark)
-    clean, _ = clean_pipeline(raw, order_col="rid")
+    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
     return clean
 
 
@@ -142,7 +147,7 @@ def etl_critical_quarantine(spark, sf_dir):
     etl/03_transform_and_load.py:72-83)."""
     tune(spark)
     raw = _dirty_df(spark)
-    _, critical = clean_pipeline(raw, order_col="rid")
+    _, critical = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
     return critical
 
 
@@ -172,7 +177,8 @@ def etl_dim_first_seen(spark, sf_dir):
     from pyspark.sql import Window
     tune(spark)
     raw = _dirty_df(spark)
-    clean, _ = clean_pipeline(raw, order_col="rid", keep_order_col=True)
+    clean, _ = clean_pipeline(raw, order_col="rid", keep_order_col=True,
+                              timestamp_formats=_ETL_FORMATS)
     pairs = (clean.groupBy("company_id", "company_name")
              .agg(F.min("rid").alias("first_rid")))
     w = Window.partitionBy("company_id").orderBy("first_rid")

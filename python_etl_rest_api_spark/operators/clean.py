@@ -31,19 +31,26 @@ CRITICAL_FLAG = "_is_critical"
 CRITICAL_REASON = "_critical_reason"
 
 
-def standardize(df: DataFrame) -> DataFrame:
+def standardize(df: DataFrame,
+                timestamp_formats: tuple[str, ...] | None = None) -> DataFrame:
     """Rename + lenient type coercion + normalization (steps 2-4).
 
     One narrow projection; every expression codegen-friendly. Order matters
     and mirrors the reference: casts happen on the RAW strings, then the id
     /status strings are normalized (trim+lower), then amount guards apply
     (folded into lenient_amount).
+
+    ``timestamp_formats`` defaults to the reference's strict pandas-3.0
+    behavior (one inferred format, mismatches -> NaT -> quarantine); pass
+    schemas.LENIENT_TIMESTAMP_FORMATS for the engine's multi-format mode.
     """
+    from ..schemas import REFERENCE_PANDAS_FORMATS
+    fmts = timestamp_formats or REFERENCE_PANDAS_FORMATS
     df = df.withColumnsRenamed(RENAMES)
     return df.withColumns({
         "amount": lenient_amount("amount"),
-        "updated_at": lenient_timestamp("updated_at"),
-        "created_at": lenient_timestamp("created_at"),
+        "updated_at": lenient_timestamp("updated_at", fmts),
+        "created_at": lenient_timestamp("created_at", fmts),
         "id": normalize_str("id"),
         "company_id": normalize_str("company_id"),
         "status": normalize_str("status"),
@@ -115,7 +122,9 @@ def impute_company_name(df: DataFrame, order_col: str = ROW_ID) -> DataFrame:
 
 
 def clean_pipeline(raw: DataFrame, order_col: str = ROW_ID,
-                   keep_order_col: bool = False) -> tuple[DataFrame, DataFrame]:
+                   keep_order_col: bool = False,
+                   timestamp_formats: tuple[str, ...] | None = None,
+                   ) -> tuple[DataFrame, DataFrame]:
     """Full transform: raw charges CSV frame -> (clean, critical).
 
     Column sets mirror the reference's outputs: clean has the 7 curated
@@ -124,7 +133,7 @@ def clean_pipeline(raw: DataFrame, order_col: str = ROW_ID,
     order-dependent imputation (and, with ``keep_order_col``, the
     first-seen-wins dim load downstream).
     """
-    staged = standardize(raw)
+    staged = standardize(raw, timestamp_formats)
     clean, critical = split_critical(staged)
     clean = impute_company_name(clean, order_col=order_col)
     cols = ["id", "company_name", "company_id", "amount", "status",

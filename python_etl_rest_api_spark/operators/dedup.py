@@ -48,10 +48,18 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     element_at, portable to DuckDB list indexing). For hot paths prefer
     shingled_docs(), which materializes the token array once per row."""
     toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+    return _grams_from(toks, n)
+
+
+def _grams_from(toks: Column, n: int) -> Column:
+    """Distinct n-grams from a token-array column. Guarded for short docs:
+    Spark's sequence(1, 0) DESCENDS ([1, 0]) and element_at past the end
+    throws under ANSI - so emit an empty array when size < n."""
+    count = F.size(toks) - (n - 1)
+    grams = F.when(count > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -61,12 +69,8 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
     projection, so the n-gram lambda references a column (computed once
     per row) instead of re-splitting the text per element."""
     staged = df.select(id_col, tokens(text_col).alias("_toks"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_toks"), i + k) for k in range(n)]),
-    )
-    return staged.select(id_col, F.array_distinct(grams).alias("shingles"))
+    return staged.select(
+        id_col, _grams_from(F.col("_toks"), n).alias("shingles"))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",

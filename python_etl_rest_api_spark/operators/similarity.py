@@ -84,39 +84,52 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def srp_buckets(df: DataFrame, dim: int, bits: int = 16,
+def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Signed-random-projection bucket key per vector: ``bits`` sign bits
-    of hyperplane dot products packed into a long. One narrow projection -
-    the ANN join is then an equi-join on bucket_key."""
-    key = F.lit(0).cast("long")
-    for p in range(bits):
-        plane = _hyperplane(dim, p)
-        proj = dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
-        key = key.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p))
-            .otherwise(F.lit(0).cast("long")))
-    return df.select(id_col, vec_col, key.alias("bucket_key"))
+    """Multi-table signed-random-projection bucketing: per table t, the
+    bucket key packs ``bits`` sign bits of hyperplane projections. Output
+    is one row per (vector, table) - candidates share (table_id,
+    bucket_key). More tables -> higher recall at linear cost; one narrow
+    projection, no shuffle."""
+    entries = []
+    for t in range(tables):
+        key = F.lit(0).cast("long")
+        for p in range(bits):
+            plane = _hyperplane(dim, t * bits + p)
+            proj = dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
+            key = key.bitwiseOR(
+                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p))
+                .otherwise(F.lit(0).cast("long")))
+        entries.append(F.struct(F.lit(t).alias("table_id"),
+                                key.alias("bucket_key")))
+    return (df.select(id_col, vec_col, F.explode(F.array(*entries)).alias("b"))
+            .select(id_col, vec_col, "b.table_id", "b.bucket_key"))
 
 
 def topk_ann_srp(corpus: DataFrame, queries: DataFrame, dim: int,
-                 k: int = 10, bits: int = 8,
+                 k: int = 10, bits: int = 8, tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "qid") -> DataFrame:
-    """ANN top-k: SRP-bucket the corpus once, probe with the query's
-    bucket, exact cosine re-rank within the bucket. Recall < 1 by design;
-    the bruteforce path is the correctness baseline."""
-    bucketed = srp_buckets(corpus, dim, bits, id_col, vec_col)
+    """ANN top-k: SRP-bucket the corpus once (L tables), probe with the
+    query's buckets, distinct candidates, exact cosine re-rank. Recall < 1
+    by design (tunable via bits x tables); bruteforce is the exactness
+    baseline. At 100 TB the bucketed equi-join replaces the corpus-wide
+    cross product and the corpus side shuffles only on bucket keys."""
+    bucketed = srp_buckets(corpus, dim, bits, tables, id_col, vec_col)
     qb = srp_buckets(queries.select(F.col(qid_col).alias(id_col),
                                     F.col("qv").alias(vec_col)),
-                     dim, bits, id_col, vec_col) \
+                     dim, bits, tables, id_col, vec_col) \
         .select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("qv"),
+                F.col("table_id").alias("q_table"),
                 F.col("bucket_key").alias("q_bucket"))
-    pairs = (bucketed.join(F.broadcast(qb),
-                           (F.col("bucket_key") == F.col("q_bucket")) &
-                           (F.col(qid_col) != F.col(id_col)))
-             .select(qid_col, id_col,
-                     cosine(F.col("qv"), F.col(vec_col)).alias("sim")))
+    cand = (bucketed.join(F.broadcast(qb),
+                          (F.col("table_id") == F.col("q_table")) &
+                          (F.col("bucket_key") == F.col("q_bucket")) &
+                          (F.col(qid_col) != F.col(id_col)))
+            .select(qid_col, "qv", id_col, vec_col)
+            .dropDuplicates([qid_col, id_col]))
+    pairs = cand.select(qid_col, id_col,
+                        cosine(F.col("qv"), F.col(vec_col)).alias("sim"))
     w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
                                             F.col(id_col).asc())
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -45,9 +45,24 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the plan - the scale-dominating cost."""
-    return physical_plan(df).count("Exchange")
+    """Number of SHUFFLE exchanges (hashpartitioning) in the plan - the
+    scale-dominating cost. Broadcast exchanges and AQE wrappers are
+    excluded: broadcasting a dim is exactly what avoids shuffling the
+    fact side."""
+    plan = simple_plan(df)
+    return sum(1 for line in plan.splitlines()
+               if "Exchange hashpartitioning" in line)
 
 
-def codegen_stage_count(df: DataFrame) -> int:
-    return physical_plan(df).count("WholeStageCodegen")
+def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
+    """Whole-stage-codegen spans in the (final) plan, via their ``*(n)``
+    markers in the simple plan string. Under AQE the executed plan only
+    finalizes after an action - run one by default so the count reflects
+    what actually ran."""
+    if execute:
+        # must be an action on THIS DataFrame: count() builds a separate
+        # plan and would leave df's own AQE plan unfinalized
+        df.collect()
+    plan = simple_plan(df)
+    import re
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

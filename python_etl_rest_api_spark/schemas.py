@@ -46,9 +46,17 @@ COMPANIES_SCHEMA = T.StructType([
 # (reference etl/03_transform_and_load.py:51-52).
 DECIMAL_16_2_MAX = 99999999999999.99
 
-# Timestamp formats the reference's pandas to_datetime(errors='coerce')
-# accepts in this dataset (multi-format inference, SURVEY.md section 1.4:
-# one `20190516` value must parse, not null out).
+# What the reference's pandas 3.0 to_datetime(errors='coerce') actually
+# does (verified against df_critical.csv): it infers ONE format from the
+# first element (%Y-%m-%d here) and coerces every mismatch to NaT - the
+# three quarantined missing_created_at rows are '2019-02-27T00:00:00',
+# '20190516' and '20190121' in the raw CSV. Golden parity therefore
+# requires STRICT single-format parsing for the reference pipeline.
+REFERENCE_PANDAS_FORMATS = ("yyyy-MM-dd",)
+
+# The engine's own lenient multi-format parse (catalog op F2) - the
+# better-than-reference behavior for dirty feeds, oracle-checked
+# separately. NOT used for golden replication.
 LENIENT_TIMESTAMP_FORMATS = (
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss",

@@ -75,10 +75,28 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
 def run_stream_on_batch(spark: SparkSession, events_path: str,
                         transform, out_path: str) -> None:
     """Execute a streaming transform over a bounded parquet source using
-    availableNow (test/backfill harness: stream semantics, batch data)."""
+    availableNow (test/backfill harness: stream semantics, batch data).
+
+    Handles TIMESTAMP(NANOS) sources (the driver's events table): nanos
+    are read as long and converted with exact integer division, matching
+    the batch-side _events loader."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(events_path):
+        # the file-stream source requires a directory; shim single files
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(d, os.path.basename(events_path)))
+        events_path = d
     schema = spark.read.parquet(events_path).schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(events_path))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (transform(stream).writeStream
          .format("parquet").option("path", out_path)
          .option("checkpointLocation", out_path + "_chk")

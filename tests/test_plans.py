@@ -38,10 +38,9 @@ def test_column_pruning_reaches_scan(spark):
 def test_dim_join_broadcasts(spark):
     df = h1_daily_totals(spark, SF)
     assert uses_broadcast_join(df)
-    # broadcast join + single aggregation: at most one real shuffle
-    # (plus AQE reads); broadcast exchange is not a shuffle of the fact
-    plan_shuffles = shuffle_count(df)
-    assert plan_shuffles <= 3  # BroadcastExchange + 1 shuffle + AQE wrapper
+    # broadcast join + partial/final aggregation: exactly ONE shuffle
+    # (on the group keys); the fact side is never exchanged for the join
+    assert shuffle_count(df) == 1
 
 
 def test_group_key_filter_pushes_below_aggregate(spark):
