@@ -185,3 +185,24 @@ def etl_dim_first_seen(spark, sf_dir):
     return (pairs.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("company_id", "company_name"))
+
+
+@query("etl_tier_counts", _ORACLE_STAGE + """
+    SELECT (SELECT COUNT(*) FROM raw) AS n_original,
+           CAST(SUM(CASE WHEN NOT (m_id OR m_cid OR m_amt OR m_created OR m_status)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN (m_id OR m_cid OR m_amt OR m_created OR m_status)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_critical
+    FROM flagged
+""")
+def etl_tier_counts(spark, sf_dir):
+    """H7: the reference's run report - row counts per tier in ONE pass
+    over the flagged frame (reference etl/03_transform_and_load.py:97-99;
+    golden instance 10000/9986/14 asserted in tests/test_clean_golden.py)."""
+    from .operators.clean import CRITICAL_FLAG, flag_critical, standardize
+    tune(spark)
+    flagged = flag_critical(standardize(_dirty_df(spark), _ETL_FORMATS))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_original"),
+        F.sum((~F.col(CRITICAL_FLAG)).cast("long")).alias("n_clean"),
+        F.sum(F.col(CRITICAL_FLAG).cast("long")).alias("n_critical"))

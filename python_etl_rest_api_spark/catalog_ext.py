@@ -291,6 +291,31 @@ def events_json_extract(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Multimodal columns (binary payloads + typed metadata; decode stubbed -
+# media codecs are not in this container, the Spark plumbing is real)
+# ---------------------------------------------------------------------
+
+@query("multimodal_feature_extract")  # synthetic binary source: rows-only
+def multimodal_feature_extract(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary media
+    payloads (deterministic stub decoder; swap for a real codec and the
+    schema/batching/partitioning stays identical)."""
+    from .operators.multimodal import extract_features, synthesize_media
+    tune(spark)
+    return extract_features(synthesize_media(spark, n=96))
+
+
+@query("multimodal_media_stats")  # synthetic binary source: rows-only
+def multimodal_media_stats(spark, sf_dir):
+    """Metadata-only profile of a media table - must not decode payloads
+    (at 100 TB, stats queries read lengths, never bytes, and prune the
+    payload column when the format allows)."""
+    from .operators.multimodal import media_stats, synthesize_media
+    tune(spark)
+    return media_stats(synthesize_media(spark, n=96))
+
+
+# ---------------------------------------------------------------------
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------
 
