@@ -26,11 +26,13 @@ HEADLINE = [
     "h1_daily_totals",
     "q1_pricing_summary",
     "q3_top_revenue",
+    "etl_clean_scaled",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "stream_tumbling_hourly",
     "stream_sessionize",
+    "skew_salted_agg",
 ]
 
 

@@ -68,12 +68,10 @@ def _values_sql() -> str:
 
 
 # The oracle replicates the exact operator order of
-# reference etl/03_transform_and_load.py:36-94 in DuckDB SQL.
-_ORACLE_STAGE = f"""
-    WITH raw(rid, id, name, company_id, amount, status, created_at, paid_at) AS (
-      VALUES
-      {_values_sql()}
-    ),
+# reference etl/03_transform_and_load.py:36-94 in DuckDB SQL. The staging
+# body is shared between the inline-VALUES instance and the scaled
+# (orders-derived) instance via _stage_sql.
+_STAGE_TAIL = """
     casted AS (
       SELECT rid,
              lower(trim(id)) AS id,
@@ -107,7 +105,15 @@ _ORACLE_STAGE = f"""
 """
 
 
-@query("etl_clean_pipeline", _ORACLE_STAGE + """
+def _stage_sql(raw_cte: str) -> str:
+    return ("WITH raw(rid, id, name, company_id, amount, status, "
+            "created_at, paid_at) AS (\n" + raw_cte + "\n    )," + _STAGE_TAIL)
+
+
+_ORACLE_STAGE = _stage_sql("      VALUES\n      " + _values_sql())
+
+# the clean-tier projection incl. the order-dependent imputation (G1+G2)
+_CLEAN_SUFFIX = """
     , clean AS (
       SELECT * FROM flagged
       WHERE NOT (m_id OR m_cid OR m_amt OR m_created OR m_status))
@@ -120,7 +126,10 @@ _ORACLE_STAGE = f"""
            company_id, amount, status, created_at, updated_at
     FROM (SELECT *, CASE WHEN company_name IN ('', 'nan', '<NA>') THEN NULL
                          ELSE company_name END AS name2 FROM clean)
-""")
+"""
+
+
+@query("etl_clean_pipeline", _ORACLE_STAGE + _CLEAN_SUFFIX)
 def etl_clean_pipeline(spark, sf_dir):
     """The full clean tier (reference etl/03_transform_and_load.py:33-94):
     every coercion, guard, split and the order-dependent imputation,
@@ -206,3 +215,88 @@ def etl_tier_counts(spark, sf_dir):
         F.count(F.lit(1)).alias("n_original"),
         F.sum((~F.col(CRITICAL_FLAG)).cast("long")).alias("n_clean"),
         F.sum(F.col(CRITICAL_FLAG).cast("long")).alias("n_critical"))
+
+
+# ---------------------------------------------------------------------
+# The reference pipeline AT VOLUME: dirty raw strings derived
+# deterministically from the orders table in BOTH engines (decimal-string
+# amounts, strftime dates, modulo-injected dirt classes), then the full
+# clean tier. This is the bench headliner proving the ETL semantics hold
+# at testdata scale, not just on 17 inline rows.
+# ---------------------------------------------------------------------
+
+_SCALED_RAW_CTE = """
+      SELECT o_orderkey AS rid,
+             CASE WHEN o_orderkey % 211 = 0 THEN NULL
+                  ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS id,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE 'Company ' || CAST(o_orderkey % 5 AS VARCHAR) END AS name,
+             CASE WHEN o_orderkey % 199 = 0 THEN ''
+                  WHEN o_orderkey % 197 = 0 THEN 'nan'
+                  ELSE 'c' || CAST(o_orderkey % 7 AS VARCHAR) END AS company_id,
+             CASE WHEN o_orderkey % 193 = 0 THEN 'garbage'
+                  WHEN o_orderkey % 191 = 0 THEN '3.0e34'
+                  ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) END AS amount,
+             CASE WHEN o_orderkey % 189 = 0 THEN '  ' ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 181 = 0 THEN NULL
+                  WHEN o_orderkey % 179 = 0 THEN strftime(o_orderdate, '%Y%m%d')
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS created_at,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                  ELSE strftime(o_orderdate, '%Y-%m-%d') END AS paid_at
+      FROM orders
+"""
+
+
+def _scaled_raw_df(spark, sf_dir):
+    from .catalog import _t
+    key = F.col("o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        key.alias("rid"),
+        F.when(key % 211 == 0, None)
+         .otherwise(F.md5(key.cast("string"))).alias("id"),
+        F.when(key % 13 == 0, None)
+         .otherwise(F.concat(F.lit("Company "), (key % 5).cast("string"))).alias("name"),
+        F.when(key % 199 == 0, "").when(key % 197 == 0, "nan")
+         .otherwise(F.concat(F.lit("c"), (key % 7).cast("string"))).alias("company_id"),
+        F.when(key % 193 == 0, "garbage").when(key % 191 == 0, "3.0e34")
+         .otherwise(F.col("o_totalprice").cast("decimal(18,2)").cast("string")).alias("amount"),
+        F.when(key % 189 == 0, "  ").otherwise(F.col("o_orderstatus")).alias("status"),
+        F.when(key % 181 == 0, None)
+         .when(key % 179 == 0, F.date_format("o_orderdate", "yyyyMMdd"))
+         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("created_at"),
+        F.when(key % 3 == 0, None)
+         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("paid_at"),
+    )
+
+
+@query("etl_clean_scaled", _stage_sql(_SCALED_RAW_CTE) + _CLEAN_SUFFIX)
+def etl_clean_scaled(spark, sf_dir):
+    """The full reference clean tier over orders-derived dirty strings
+    (15k rows at sf0.01, 150k at sf0.1) - every coercion/guard/split/
+    imputation at volume, value-checked against the same oracle SQL as
+    the inline instance."""
+    tune(spark)
+    raw = _scaled_raw_df(spark, sf_dir)
+    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
+    return clean
+
+
+@query("etl_critical_scaled", _stage_sql(_SCALED_RAW_CTE) + """
+    SELECT id, company_name, company_id, amount, status, created_at, updated_at,
+           concat_ws('|',
+               CASE WHEN m_id THEN 'missing_id' END,
+               CASE WHEN m_cid THEN 'missing_company_id' END,
+               CASE WHEN m_amt THEN 'invalid_amount' END,
+               CASE WHEN m_created THEN 'missing_created_at' END,
+               CASE WHEN m_status THEN 'missing_status' END) AS _critical_reason
+    FROM flagged
+    WHERE (m_id OR m_cid OR m_amt OR m_created OR m_status)
+""")
+def etl_critical_scaled(spark, sf_dir):
+    """Quarantine tier of the scaled pipeline (reason-code breakdown at
+    volume)."""
+    tune(spark)
+    raw = _scaled_raw_df(spark, sf_dir)
+    _, critical = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
+    return critical

@@ -379,3 +379,46 @@ def q3_top_revenue(spark, sf_dir):
                     F.to_date("o_orderdate").alias("order_date"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
             .limit(10))
+
+
+@query("skew_salted_agg", """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+""")
+def skew_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation: partial agg on (key, salt) spreads
+    hot keys over 16 reducers, final agg combines - decimal sums make the
+    salted plan bit-identical to the plain GROUP BY (the oracle)."""
+    from .operators.skew import salted_sum
+    from .functions.cleaning import money
+    orders = _t(spark, sf_dir, "orders")
+    out = salted_sum(orders, ["o_orderstatus"], money("o_totalprice"),
+                     alias="_total_dec", buckets=16, count_alias="n")
+    return out.select("o_orderstatus",
+                      F.col("_total_dec").cast("double").alias("total"), "n")
+
+
+@query("stream_sliding_panes", """
+    WITH panes AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               AS window_start,
+             event_type
+      FROM events, (SELECT unnest(range(0, 4)) AS k))
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM panes GROUP BY 1, 2
+""")
+def stream_sliding_panes(spark, sf_dir):
+    """Sliding-window counts (1h window / 15min slide) in batch form: each
+    event lands in 4 panes (Spark's Expand operator under F.window).
+    Streaming twin: streaming/windows.py::sliding_agg_stream. Oracle
+    derives the same panes via time_bucket arithmetic (epoch-aligned on
+    both engines)."""
+    events = _events(spark, sf_dir)
+    return (events
+            .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                     "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events"))

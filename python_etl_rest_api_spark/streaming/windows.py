@@ -73,7 +73,8 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
 
 
 def run_stream_on_batch(spark: SparkSession, events_path: str,
-                        transform, out_path: str) -> None:
+                        transform, out_path: str,
+                        output_mode: str = "append") -> None:
     """Execute a streaming transform over a bounded parquet source using
     availableNow (test/backfill harness: stream semantics, batch data).
 
@@ -97,10 +98,16 @@ def run_stream_on_batch(spark: SparkSession, events_path: str,
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    q = (transform(stream).writeStream
-         .format("parquet").option("path", out_path)
-         .option("checkpointLocation", out_path + "_chk")
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
+    writer = transform(stream).writeStream \
+        .option("checkpointLocation", out_path + "_chk") \
+        .outputMode(output_mode) \
+        .trigger(availableNow=True)
+    if output_mode == "append":
+        q = writer.format("parquet").option("path", out_path).start()
+    else:
+        # the file sink is append-only; update/complete modes (stateful
+        # ops) land each micro-batch via foreachBatch
+        q = writer.foreachBatch(
+            lambda batch_df, _id: batch_df.write.mode("append")
+            .parquet(out_path)).start()
     q.awaitTermination()
