@@ -422,3 +422,56 @@ def stream_sliding_panes(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events"))
+
+
+@query("agg_count_distinct", """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+""")
+def agg_count_distinct(spark, sf_dir):
+    """Distinct aggregation (beyond the reference surface - Spark expands
+    it into a two-phase plan; approx_count_distinct is the sketch
+    alternative when exactness isn't required at 100 TB)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@query("w1_running_total", """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM orders
+""")
+def w1_running_total(spark, sf_dir):
+    """Cumulative window aggregate per customer (decimal-exact running
+    sums; deterministic frame via total order on (date, key))."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    from .functions.cleaning import money
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(money("o_totalprice")).over(w).cast("double")
+        .alias("running_total"))
+
+
+@query("h9_rollup_totals", """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def h9_rollup_totals(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (status -> priority -> grand
+    total) - free from Catalyst (Expand operator), listed because the
+    reference has no grouping-sets surface at all."""
+    from .functions.cleaning import money
+    return (_t(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.sum(money("o_totalprice")).cast("double").alias("total"),
+                 F.count(F.lit(1)).alias("n")))
