@@ -17,6 +17,8 @@ for the oracle; ranking ties broken by id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,21 +91,35 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
     """Multi-table signed-random-projection bucketing: per table t, the
     bucket key packs ``bits`` sign bits of hyperplane projections. Output
     is one row per (vector, table) - candidates share (table_id,
-    bucket_key). More tables -> higher recall at linear cost; one narrow
-    projection, no shuffle."""
-    entries = []
-    for t in range(tables):
-        key = F.lit(0).cast("long")
-        for p in range(bits):
-            plane = _hyperplane(dim, t * bits + p)
-            proj = dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane]))
-            key = key.bitwiseOR(
-                F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p))
-                .otherwise(F.lit(0).cast("long")))
-        entries.append(F.struct(F.lit(t).alias("table_id"),
-                                key.alias("bucket_key")))
-    return (df.select(id_col, vec_col, F.explode(F.array(*entries)).alias("b"))
-            .select(id_col, vec_col, "b.table_id", "b.bucket_key"))
+    bucket_key). More tables -> higher recall at linear cost.
+
+    The projection is a vectorized Pandas UDF (one numpy matmul per Arrow
+    batch) - the canonical case where built-in expressions can't express
+    the computation efficiently: tables x bits hyperplanes as native
+    per-element folds build an enormous interpreted expression (measured
+    minutes for 24 planes on 500 vectors); the matmul is milliseconds and
+    deterministic per row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane(dim, j) for j in range(tables * bits)]).T  # (dim, T*B)
+
+    @pandas_udf("array<long>")
+    def bucket_keys(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy())            # (n, dim)
+        signs = (mat.astype(np.float64) @ planes) >= 0  # (n, T*B)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        out = [
+            [int(signs[r, t * bits:(t + 1) * bits] @ weights)
+             for t in range(tables)]
+            for r in range(signs.shape[0])
+        ]
+        return pd.Series(out)
+
+    return (df.select(id_col, vec_col,
+                      F.posexplode(bucket_keys(F.col(vec_col)))
+                      .alias("table_id", "bucket_key")))
 
 
 def topk_ann_srp(corpus: DataFrame, queries: DataFrame, dim: int,
