@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_topk_ann_srp",
     "stream_tumbling_hourly",
     "stream_sessionize",
     "skew_salted_agg",

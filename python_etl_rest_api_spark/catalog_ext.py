@@ -475,3 +475,88 @@ def h9_rollup_totals(spark, sf_dir):
             .rollup("o_orderstatus", "o_orderpriority")
             .agg(F.sum(money("o_totalprice")).cast("double").alias("total"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("pivot_status_priority", """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status_priority(spark, sf_dir):
+    """Pivot (crosstab) with pinned pivot values - unpinned pivots need an
+    extra values-collection job, so production pivots declare the domain."""
+    out = (_t(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["O", "F", "P"])
+           .count())
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"))
+
+
+@query("stats_percentiles", """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+""")
+def stats_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark percentile <->
+    DuckDB quantile_cont - same definition, bit-identical on doubles).
+    At 100 TB swap for approx_percentile (t-digest sketch, mergeable)."""
+    return (_t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                 F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("text_levenshtein_pairs", """
+    WITH sub AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 40)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM sub a, sub b
+    WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 3
+""")
+def text_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs on a bounded subset (classic DP -
+    identical integers in both engines). The fuzzy-matching primitive for
+    entity resolution; at scale gated behind cheap blocking keys."""
+    sub = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") < 40).select("c_custkey", "c_name")
+    a = sub.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"))
+    b = sub.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"))
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", dist.alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 3))
+
+
+@query("dates_derived", """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start
+    FROM orders
+""")
+def dates_derived(spark, sf_dir):
+    """Calendar-function pack: extraction, ISO weekday, interval add,
+    day-diff (Spark weekday+1 == DuckDB isodow; datediff arg order
+    differs between engines - pinned here)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"))
