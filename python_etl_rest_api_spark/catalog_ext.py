@@ -146,6 +146,32 @@ def sim_topk_ann_srp(spark, sf_dir):
         .select("qid", "vec_id", "sim", "rank")
 
 
+@query("sim_topk_ann_ivf")  # approximate by design: rows-only + recall pytest
+def sim_topk_ann_ivf(spark, sf_dir):
+    """ANN top-k via an IVF inverted file (deterministic seed centroids +
+    one Lloyd step, nprobe cell probing, exact re-rank) - the learned-cell
+    complement to SRP bucketing; recall vs sim_topk_bruteforce in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return similarity.topk_ann_ivf(emb, queries, dim=64, k=10,
+                                   n_centroids=16, nprobe=4) \
+        .select("qid", "vec_id", "sim", "rank")
+
+
+@query("embed_label_centroid")  # float mean is order-dependent: rows-only +
+def embed_label_centroid(spark, sf_dir):  # numpy-exactness pytest
+    """Per-label centroid in long form (label, pos, mean_val): posexplode +
+    one (label, pos) aggregate - the class-prototype builder for training
+    pipelines (centroids feed IVF codebooks, dedup seeds, drift checks).
+    Shuffles (label x dim) cells, never whole vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg(F.avg("val").alias("mean_val"),
+                 F.count(F.lit(1)).alias("n_vecs")))
+
+
 # ---------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------

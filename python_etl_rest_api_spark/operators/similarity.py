@@ -122,6 +122,96 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
                       .alias("table_id", "bucket_key")))
 
 
+def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine) via
+    one Arrow-batched matmul against the broadcast centroid matrix — no
+    shuffle, no per-centroid scan. Output: (id, vec, centroid_id) with one
+    row per probe. Ties broken by centroid index (argsort is stable)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)  # (k, dim)
+
+    @pandas_udf("array<long>")
+    def nearest(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)       # (n, dim)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sims = mat @ cn.T                                        # (n, k)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(c) for c in row] for row in top])
+
+    return df.select(id_col, vec_col,
+                     F.explode(nearest(F.col(vec_col))).alias("centroid_id"))
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int, dim: int,
+                  refine_steps: int = 1, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF codebook: seed with the ``n_centroids`` smallest
+    ids (reproducible without RNG state), then ``refine_steps`` Lloyd
+    iterations — each is one distributed assign (matmul UDF) + one groupBy
+    mean per (centroid, position) — the k-means training loop expressed as
+    Spark aggregates, driver holding only the (k, dim) codebook."""
+    seeds = (corpus.orderBy(id_col).limit(n_centroids)
+             .select(vec_col).collect())
+    cent = np.array([r[0] for r in seeds], dtype=np.float64)
+    for _ in range(refine_steps):
+        assigned = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
+                                   vec_col=vec_col)
+        means = (assigned
+                 .select("centroid_id",
+                         F.posexplode(vec_col).alias("pos", "val"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.avg("val").alias("m"))
+                 .collect())
+        nxt = cent.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.centroid_id, {})[r.pos] = r.m
+        for cid, posmap in by_c.items():
+            for pos, m in posmap.items():
+                nxt[cid, pos] = m
+        cent = nxt
+    return cent
+
+
+def topk_ann_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
+                 k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 qid_col: str = "qid") -> DataFrame:
+    """IVF ANN top-k: partition the corpus into centroid cells (inverted
+    file), probe each query's ``nprobe`` nearest cells, exact cosine
+    re-rank on the candidates. The scale shape: corpus is assigned once
+    (map-only), candidate generation is an equi-join on centroid_id, and
+    recall tunes with nprobe/n_centroids — complementary to SRP-LSH
+    (topk_ann_srp), which buckets by random hyperplanes instead of learned
+    cells."""
+    cent = ivf_centroids(corpus, n_centroids, dim, refine_steps=1,
+                         id_col=id_col, vec_col=vec_col)
+    inv = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
+                          vec_col=vec_col)
+    probes = ivf_assignments(
+        queries.select(F.col(qid_col).alias(id_col),
+                       F.col("qv").alias(vec_col)),
+        cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("qv"),
+                F.col("centroid_id").alias("probe_centroid"))
+    cand = (inv.join(F.broadcast(probes),
+                     (F.col("centroid_id") == F.col("probe_centroid")) &
+                     (F.col(qid_col) != F.col(id_col)))
+            .select(qid_col, "qv", id_col, vec_col)
+            .dropDuplicates([qid_col, id_col]))
+    pairs = cand.select(qid_col, id_col,
+                        cosine(F.col("qv"), F.col(vec_col)).alias("sim"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                            F.col(id_col).asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def topk_ann_srp(corpus: DataFrame, queries: DataFrame, dim: int,
                  k: int = 10, bits: int = 8, tables: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",

@@ -71,3 +71,58 @@ def test_ann_recall_against_bruteforce(spark):
         key = (r["qid"], r["vec_id"])
         if key in exact_sims:
             assert r["sim"] == pytest.approx(exact_sims[key])
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = similarity.topk_bruteforce(emb, q, k=10).collect()
+    approx = similarity.topk_ann_ivf(emb, q, dim=64, k=10,
+                                     n_centroids=8, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    # probing half the cells on random data: expect solid recall
+    recalls = [len(exact_sets[q_] & approx_sets.get(q_, set())) / 10
+               for q_ in exact_sets]
+    assert sum(recalls) / len(recalls) > 0.3
+    # re-rank is exact cosine
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == pytest.approx(exact_sims[key])
+
+
+def test_ivf_assignments_match_numpy(spark):
+    import numpy as np
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 50)
+    rows = emb.orderBy("vec_id").collect()
+    cent = np.array([r.embedding for r in rows[:4]], dtype=np.float64)
+    got = {r.vec_id: r.centroid_id
+           for r in similarity.ivf_assignments(emb, cent, nprobe=1).collect()}
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        want = int(np.argmax(v @ cn.T))
+        assert got[r.vec_id] == want, r.vec_id
+
+
+def test_label_centroid_matches_numpy(spark):
+    import numpy as np
+    from python_etl_rest_api_spark.catalog_ext import embed_label_centroid
+    out = embed_label_centroid(spark, "/root/testdata/sf0.001").collect()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    by_label = {}
+    for r in emb.collect():
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for r in out:
+        arr = np.array(by_label[r.label], dtype=np.float64)
+        assert r.n_vecs == arr.shape[0]
+        assert r.mean_val == pytest.approx(
+            float(np.mean(arr[:, r.pos])), abs=1e-9)
