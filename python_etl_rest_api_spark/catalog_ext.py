@@ -60,20 +60,106 @@ def dedup_ngram_jaccard(spark, sf_dir):
         _t(spark, sf_dir, "documents"), n=2, threshold=0.2, max_id=120)
 
 
-@query("dedup_minhash_lsh")  # banding pipeline: rows-only check + pytest oracle
+@query("dedup_minhash_lsh", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [] END AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key FROM sig,
+      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
+                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CASE WHEN (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))) > 0
+                THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)))
+                ELSE 0.0 END AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE jaccard >= 0.5
+""")
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle -> 8 md5 minhashes -> 4 bands ->
     bucket self-join -> exact Jaccard verify >= 0.5). Candidate generation
-    is a band-key equi-join - never an all-pairs product."""
+    is a band-key equi-join - never an all-pairs product.
+
+    Because every hash in the pipeline is md5 (portable), the ENTIRE
+    pipeline - banding included - is reproduced by the DuckDB oracle, so
+    the driver value-hashes the final pair set instead of rows-only."""
     return dedup.minhash_near_dups(
         _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
 
 
-@query("dedup_simhash")  # banding pipeline: rows-only check + pytest oracle
+@query("dedup_simhash", """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.b,
+             CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                       > 0
+                  THEN 1::BIGINT << b.b ELSE 0 END AS bitval
+      FROM hashed, LATERAL (SELECT unnest(range(0, 60)) AS b) AS b
+      GROUP BY doc_id, b.b
+    ),
+    sk AS (
+      SELECT doc_id, bit_or(bitval) AS simhash FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> (b.b * 15)) & 32767 AS band_key
+      FROM sk, LATERAL (SELECT unnest(range(0, 4)) AS b) AS b
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.simhash AS sh_a, r.simhash AS sh_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""")
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit bit-majority sketch, 4x16-bit band
-    buckets, popcount verify <= 3)."""
-    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs (bit-majority sketch, 4-band buckets,
+    popcount verify <= 3). The catalog entry runs the PORTABLE variant
+    (60-bit md5-derived hashes, 4x15-bit bands) so DuckDB reproduces the
+    whole pipeline and the driver value-hashes the pair set; the scale
+    path (xxhash64, 64-bit) is the operator default, value-checked
+    against this variant in tests."""
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"),
+                                   portable=True)
 
 
 # ---------------------------------------------------------------------
@@ -135,10 +221,69 @@ def sim_cosine_near_dups(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.8, max_id=200)
 
 
-@query("sim_topk_ann_srp")  # approximate by design: rows-only + recall pytest
+_SRP_ORACLE_SQL = """
+    WITH planes AS (
+      SELECT p.p, d.d,
+             ('0x' || substr(md5('srp:' || p.p || ':' || d.d), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS w
+      FROM (SELECT unnest(range(0, 24)) AS p) p,
+           (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    plane_vecs AS (
+      SELECT p, list(w ORDER BY d) AS wv FROM planes GROUP BY p
+    ),
+    proj AS (
+      SELECT e.vec_id, pv.p,
+             list_reduce(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * pv.wv[i]),
+                (a, b) -> a + b) AS pr
+      FROM embeddings e, plane_vecs pv
+    ),
+    keys AS (
+      SELECT vec_id, p // 6 AS table_id,
+             CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << (p % 6)
+                           ELSE 0 END) AS BIGINT) AS bucket_key
+      FROM proj GROUP BY vec_id, p // 6
+    ),
+    qk AS (SELECT vec_id AS qid, table_id, bucket_key FROM keys WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT qk.qid, k.vec_id
+      FROM qk JOIN keys k
+        ON k.table_id = qk.table_id AND k.bucket_key = qk.bucket_key
+      WHERE k.vec_id != qk.qid
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    pairs AS (
+      SELECT c.qid, c.vec_id,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM cand c
+      JOIN q ON q.qid = c.qid
+      JOIN embeddings e ON e.vec_id = c.vec_id)
+    SELECT qid, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+"""
+
+
+@query("sim_topk_ann_srp", _SRP_ORACLE_SQL)
 def sim_topk_ann_srp(spark, sf_dir):
     """ANN top-k via signed-random-projection buckets + exact re-rank
-    (the 100 TB path; recall measured against sim_topk_bruteforce in tests)."""
+    (the 100 TB path; recall measured against sim_topk_bruteforce in tests).
+
+    The hyperplanes are md5-derived and the projection folds sequentially
+    over dimensions in float64, so the full SRP pipeline - bucket keys,
+    candidate join, re-rank - is reproduced bit-exactly by the SQL oracle
+    (value-hash check, not rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
@@ -146,30 +291,115 @@ def sim_topk_ann_srp(spark, sf_dir):
         .select("qid", "vec_id", "sim", "rank")
 
 
-@query("sim_topk_ann_ivf")  # approximate by design: rows-only + recall pytest
+_IVF_ORACLE_SQL = """
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cv
+      FROM embeddings QUALIFY cid < 16
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM embeddings e, cent c
+    ),
+    inv AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cid) AS rn FROM sims WHERE vec_id < 3)
+      WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, i.vec_id
+      FROM probes p JOIN inv i ON i.cid = p.cid
+      WHERE i.vec_id != p.qid
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+    pairs AS (
+      SELECT c.qid, c.vec_id,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM cand c
+      JOIN q ON q.qid = c.qid
+      JOIN embeddings e ON e.vec_id = c.vec_id)
+    SELECT qid, vec_id, sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+"""
+
+
+@query("sim_topk_ann_ivf", _IVF_ORACLE_SQL)
 def sim_topk_ann_ivf(spark, sf_dir):
-    """ANN top-k via an IVF inverted file (deterministic seed centroids +
-    one Lloyd step, nprobe cell probing, exact re-rank) - the learned-cell
-    complement to SRP bucketing; recall vs sim_topk_bruteforce in tests."""
+    """ANN top-k via an IVF inverted file (deterministic seed centroids,
+    nprobe cell probing, exact re-rank) - the learned-cell complement to
+    SRP bucketing; recall vs sim_topk_bruteforce in tests.
+
+    The catalog entry pins refine_steps=0 (seed codebook = 16 lowest
+    vec_ids) and sequential-fold float64 arithmetic, so the ENTIRE IVF
+    pipeline - assignment, probing, candidate join, re-rank - is
+    reproduced bit-exactly by the SQL oracle. Lloyd refinement
+    (refine_steps>=1, order-dependent float means) is the production
+    default, recall-checked in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     return similarity.topk_ann_ivf(emb, queries, dim=64, k=10,
-                                   n_centroids=16, nprobe=4) \
+                                   n_centroids=16, nprobe=4,
+                                   refine_steps=0) \
         .select("qid", "vec_id", "sim", "rank")
 
 
-@query("embed_label_centroid")  # float mean is order-dependent: rows-only +
-def embed_label_centroid(spark, sf_dir):  # numpy-exactness pytest
+@query("embed_label_centroid", """
+    SELECT label, i - 1 AS pos,
+           list_reduce(list_sort(list(CAST(embedding[i] AS DOUBLE))),
+                       (a, b) -> a + b) / COUNT(*) AS mean_val,
+           COUNT(*) AS n_vecs
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY label, i
+""")
+def embed_label_centroid(spark, sf_dir):
     """Per-label centroid in long form (label, pos, mean_val): posexplode +
     one (label, pos) aggregate - the class-prototype builder for training
     pipelines (centroids feed IVF codebooks, dedup seeds, drift checks).
-    Shuffles (label x dim) cells, never whole vectors."""
+    Shuffles (label x dim) cells, never whole vectors.
+
+    The mean folds over a SORTED value list (sort_array + sequential
+    aggregate in double <-> DuckDB list_sort + list_reduce), making the
+    float sum order-deterministic and bit-identical across engines - that
+    upgrades the driver check from rows-only to value-hash. At 100 TB
+    prefer plain F.avg (single pass, no per-group list; the ~1e-16
+    ordering jitter is irrelevant when no oracle hash is involved)."""
     emb = _t(spark, sf_dir, "embeddings")
     return (emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+            .withColumn("val", F.col("val").cast("double"))
             .groupBy("label", "pos")
-            .agg(F.avg("val").alias("mean_val"),
-                 F.count(F.lit(1)).alias("n_vecs")))
+            .agg(F.sort_array(F.collect_list("val")).alias("_vals"),
+                 F.count(F.lit(1)).alias("n_vecs"))
+            .select("label", "pos",
+                    (F.aggregate("_vals", F.lit(0.0), lambda a, x: a + x)
+                     / F.col("n_vecs")).alias("mean_val"),
+                    "n_vecs"))
 
 
 # ---------------------------------------------------------------------
@@ -321,21 +551,45 @@ def events_json_extract(spark, sf_dir):
 # media codecs are not in this container, the Spark plumbing is real)
 # ---------------------------------------------------------------------
 
-@query("multimodal_feature_extract")  # synthetic binary source: rows-only
+@query("multimodal_feature_extract", """
+    WITH m AS (SELECT unnest(range(0, 96)) AS i)
+    SELECT i AS media_id,
+           (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+           CAST(128 + i AS BIGINT) AS n_bytes,
+           list_transform(range(0, 8),
+             h -> CAST(CAST(len(list_filter(range(0, 128 + i),
+                  j -> (i * 31 + j * 7) % 8 = h)) AS DOUBLE)
+                  / (128 + i) AS FLOAT)) AS feature
+    FROM m
+""")
 def multimodal_feature_extract(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary media
     payloads (deterministic stub decoder; swap for a real codec and the
-    schema/batching/partitioning stays identical)."""
+    schema/batching/partitioning stays identical).
+
+    The stub 'decode' (byte-histogram of the seeded payload) is a pure
+    function of the row index, so the SQL oracle reproduces it in closed
+    form ((i*31 + j*7) % 256 % 8 == (i*31 + j*7) % 8 because 8 | 256) -
+    the driver value-hashes the full mapInPandas round-trip: Arrow batch
+    in, binary decode, array<float> out."""
     from .operators.multimodal import extract_features, synthesize_media
     tune(spark)
     return extract_features(synthesize_media(spark, n=96))
 
 
-@query("multimodal_media_stats")  # synthetic binary source: rows-only
+@query("multimodal_media_stats", """
+    WITH m AS (SELECT unnest(range(0, 96)) AS i)
+    SELECT (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(128 + i) AS BIGINT) AS total_bytes,
+           CAST(MAX(128 + i) AS INTEGER) AS max_bytes
+    FROM m GROUP BY 1
+""")
 def multimodal_media_stats(spark, sf_dir):
     """Metadata-only profile of a media table - must not decode payloads
     (at 100 TB, stats queries read lengths, never bytes, and prune the
-    payload column when the format allows)."""
+    payload column when the format allows). Payload sizes of the seeded
+    table are closed-form (128 + i), so the stats are value-hash checked."""
     from .operators.multimodal import media_stats, synthesize_media
     tune(spark)
     return media_stats(synthesize_media(spark, n=96))
@@ -407,22 +661,55 @@ def q3_top_revenue(spark, sf_dir):
             .limit(10))
 
 
-@query("skew_salted_agg", """
-    SELECT o_orderstatus,
+# Derived hot key mirroring the reference's own skew fixture (98.9% of
+# rows belong to one company, SURVEY.md section 1.4): ~99% of orders land
+# on the literal 'HOT', the rest keep their status. The skew_plain_agg /
+# skew_salted_agg pair runs the SAME aggregation on this key - unsalted vs
+# two-stage salted - as the measurable A/B for the skew posture.
+_SKEW_KEY_SQL = """CASE WHEN o_orderkey % 100 <> 0 THEN 'HOT'
+                        ELSE o_orderstatus END"""
+_SKEW_AGG_SQL = f"""
+    SELECT {_SKEW_KEY_SQL} AS hot_key,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            COUNT(*) AS n
-    FROM orders GROUP BY o_orderstatus
-""")
+    FROM orders GROUP BY 1
+"""
+
+
+def _skewed_orders(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").withColumn(
+        "hot_key",
+        F.when(F.col("o_orderkey") % 100 != 0, F.lit("HOT"))
+        .otherwise(F.col("o_orderstatus")))
+
+
+@query("skew_plain_agg", _SKEW_AGG_SQL)
+def skew_plain_agg(spark, sf_dir):
+    """The unsalted baseline of the skew pair: straight groupBy on a key
+    where one value owns ~99% of rows. At 100 TB the hot key's entire
+    volume flows through ONE reducer; benchmarked against skew_salted_agg
+    on identical input (identical output, different physical plan)."""
+    from .functions.cleaning import money
+    return (_skewed_orders(spark, sf_dir)
+            .groupBy("hot_key")
+            .agg(F.sum(money("o_totalprice")).cast("double").alias("total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query("skew_salted_agg", _SKEW_AGG_SQL)
 def skew_salted_agg(spark, sf_dir):
-    """Skew-safe two-stage aggregation: partial agg on (key, salt) spreads
-    hot keys over 16 reducers, final agg combines - decimal sums make the
-    salted plan bit-identical to the plain GROUP BY (the oracle)."""
+    """Skew-safe two-stage aggregation on the ~99%-hot key: partial agg on
+    (key, salt) spreads the hot key over 16 reducers, final agg combines -
+    decimal sums make the salted plan bit-identical to the plain GROUP BY
+    (same oracle as skew_plain_agg). tests/test_skew.py asserts the spread
+    property (max per-reducer group share drops ~buckets-fold)."""
     from .operators.skew import salted_sum
     from .functions.cleaning import money
-    orders = _t(spark, sf_dir, "orders")
-    out = salted_sum(orders, ["o_orderstatus"], money("o_totalprice"),
-                     alias="_total_dec", buckets=16, count_alias="n")
-    return out.select("o_orderstatus",
+    out = salted_sum(_skewed_orders(spark, sf_dir).select(
+        "hot_key", "o_totalprice"),
+        ["hot_key"], money("o_totalprice"),
+        alias="_total_dec", buckets=16, count_alias="n")
+    return out.select("hot_key",
                       F.col("_total_dec").cast("double").alias("total"), "n")
 
 

@@ -244,14 +244,30 @@ def unnest_embedding_pos(spark, sf_dir):
             .select("vec_id", "pos", F.col("val").cast("double").alias("val")))
 
 
-@query("agg_approx_distinct")  # sketch-based: rows-only check + pytest tolerance
+@query("agg_approx_distinct", """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS approx_ok
+    FROM events GROUP BY event_type
+""")
 def agg_approx_distinct(spark, sf_dir):
     """HyperLogLog++ approximate distinct users per event type - the
     mergeable-sketch path for 100 TB cardinality estimation (exact
     count-distinct shuffles every key; HLL shuffles fixed-size sketches).
-    Approximate by design, so checked by pytest tolerance vs exact, not
-    value-hash."""
+
+    The sketch estimate itself cannot be value-hashed cross-engine
+    (different HLL implementations), so the entry emits the exact count
+    PLUS an accuracy verdict: approx_ok = 1 iff the HLL estimate (rsd
+    0.02) lands within 5% of the exact count. The oracle asserts
+    approx_ok = 1 for every group - a real accuracy bound on the sketch,
+    hash-checked by the driver, alongside the exact counts."""
+    ok = (F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+          / F.col("exact_users") <= F.lit(0.05))
     return (_events(spark, sf_dir)
             .groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-                 F.count(F.lit(1)).alias("n_events")))
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct(F.col("user_id")).alias("exact_users"))
+            .select("event_type", "n_events", "exact_users",
+                    F.when(ok, 1).otherwise(0).alias("approx_ok")))

@@ -32,6 +32,26 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
+# Frames cached by the most recent near-dup invocation. Each new call
+# unpersists the previous call's blocks first, so long-lived sessions
+# (bench loops, oracle sweeps, REST services) hold at most one
+# invocation's worth of cached sketches instead of accumulating until
+# storage eviction (ADVICE round 1).
+_CACHED: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df.cache()
+
+
+def _release_prior_cache() -> None:
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -126,9 +146,10 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     are the known hazard - AQE skew-join handles moderate cases.
 
     Both derived tables feed two join sides -> cached to avoid recomputing
-    the sketch pipeline per side.
+    the sketch pipeline per side (previous invocation's cache released).
     """
-    shingled = shingled_docs(df, id_col, text_col, n).cache()
+    _release_prior_cache()
+    shingled = _cache(shingled_docs(df, id_col, text_col, n))
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingled, id_col, num_hashes)
     band_structs = F.array(*[
@@ -138,8 +159,9 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                               for r in range(rows_per_band)]).alias("band_key"))
         for b in range(bands)
     ])
-    bands_df = (sig.select(id_col, F.explode(band_structs).alias("band"))
-                .select(id_col, "band.band_id", "band.band_key")).cache()
+    bands_df = _cache(
+        sig.select(id_col, F.explode(band_structs).alias("band"))
+        .select(id_col, "band.band_id", "band.band_key"))
     left = bands_df.alias("l")
     right = bands_df.alias("r")
     cand = (left.join(right,
@@ -176,24 +198,39 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """SimHash: per-token 64-bit hash (xxhash64, JVM-side), bit-majority
-    vote -> one 64-bit sketch per doc. Near-dups differ in few bits.
+              text_col: str = "text", portable: bool = False) -> DataFrame:
+    """SimHash: per-token hash, bit-majority vote -> one sketch per doc.
+    Near-dups differ in few bits.
+
+    Two hash backends:
+    - default: xxhash64 (JVM-native, fastest) -> 64-bit sketch. The 100 TB
+      path.
+    - portable=True: 60-bit hash from the first 15 hex chars of md5
+      (conv base16 -> long; 15 chars = 60 bits < 2^63 so the cast is
+      exact). md5 exists in DuckDB (``('0x' || substr(md5(t),1,15))::
+      BIGINT``), so the WHOLE pipeline is reproducible by the SQL oracle
+      - that is what upgrades the driver check from rows-only to
+      value-hash. Same plan shape, ~2x hash cost.
 
     Implemented as explode(tokens) -> per-bit sign aggregation -> bit
-    reassembly: one shuffle on doc_id, all native expressions. The 64
+    reassembly: one shuffle on doc_id, all native expressions. The
     per-bit sums are a single aggregate pass (no per-bit jobs).
     """
+    nbits = 60 if portable else 64
     toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
-    h = F.xxhash64("tok")
+    if portable:
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    staged = toks.select(id_col, h.alias("_h"))
     one = F.lit(1).cast("long")
-    bit_sums = toks.groupBy(id_col).agg(*[
-        F.sum(F.when(h.bitwiseAND(F.shiftleft(one, b)) != 0, 1)
+    bit_sums = staged.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("_h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)
               .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ])
     sketch = None
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)) \
                .otherwise(F.lit(0).cast("long"))
         sketch = bit if sketch is None else sketch.bitwiseOR(bit)
@@ -202,17 +239,22 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs via 4x16-bit band buckets (a sketch pair
-    within hamming distance 3 shares at least one of 4 bands), verified
-    with exact popcount on the XOR."""
-    sk = simhash64(df, id_col, text_col).cache()
+                      max_hamming: int = 3,
+                      portable: bool = False) -> DataFrame:
+    """SimHash near-dup pairs via 4-band buckets (a sketch pair within
+    hamming distance 3 shares at least one of 4 bands), verified with
+    exact popcount on the XOR. Bands are 16 bits (64-bit default sketch)
+    or 15 bits (portable 60-bit md5 sketch)."""
+    band_bits = 15 if portable else 16
+    mask = (1 << band_bits) - 1
+    _release_prior_cache()
+    sk = _cache(simhash64(df, id_col, text_col, portable=portable))
     bands = sk.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band_id"),
-                     F.shiftrightunsigned("simhash", b * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("band_key"))
+                     F.shiftrightunsigned("simhash", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("band_key"))
             for b in range(4)
         ])).alias("band")
     ).select(id_col, "simhash", "band.band_id", "band.band_key")

@@ -93,12 +93,20 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
     is one row per (vector, table) - candidates share (table_id,
     bucket_key). More tables -> higher recall at linear cost.
 
-    The projection is a vectorized Pandas UDF (one numpy matmul per Arrow
-    batch) - the canonical case where built-in expressions can't express
-    the computation efficiently: tables x bits hyperplanes as native
-    per-element folds build an enormous interpreted expression (measured
-    minutes for 24 planes on 500 vectors); the matmul is milliseconds and
-    deterministic per row.
+    The projection is a vectorized Pandas UDF - the canonical case where
+    built-in expressions can't express the computation efficiently:
+    tables x bits hyperplanes as native per-element folds build an
+    enormous interpreted expression (measured minutes for 24 planes on
+    500 vectors); the numpy version is milliseconds.
+
+    The per-plane projection accumulates SEQUENTIALLY over dimensions
+    (dim vectorized adds, left to right, in float64) rather than as one
+    matmul: matmul uses blocked/SIMD summation whose order differs from
+    a sequential fold, and the sign of a near-zero projection could then
+    differ from the SQL oracle's list_reduce fold. Sequential order makes
+    the bucket keys bit-reproducible by DuckDB (md5-derived planes +
+    left-to-right fold), which is what upgrades the driver check from
+    rows-only to value-hash.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -107,8 +115,11 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
 
     @pandas_udf("array<long>")
     def bucket_keys(embs: pd.Series) -> pd.Series:
-        mat = np.stack(embs.to_numpy())            # (n, dim)
-        signs = (mat.astype(np.float64) @ planes) >= 0  # (n, T*B)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # (n, dim)
+        proj = np.zeros((mat.shape[0], planes.shape[1]))
+        for d in range(planes.shape[0]):      # sequential over dims
+            proj += mat[:, d:d + 1] * planes[d:d + 1, :]
+        signs = proj >= 0                                    # (n, T*B)
         weights = (1 << np.arange(bits, dtype=np.int64))
         out = [
             [int(signs[r, t * bits:(t + 1) * bits] @ weights)
@@ -126,20 +137,34 @@ def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine) via
-    one Arrow-batched matmul against the broadcast centroid matrix — no
+    one Arrow-batched numpy pass against the broadcast centroid matrix — no
     shuffle, no per-centroid scan. Output: (id, vec, centroid_id) with one
-    row per probe. Ties broken by centroid index (argsort is stable)."""
+    row per probe. Ties broken by centroid index (argsort is stable).
+
+    Arithmetic is ordered for oracle reproducibility: cosine =
+    seq_dot(v, c) / (sqrt(seq_dot(v, v)) * sqrt(seq_dot(c, c))) with every
+    dot a sequential left-to-right fold over dimensions in float64 —
+    bit-identical to DuckDB's list_reduce, so the cell assignment (and
+    hence the whole IVF candidate set) is value-checkable by SQL."""
     from pyspark.sql.functions import pandas_udf
 
-    cn = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)  # (k, dim)
+    cm = np.asarray(centroids, dtype=np.float64)                 # (k, dim)
+
+    def _seq_dot(a, b):
+        # sequential fold over dims, vectorized over rows/planes
+        acc = np.zeros(np.broadcast_shapes(a.shape[:-1], b.shape[:-1]))
+        for d in range(a.shape[-1]):
+            acc = acc + a[..., d] * b[..., d]
+        return acc
+
+    c_norm = np.sqrt(_seq_dot(cm, cm))                           # (k,)
 
     @pandas_udf("array<long>")
     def nearest(embs: pd.Series) -> pd.Series:
         mat = np.stack(embs.to_numpy()).astype(np.float64)       # (n, dim)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                               1e-12)
-        sims = mat @ cn.T                                        # (n, k)
+        v_norm = np.sqrt(_seq_dot(mat, mat))                     # (n,)
+        dots = _seq_dot(mat[:, None, :], cm[None, :, :])         # (n, k)
+        sims = dots / (v_norm[:, None] * c_norm[None, :])
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([[int(c) for c in row] for row in top])
 
@@ -180,6 +205,7 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, dim: int,
 
 def topk_ann_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
                  k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                 refine_steps: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "qid") -> DataFrame:
     """IVF ANN top-k: partition the corpus into centroid cells (inverted
@@ -189,7 +215,7 @@ def topk_ann_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
     recall tunes with nprobe/n_centroids — complementary to SRP-LSH
     (topk_ann_srp), which buckets by random hyperplanes instead of learned
     cells."""
-    cent = ivf_centroids(corpus, n_centroids, dim, refine_steps=1,
+    cent = ivf_centroids(corpus, n_centroids, dim, refine_steps=refine_steps,
                          id_col=id_col, vec_col=vec_col)
     inv = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
                           vec_col=vec_col)

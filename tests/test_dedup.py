@@ -69,3 +69,18 @@ def test_simhash_near_dups(docs):
     pairs = dedup.simhash_near_dups(docs, max_hamming=8).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert found[(0, 1)] == 0
+
+
+def test_simhash_portable_agrees_with_default(docs):
+    """Portable (60-bit md5) and default (64-bit xxhash64) variants share
+    the invariant properties: identical texts hash identically, the
+    portable sketch fits in 60 bits, and the exact-duplicate pair is
+    found by both at the same hamming distance (0)."""
+    psk = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash64(docs, portable=True).collect()}
+    assert psk[0] == psk[1]
+    assert all(0 <= v < (1 << 60) for v in psk.values())
+    pairs = dedup.simhash_near_dups(docs, max_hamming=8,
+                                    portable=True).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 1)] == 0

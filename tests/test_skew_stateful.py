@@ -21,6 +21,36 @@ def test_salted_sum_exact(spark):
     assert s == p
 
 
+def test_salted_agg_spreads_hot_key(spark):
+    """The property that makes salting win at scale: on a ~99%-hot key,
+    the plain groupBy routes ~all rows through one reducer group, while
+    stage 1 of the salted plan bounds every reducer group to roughly
+    total/buckets. Measured on the catalog skew pair's derived key."""
+    from python_etl_rest_api_spark.catalog_ext import _skewed_orders
+    buckets = 16
+    df = _skewed_orders(spark, SF).select("hot_key", "o_totalprice")
+    total = df.count()
+    # plain: rows per reducer group == rows per key -> hot key ~99%
+    plain_max = (df.groupBy("hot_key").count()
+                 .agg(F.max("count")).collect()[0][0])
+    assert plain_max >= 0.9 * total
+    # salted stage 1: rows per (key, salt) group
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(buckets))
+    salted_max = (df.withColumn("_salt", salt)
+                  .groupBy("hot_key", "_salt").count()
+                  .agg(F.max("count")).collect()[0][0])
+    assert salted_max <= total / buckets * 1.5, (plain_max, salted_max)
+    # and the catalog pair agrees value-for-value
+    from python_etl_rest_api_spark.catalog_ext import (
+        skew_plain_agg, skew_salted_agg)
+    p = {r["hot_key"]: (r["total"], r["n"])
+         for r in skew_plain_agg(spark, SF).collect()}
+    s = {r["hot_key"]: (r["total"], r["n"])
+         for r in skew_salted_agg(spark, SF).collect()}
+    assert p == s
+
+
 def test_salted_join_same_rows(spark):
     orders = spark.read.parquet(f"{SF}/orders.parquet") \
         .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")

