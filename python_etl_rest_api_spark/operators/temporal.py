@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _cache, _release_prior_cache
+
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               right_cols: list[str], prefix: str = "r_") -> DataFrame:
@@ -62,13 +64,19 @@ def time_band_pairs(events: DataFrame, key: str, ts: str, id_col: str,
     """Self band-join: pairs of rows with the same key whose timestamps lie
     within ``band_seconds`` of each other (id_a < id_b to emit each pair
     once). Blocking bins make it an equi-join; the exact |dt| filter runs
-    on the candidates only."""
+    on the candidates only.
+
+    The binned base feeds both join sides, so it is cached through the
+    shared near-dup cache registry: the next banded/near-dup invocation
+    releases it, so long-lived sessions never accumulate stale blocks.
+    """
     band_us = F.lit(int(band_seconds) * 1_000_000)
-    base = events.select(
+    _release_prior_cache()
+    base = _cache(events.select(
         F.col(key).alias("_k"),
         F.col(id_col).alias("_id"),
         F.unix_micros(F.col(ts)).alias("_us"),
-    ).withColumn("_bin", F.floor(F.col("_us") / band_us)).cache()
+    ).withColumn("_bin", F.floor(F.col("_us") / band_us)))
     probe = base.withColumn(
         "_bin", F.explode(F.array(F.col("_bin") - 1, F.col("_bin"),
                                   F.col("_bin") + 1)))

@@ -19,13 +19,19 @@ ROW_ID = "_row_id"
 
 
 def with_stable_row_id(df: DataFrame) -> DataFrame:
-    """Attach a monotonically increasing id that follows file order.
+    """Attach a monotonically increasing id whose ORDER is stable and
+    deterministic for a given input, and equals file order for
+    single-file input.
 
-    ``monotonically_increasing_id`` is (partition_id << 33) + offset, so it
-    preserves file order within a partition and partition order across files
-    when the reader lists files deterministically (Spark sorts input files).
-    It is NOT dense - only its ORDER is meaningful. That is exactly what the
-    order-dependent operators need, with zero shuffles (no zipWithIndex).
+    ``monotonically_increasing_id`` is (partition_id << 33) + offset: row
+    order within a split is preserved, but Spark packs splits sorted by
+    SIZE descending, so for MULTI-file input partition ids need not follow
+    file-name order - the id order is run-deterministic, not file order.
+    The reference's order-dependent semantics (G1 first-valid fill, B2
+    first-seen-wins) are defined over ONE CSV, where this is exact. When
+    true cross-file order matters, order by
+    ``(input_file_name(), _row_id)`` instead. The id is NOT dense - only
+    its order is meaningful - and costs zero shuffles (no zipWithIndex).
     """
     return df.withColumn(ROW_ID, F.monotonically_increasing_id())
 

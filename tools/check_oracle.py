@@ -67,10 +67,12 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, "
-                  f"{time.time()-t0:.1f}s)")
+                  f"{t_spark:.1f}s)")
             continue
+        t1 = time.time()
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
@@ -79,6 +81,7 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
             continue
+        t_duck = time.time() - t1
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
@@ -92,7 +95,8 @@ def main():
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             print(f"FAIL  {name}: values differ, first diffs: {diffs}")
         else:
-            print(f"OK    {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK    {name}: {len(sr)} rows "
+                  f"(spark {t_spark:.1f}s, duck {t_duck:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
