@@ -10,9 +10,12 @@ plus the engine endpoints that make this an analytics service:
 - GET  /view/daily_company_totals?date=/start=/end= -> the flagship view
 - GET  /health
 
-State is table-backed (parquet keyed store), not a process global - the
-reference's own multi-worker flaw (SURVEY.md L7) fixed by construction.
-A single SparkSession lives for the app's lifetime.
+State is table-backed (append-only parquet store, re-read inside every
+operation, duplicate races adjudicated read-after-write - see
+operators/first100.py), not a process global: multiple workers converge
+on the same state, unlike the reference (SURVEY.md L7). A single
+SparkSession lives for the app's lifetime. Client-supplied paths are
+confined to a configured data root (403 outside it).
 """
 
 from __future__ import annotations
@@ -35,7 +38,13 @@ from ..operators.first100 import First100, ValidationError
 from ..sources.csv_source import read_charges_csv
 
 
-def build_app(spark=None, state_path: str | None = None):
+def build_app(spark=None, state_path: str | None = None,
+              data_root: str | None = None):
+    """``data_root`` confines every client-supplied filesystem path
+    (csv_path, out_dir, warehouse_dir): paths are realpath-resolved and
+    must stay under the root, else 403 (round-1 advice: unauthenticated
+    endpoints must not read or overwrite arbitrary host paths). Default
+    root: $SPARK_ETL_DATA_ROOT, else the system temp dir."""
     if not HAVE_FASTAPI:
         raise RuntimeError("fastapi not installed in this environment")
     if spark is None:
@@ -43,6 +52,17 @@ def build_app(spark=None, state_path: str | None = None):
         spark = get_spark("python_etl_rest_api_spark-api")
     state_path = state_path or os.path.join(
         tempfile.gettempdir(), "first100_state")
+    data_root = os.path.realpath(
+        data_root or os.environ.get("SPARK_ETL_DATA_ROOT")
+        or tempfile.gettempdir())
+
+    def _confined(client_path: str) -> str:
+        p = os.path.realpath(client_path)
+        if p != data_root and not p.startswith(data_root + os.sep):
+            raise HTTPException(
+                status_code=403,
+                detail=f"path outside data root {data_root}: {client_path}")
+        return p
 
     app = FastAPI(title="python_etl_rest_api_spark",
                   description="PySpark-native analytics engine - "
@@ -80,6 +100,8 @@ def build_app(spark=None, state_path: str | None = None):
     def etl_run(csv_path: str, out_dir: str):
         """The reference's batch ETL (etl/03_transform_and_load.py) as an
         on-demand Spark job: clean + quarantine + dim/fact parquet."""
+        csv_path = _confined(csv_path)
+        out_dir = _confined(out_dir)
         if not os.path.exists(csv_path):
             raise HTTPException(status_code=404, detail=f"no such file: {csv_path}")
         raw = read_charges_csv(spark, csv_path)
@@ -100,6 +122,7 @@ def build_app(spark=None, state_path: str | None = None):
                    start: str | None = None, end: str | None = None):
         """The flagship view with the reference's two filter patterns
         (readme.md:156-162): date equality and BETWEEN."""
+        warehouse_dir = _confined(warehouse_dir)
         charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
         companies = spark.read.parquet(os.path.join(warehouse_dir, "companies"))
         view = daily_company_totals(charges, companies)

@@ -595,6 +595,34 @@ def multimodal_media_stats(spark, sf_dir):
     return media_stats(synthesize_media(spark, n=96))
 
 
+@query("multimodal_wav_decode", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i,
+                 list_transform(range(0, 64 + i),
+                   j -> abs((((i * 31 + j * 7) % 256) - 128) * 256)) AS a
+          FROM m)
+    SELECT i AS media_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(64 + i AS BIGINT) AS n_frames,
+           CAST((64 + i) * 125 AS BIGINT) AS duration_us,
+           CAST(list_max(a) AS BIGINT) AS peak_amplitude,
+           CAST(list_sum(a) AS BIGINT) AS total_abs_amplitude
+    FROM s
+""")
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio codec path: genuine RIFF/WAVE payloads (PCM16, encoded
+    by stdlib ``wave``) decoded back in Arrow batches - header fields and
+    amplitude features all read from the byte stream. The synth samples
+    are a closed form of the clip index, so DuckDB reproduces the decoded
+    output exactly (integer arithmetic end to end) and the driver
+    value-hashes a true encode->Spark->decode round trip, unlike the
+    stubbed image path (multimodal_feature_extract)."""
+    from .operators.multimodal import decode_wav_features, synthesize_wav_media
+    tune(spark)
+    return decode_wav_features(synthesize_wav_media(spark, n=48))
+
+
 # ---------------------------------------------------------------------
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------

@@ -2,15 +2,33 @@
 
 The reference keeps a mutable in-process set of 1..100 with extract /
 missing / reset operations and fails under multiple workers (its own
-documented flaw, SURVEY.md L7). Here state is a tiny keyed table
-(extracted numbers) shared across workers; 'remaining' is a declarative
-anti-join over ``spark.range`` - set semantics, no driver-side loops.
+documented flaw, SURVEY.md L7). Here state lives in an APPEND-ONLY
+parquet store re-read inside every operation, so concurrent workers
+converge on the same state:
+
+- each extraction appends one (n, token) row - no worker ever overwrites
+  another's writes;
+- duplicate extraction is adjudicated by a read-AFTER-write check: both
+  racing writers land their rows, then both re-read and the smaller
+  token wins; the loser raises the same "already extracted" error a
+  sequential duplicate would (round-1 advice: the previous
+  load-once/overwrite design served stale state and clobbered writes);
+- reset() truncates by overwriting with an empty frame (last writer
+  wins - the reference's reset has the same semantics).
+
+'remaining' stays a declarative anti-join over ``spark.range`` - set
+semantics, no driver-side loops.
 """
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_STORE_SCHEMA = "n long, token string"
 
 
 class ValidationError(ValueError):
@@ -37,17 +55,32 @@ class First100:
             self._load()
 
     # -- state store ------------------------------------------------------
-    def _load(self) -> None:
+    def _read_store(self) -> list[tuple[int, str]]:
+        """All (n, token) rows currently in the store ([] when absent).
+        Legacy token-less rows read as token='' (sorts first, keeps the
+        original extraction as the winner)."""
         try:
-            rows = self.spark.read.parquet(self.store_path).collect()
-            self._extracted = sorted(r["n"] for r in rows)
+            df = self.spark.read.parquet(self.store_path)
         except Exception:
-            self._extracted = []
+            return []
+        if "token" not in df.columns:
+            df = df.withColumn("token", F.lit(""))
+        return [(r["n"], r["token"] or "") for r in df.collect()]
 
-    def _persist(self) -> None:
+    def _load(self) -> None:
+        """Refresh the in-process view from the shared store. Called at the
+        top of every operation so multi-worker deployments never serve
+        stale state (each worker sees every other worker's appends)."""
         if not self.store_path:
             return
-        df = self.spark.createDataFrame([(k,) for k in self._extracted], "n long")
+        self._extracted = sorted({n for n, _ in self._read_store()})
+
+    def _append(self, number: int, token: str) -> None:
+        df = self.spark.createDataFrame([(number, token)], _STORE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.store_path)
+
+    def _truncate(self) -> None:
+        df = self.spark.createDataFrame([], _STORE_SCHEMA)
         df.write.mode("overwrite").parquet(self.store_path)
 
     # -- set algebra as DataFrames ---------------------------------------
@@ -67,15 +100,28 @@ class First100:
             raise ValidationError("number must be an integer")
         if number < 1 or number > self.n:
             raise ValidationError(f"number must be between 1 and {self.n}")
+        self._load()
         if number in self._extracted:
             raise ValidationError(f"{number} was already extracted")
-        self._extracted.append(number)
-        self._persist()
-        return {"extracted": number, "remaining_count": self.n - len(self._extracted)}
+        if self.store_path:
+            # append-only write, then read-after-write adjudication: if a
+            # concurrent worker also appended this number, the smaller
+            # token wins and the other call reports the duplicate.
+            token = f"{time.time_ns():020d}-{os.getpid()}"
+            self._append(number, token)
+            claims = sorted(t for n_, t in self._read_store() if n_ == number)
+            self._load()
+            if claims and claims[0] != token:
+                raise ValidationError(f"{number} was already extracted")
+        else:
+            self._extracted.append(number)
+        return {"extracted": number,
+                "remaining_count": self.n - len(self._extracted)}
 
     def missing(self) -> int:
         """Gauss-sum missing number (reference api/first100.py:40-48):
         requires exactly one extraction."""
+        self._load()
         if len(self._extracted) != 1:
             raise ValidationError(
                 "missing() requires exactly one extracted number, "
@@ -88,6 +134,7 @@ class First100:
     def missing_via_set(self) -> list[int]:
         """Alternate impl (reference api/first100.py:31-38): direct set
         difference, no cardinality precondition - kept as a cross-check."""
+        self._load()
         rows = (self.spark.range(1, self.n + 1).withColumnRenamed("id", "n")
                 .join(self.remaining_df(), "n", "left_anti")
                 .collect())
@@ -95,5 +142,6 @@ class First100:
 
     def reset(self) -> dict:
         self._extracted = []
-        self._persist()
+        if self.store_path:
+            self._truncate()
         return {"status": "reset", "remaining_count": self.n}

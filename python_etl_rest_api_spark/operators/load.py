@@ -71,23 +71,51 @@ def upsert(existing: DataFrame | None, batch: DataFrame, key: str,
 
 
 def atomic_overwrite(df: DataFrame, path: str) -> None:
-    """B4: stage-then-swap parquet write - readers never observe a partial
-    table (the reference's commit/rollback analogue,
-    etl/03_transform_and_load.py:122,158,164)."""
+    """B4: versioned write + atomic symlink flip - readers never observe a
+    partial or missing table (the reference's commit/rollback analogue,
+    etl/03_transform_and_load.py:122,158,164).
+
+    Layout: data lands in ``path.versions/v{N}``; ``path`` is a symlink to
+    the current version, replaced with one ``os.rename`` (atomic on POSIX
+    when the destination is an existing symlink). A reader mid-scan of the
+    previous version keeps working because that directory survives until
+    the NEXT write prunes it (current + previous retained). Round-1 advice:
+    the earlier rename-away/rename-in dance had a window with no table at
+    ``path`` at all.
+
+    Migration: if ``path`` exists as a real directory (legacy layout), one
+    rename-swap with a documented non-atomic window converts it; all
+    subsequent writes are fully atomic.
+    """
     parent = os.path.dirname(path.rstrip("/")) or "."
     os.makedirs(parent, exist_ok=True)
-    stage = tempfile.mkdtemp(prefix="._stage_", dir=parent)
+    versions = path.rstrip("/") + ".versions"
+    os.makedirs(versions, exist_ok=True)
+    existing = sorted(int(d[1:]) for d in os.listdir(versions)
+                      if d.startswith("v") and d[1:].isdigit())
+    target = os.path.join(versions, f"v{(existing[-1] + 1) if existing else 0}")
+    df.write.mode("overwrite").parquet(target)
+
+    tmp_link = os.path.join(parent, f".link_{os.getpid()}_{os.path.basename(path)}")
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.abspath(target), tmp_link)
     try:
-        target = os.path.join(stage, "data")
-        df.write.mode("overwrite").parquet(target)
-        old = path + ".old" if os.path.exists(path) else None
-        if old:
-            os.rename(path, old)
-        os.rename(target, path)
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        if os.path.lexists(path) and not os.path.islink(path):
+            # legacy real-directory layout: brief non-atomic window, once
+            legacy = path + ".old"
+            shutil.rmtree(legacy, ignore_errors=True)
+            os.rename(path, legacy)
+            os.rename(tmp_link, path)
+            shutil.rmtree(legacy, ignore_errors=True)
+        else:
+            os.rename(tmp_link, path)  # atomic symlink replace
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        if os.path.lexists(tmp_link):
+            os.unlink(tmp_link)
+    # prune all but current + previous version
+    for n in existing[:-1]:
+        shutil.rmtree(os.path.join(versions, f"v{n}"), ignore_errors=True)
 
 
 def write_history_csv(df: DataFrame, path: str) -> None:
@@ -95,6 +123,37 @@ def write_history_csv(df: DataFrame, path: str) -> None:
     (etl/03_transform_and_load.py:101-105). Kept for byte-compat runs;
     parquet (atomic_overwrite) is the scale path."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", properties: dict | None = None,
+               batchsize: int = 10_000) -> None:
+    """Drop-in JDBC sink for users with the reference's actual MySQL
+    target (reference etl/03_transform_and_load.py:120-160 loads MySQL
+    over a TCP connector). The parquet-based insert_ignore/upsert above
+    implement the same B2/B3 semantics warehouse-side; this passthrough
+    serves deployments that need the rows in MySQL itself:
+
+        write_jdbc(companies, "jdbc:mysql://host/db", "companies",
+                   properties={"user": u, "password": p})
+
+    INSERT IGNORE / ON DUPLICATE KEY UPDATE are connector-side semantics
+    Spark's JDBC writer does not speak - apply insert_ignore()/upsert()
+    BEFORE this call so the batch is already deduplicated, and load into
+    a staging table + server-side MERGE for concurrent writers.
+
+    No JDBC driver or MySQL exists in this sandbox, so this is option
+    plumbing only (untested against a live server; unit-tested for
+    argument forwarding).
+    """
+    writer = (df.write.format("jdbc")
+              .option("url", url)
+              .option("dbtable", table)
+              .option("batchsize", str(batchsize))
+              .mode(mode))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:

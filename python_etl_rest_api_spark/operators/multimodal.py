@@ -2,10 +2,15 @@
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata
 structs. The Spark-side machinery - schema, partition sizing, Arrow-batched
-mapInPandas transforms, batch shapes - is real and tested; the actual
-codec work (image decode, resampling) is STUBBED deterministically because
-media libraries are not in this container. Swap ``_decode_stub`` for a
-Pillow/torchaudio call and nothing else changes.
+mapInPandas transforms, batch shapes - is real and tested. Codec status:
+
+- AUDIO is REAL: payloads are genuine RIFF/WAVE files (PCM16) encoded and
+  decoded with the stdlib ``wave`` + ``struct`` modules - header parse,
+  frame read, amplitude features, all from the actual byte stream
+  (synthesize_wav_media / decode_wav_features).
+- image/video decode is STUBBED deterministically (no Pillow/pyav in this
+  container). Swap ``_decode_stub`` for the real call and nothing else
+  changes.
 
 Scale notes: binary payloads dominate partition size - size
 spark.sql.files.maxPartitionBytes so a partition's decoded batch fits
@@ -15,6 +20,9 @@ partition at once.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -87,6 +95,69 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 8000
+
+WAV_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("duration_us", T.LongType(), True),
+    T.StructField("peak_amplitude", T.LongType(), True),
+    T.StructField("total_abs_amplitude", T.LongType(), True),
+])
+
+
+def synthesize_wav_media(spark, n: int = 48) -> DataFrame:
+    """Real RIFF/WAVE payloads: clip i is PCM16 mono at WAV_SAMPLE_RATE
+    with 64+i frames, sample j = (((i*31 + j*7) % 256) - 128) * 256,
+    encoded by the stdlib ``wave`` writer (44-byte header + frames).
+    Deterministic, so decoded features have a closed-form SQL oracle."""
+    rows = []
+    for i in range(n):
+        nf = 64 + i
+        samples = [(((i * 31 + j * 7) % 256) - 128) * 256 for j in range(nf)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(WAV_SAMPLE_RATE)
+            w.writeframes(struct.pack(f"<{nf}h", *samples))
+        rows.append((i, "audio", "audio/wav", buf.getvalue(),
+                     (None, None, nf * 1000 // WAV_SAMPLE_RATE)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode in Arrow batches: parse each payload's RIFF/WAVE
+    header and PCM16 frames with stdlib ``wave`` + ``struct``; emit rate /
+    channel / frame counts read from the file plus exact integer amplitude
+    features computed from the decoded samples. Everything derives from
+    the byte stream - nothing is trusted from the metadata struct."""
+    cols = [f.name for f in WAV_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                samples = struct.unpack(f"<{nf * nch}h", raw)
+                peak = max((abs(s) for s in samples), default=0)
+                total = sum(abs(s) for s in samples)
+                recs.append((mid, sr, nch, nf, nf * 1_000_000 // sr,
+                             peak, total))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, WAV_FEATURE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

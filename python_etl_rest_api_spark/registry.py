@@ -43,7 +43,8 @@ _CHEAPEST_FIRST = [
     "sim_cosine_near_dups", "i3_set_difference", "dedup_ngram_jaccard",
     "stream_sessionize", "etl_clean_scaled", "dedup_minhash_lsh",
     "h1_daily_totals", "q3_top_revenue", "q1_pricing_summary",
-    "sim_topk_ann_srp", "dedup_simhash", "multimodal_feature_extract",
+    "sim_topk_ann_srp", "dedup_simhash", "multimodal_wav_decode",
+    "multimodal_feature_extract",
 ]
 
 

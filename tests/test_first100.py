@@ -60,3 +60,30 @@ def test_state_persists_across_instances(spark, tmp_path):
     assert b.missing() == 42
     with pytest.raises(ValidationError):
         b.extract(42)                       # duplicate across workers
+
+
+def test_concurrent_duplicate_adjudication(spark, tmp_path):
+    """Two workers racing on the same number: appends are never clobbered
+    and exactly one claim wins (read-after-write, smaller token)."""
+    path = str(tmp_path / "race")
+    a = First100(spark, store_path=path)
+    b = First100(spark, store_path=path)
+    a.extract(7)
+    with pytest.raises(ValidationError):
+        b.extract(7)          # b re-reads the store and sees a's claim
+    # simulate the worst case: both wrote before either adjudicated
+    b._append(7, "99999999999999999999-0")   # later token -> loser
+    assert sorted({n for n, _ in a._read_store()}) == [7]
+    assert a.missing() == 7   # duplicate claims collapse to one extraction
+
+
+def test_writes_not_clobbered_across_workers(spark, tmp_path):
+    path = str(tmp_path / "clobber")
+    a = First100(spark, store_path=path)
+    b = First100(spark, store_path=path)
+    a.extract(10)
+    b.extract(20)             # b must not wipe a's write
+    c = First100(spark, store_path=path)
+    assert c.missing_via_set() == [10, 20]
+    a.reset()
+    assert b.missing_via_set() == []

@@ -56,3 +56,64 @@ def test_atomic_overwrite_swap(spark, tmp_path):
     assert not os.path.exists(path + ".old")
     # FK check helper sanity: overwritten table readable via plain scan
     assert spark.read.parquet(path).agg(F.max("x")).collect()[0][0] == 2
+
+
+def test_atomic_overwrite_symlink_flip(spark, tmp_path):
+    """The table path is a symlink after the first write; rewrites flip it
+    atomically and keep current + previous versions only."""
+    path = str(tmp_path / "linked")
+    for n in range(1, 5):
+        atomic_overwrite(
+            spark.createDataFrame([(i,) for i in range(n)], "x int"), path)
+        assert os.path.islink(path)
+        assert spark.read.parquet(path).count() == n
+    kept = sorted(os.listdir(path + ".versions"))
+    assert len(kept) == 2          # current + previous, older pruned
+
+
+def test_atomic_overwrite_migrates_legacy_dir(spark, tmp_path):
+    """A pre-existing real-directory table converts to the symlink layout
+    on the next write (one-time migration path)."""
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame([(1,)], "x int").write.parquet(path)
+    assert not os.path.islink(path)
+    atomic_overwrite(spark.createDataFrame([(1,), (2,)], "x int"), path)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 2
+    assert not os.path.exists(path + ".old")
+
+
+def test_write_jdbc_option_plumbing(spark, monkeypatch):
+    """No MySQL in the sandbox: assert the JDBC passthrough forwards url /
+    table / mode / batchsize / extra properties to the DataFrame writer."""
+    from python_etl_rest_api_spark.operators.load import write_jdbc
+
+    captured = {}
+
+    class FakeWriter:
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def option(self, k, v):
+            captured.setdefault("options", {})[k] = v
+            return self
+
+        def mode(self, m):
+            captured["mode"] = m
+            return self
+
+        def save(self):
+            captured["saved"] = True
+
+    df = spark.createDataFrame([(1,)], "x int")
+    monkeypatch.setattr(type(df), "write",
+                        property(lambda self: FakeWriter()))
+    write_jdbc(df, "jdbc:mysql://h/db", "companies", mode="overwrite",
+               properties={"user": "u", "password": "p"}, batchsize=500)
+    assert captured["format"] == "jdbc"
+    assert captured["mode"] == "overwrite"
+    assert captured["saved"]
+    assert captured["options"] == {
+        "url": "jdbc:mysql://h/db", "dbtable": "companies",
+        "batchsize": "500", "user": "u", "password": "p"}

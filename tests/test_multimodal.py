@@ -45,3 +45,37 @@ def test_media_stats_no_decode(media):
     stats = {r["kind"]: r["n"] for r in media_stats(media).collect()}
     assert sum(stats.values()) == 30
     assert set(stats) == {"image", "audio", "video"}
+
+
+def test_wav_decode_real_roundtrip(spark):
+    """The REAL codec path: stdlib wave encodes PCM16 payloads, the
+    mapInPandas decoder reads header + frames back from the bytes."""
+    import io
+    import wave as wavmod
+
+    from python_etl_rest_api_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE,
+        decode_wav_features,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(spark, n=12).cache()
+    # payloads are genuine WAV files the stdlib reader accepts
+    payload = media.filter("media_id = 3").collect()[0]["payload"]
+    with wavmod.open(io.BytesIO(bytes(payload))) as w:
+        assert w.getframerate() == WAV_SAMPLE_RATE
+        assert w.getnchannels() == 1
+        assert w.getnframes() == 64 + 3
+
+    rows = {r["media_id"]: r for r in decode_wav_features(media).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        nf = 64 + i
+        assert r["sample_rate"] == WAV_SAMPLE_RATE
+        assert r["n_channels"] == 1
+        assert r["n_frames"] == nf
+        assert r["duration_us"] == nf * 1_000_000 // WAV_SAMPLE_RATE
+        # closed-form amplitude check against the synthesis formula
+        samples = [(((i * 31 + j * 7) % 256) - 128) * 256 for j in range(nf)]
+        assert r["peak_amplitude"] == max(abs(s) for s in samples)
+        assert r["total_abs_amplitude"] == sum(abs(s) for s in samples)
