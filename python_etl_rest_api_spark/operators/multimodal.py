@@ -52,14 +52,20 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    """Deterministic fake media table (payload = seeded bytes) for tests.
+
+    Emitted in a handful of partitions sized to the payload volume: a
+    mapInPandas decode forks one Python worker per partition, so letting
+    a KB-scale table default to defaultParallelism (32 here) pays ~32
+    worker spawns for 1-2 rows each. Real media tables should target
+    ~64-128 MB of payload per partition for the same reason."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         payload = bytes([(i * 31 + j * 7) % 256 for j in range(128 + i)])
         rows.append((i, kind, f"application/x-fake-{kind}", payload,
                      (64, 48, None) if kind == "image" else (None, None, 1000 + i)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def _decode_stub(payload: bytes) -> list[float]:
@@ -127,7 +133,8 @@ def synthesize_wav_media(spark, n: int = 48) -> DataFrame:
             w.writeframes(struct.pack(f"<{nf}h", *samples))
         rows.append((i, "audio", "audio/wav", buf.getvalue(),
                      (None, None, nf * 1000 // WAV_SAMPLE_RATE)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # coalesce: see synthesize_media - one Python worker per partition.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def decode_wav_features(media: DataFrame) -> DataFrame:
