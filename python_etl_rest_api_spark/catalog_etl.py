@@ -249,8 +249,11 @@ _SCALED_RAW_CTE = """
 
 def _scaled_raw_df(spark, sf_dir):
     from .catalog import _t
+    from .session import widen_scan
     key = F.col("o_orderkey")
-    o = _t(spark, sf_dir, "orders")
+    # the dirty-gen + 4-format timestamp parse downstream is CPU-heavy
+    # narrow work; a single-split local scan would run it serially
+    o = widen_scan(_t(spark, sf_dir, "orders"))
     return o.select(
         key.alias("rid"),
         F.when(key % 211 == 0, None)

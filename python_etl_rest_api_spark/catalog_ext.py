@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
 from .operators import dedup, similarity, text
-from .session import tune
+from .session import tune, widen_scan
 
 # ---------------------------------------------------------------------
 # Dedup family
@@ -285,6 +285,9 @@ def sim_topk_ann_srp(spark, sf_dir):
     candidate join, re-rank - is reproduced bit-exactly by the SQL oracle
     (value-hash check, not rows-only)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # NOT widened: the Arrow-batched projection UDF is already fast on a
+    # single split at these sizes, and repartitioning a tiny corpus to
+    # all cores pays one Python worker per partition (measured 2x slower)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     return similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6) \
@@ -362,6 +365,9 @@ def sim_topk_ann_ivf(spark, sf_dir):
     (refine_steps>=1, order-dependent float means) is the production
     default, recall-checked in tests."""
     emb = _t(spark, sf_dir, "embeddings")
+    # NOT widened: the Arrow-batched projection UDF is already fast on a
+    # single split at these sizes, and repartitioning a tiny corpus to
+    # all cores pays one Python worker per partition (measured 2x slower)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     return similarity.topk_ann_ivf(emb, queries, dim=64, k=10,
@@ -643,7 +649,9 @@ def multimodal_wav_decode(spark, sf_dir):
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: the scan+aggregate throughput
     headliner. All sums decimal-exact; filter pushes to the scan."""
-    li = _t(spark, sf_dir, "lineitem")
+    # decimal partial aggregation is the heavy pre-shuffle stage; widen a
+    # single-split local scan so it runs on all cores (no-op at scale)
+    li = widen_scan(_t(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
@@ -714,9 +722,17 @@ def _skewed_orders(spark, sf_dir):
 @query("skew_plain_agg", _SKEW_AGG_SQL)
 def skew_plain_agg(spark, sf_dir):
     """The unsalted baseline of the skew pair: straight groupBy on a key
-    where one value owns ~99% of rows. At 100 TB the hot key's entire
-    volume flows through ONE reducer; benchmarked against skew_salted_agg
-    on identical input (identical output, different physical plan)."""
+    where one value owns ~99% of rows.
+
+    Measured result (sf0.1, local[32]): plain WINS for this aggregate --
+    SUM/COUNT are algebraic, so map-side partial aggregation collapses
+    the hot key to one partial row per mapper and the hot reducer
+    receives <= n_mappers rows, not 99% of the data. Salting buys
+    nothing here and pays an extra hash on the salt column. It earns its
+    keep where partials cannot reduce: holistic aggregates
+    (collect_list, exact media over raw rows), high-cardinality
+    per-key state, and skewed JOINs on engines/paths without AQE skew
+    handling (operators/skew.py::salted_join)."""
     from .functions.cleaning import money
     return (_skewed_orders(spark, sf_dir)
             .groupBy("hot_key")
@@ -729,8 +745,12 @@ def skew_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on the ~99%-hot key: partial agg on
     (key, salt) spreads the hot key over 16 reducers, final agg combines -
     decimal sums make the salted plan bit-identical to the plain GROUP BY
-    (same oracle as skew_plain_agg). tests/test_skew.py asserts the spread
-    property (max per-reducer group share drops ~buckets-fold)."""
+    (same oracle as skew_plain_agg). tests/test_skew_stateful.py asserts
+    the spread property (max per-reducer group share drops ~buckets-fold).
+
+    Kept as the measurable A/B twin of skew_plain_agg: for algebraic
+    sums the plain plan wins (map-side combine already kills the skew;
+    see skew_plain_agg docstring for where salting IS the right tool)."""
     from .operators.skew import salted_sum
     from .functions.cleaning import money
     out = salted_sum(_skewed_orders(spark, sf_dir).select(

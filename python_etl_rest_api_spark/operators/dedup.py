@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import widen_scan
 from .text import tokens
 
 # Frames cached by the most recent near-dup invocation. Each new call
@@ -149,7 +150,7 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     the sketch pipeline per side (previous invocation's cache released).
     """
     _release_prior_cache()
-    shingled = _cache(shingled_docs(df, id_col, text_col, n))
+    shingled = _cache(shingled_docs(widen_scan(df), id_col, text_col, n))
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingled, id_col, num_hashes)
     band_structs = F.array(*[
@@ -217,12 +218,38 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     per-bit sums are a single aggregate pass (no per-bit jobs).
     """
     nbits = 60 if portable else 64
-    toks = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    # tokenize+hash is the heavy pre-shuffle stage; widen single-split
+    # local scans (no-op when the scan is already parallel)
+    toks = widen_scan(df).select(id_col,
+                                 F.explode(tokens(text_col)).alias("tok"))
     if portable:
         h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     else:
         h = F.xxhash64("tok")
     staged = toks.select(id_col, h.alias("_h"))
+    if portable:
+        # Oracle/small-job variant: explode over bit POSITIONS (3 tiny
+        # expressions) instead of a 60-accumulator aggregate. The wide
+        # aggregate's generated code takes seconds to janino-compile,
+        # which dominates wall time on verification-sized inputs; the
+        # 60x pre-aggregate row fan-out it buys is irrelevant there.
+        # (_h >= 0 for the 60-bit hash, so >> has no sign-extension.)
+        per = (staged
+               .select(id_col,
+                       F.explode(F.sequence(F.lit(0), F.lit(nbits - 1)))
+                        .alias("bit"),
+                       "_h")
+               .select(id_col, "bit", F.expr("(_h >> bit) & 1").alias("v"))
+               .groupBy(id_col, "bit")
+               .agg(F.sum("v").alias("set_cnt"), F.count("*").alias("n")))
+        bitval = F.when(F.col("set_cnt") * 2 > F.col("n"),
+                        F.expr("shiftleft(1L, bit)")) \
+                  .otherwise(F.lit(0).cast("long"))
+        # bit positions are distinct per doc, so SUM == bitwise OR
+        return per.groupBy(id_col).agg(F.sum(bitval).alias("simhash"))
+    # Scale path: one hash-map entry per doc with 64 long accumulators -
+    # a single partial-agg pass, no 64x row fan-out before the shuffle.
+    # Compile cost is a fixed few seconds, irrelevant in long-running jobs.
     one = F.lit(1).cast("long")
     bit_sums = staged.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("_h").bitwiseAND(F.shiftleft(one, b)) != 0, 1)

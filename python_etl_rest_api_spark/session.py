@@ -39,6 +39,26 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def widen_scan(df, min_factor: int = 4):
+    """Rebalance a freshly-scanned frame across all cores when the scan
+    itself yields too few splits to use them.
+
+    Small-file guard: a sub-128 MB single-row-group parquet file scans as
+    ONE task, so CPU-heavy narrow transforms downstream (multi-format
+    timestamp parsing, hashing, decimal arithmetic) run serially no
+    matter how many cores exist. A round-robin repartition of a few MB
+    is ~free and unlocks the full core count. At production scale the
+    scan has thousands of splits, the gate is false, and this is a
+    no-op -- never put an unconditional repartition after a scan: on a
+    100 TB input that IS the bottleneck.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= cores:
+        return df.repartition(cores)
+    return df
+
+
 def get_spark(app_name: str = "python_etl_rest_api_spark",
               cpus: str | None = None) -> SparkSession:
     """Build (or fetch) the engine session.
