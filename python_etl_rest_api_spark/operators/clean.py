@@ -95,7 +95,14 @@ def split_critical(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     coercion run once. Clean drops the audit columns; critical keeps
     ``_critical_reason``.
     """
-    flagged = flag_critical(df)
+    from ..session import no_pushdown_barrier
+    # Barrier between the flag projection and the tier filters: without
+    # it Catalyst substitutes the flag's defining expression (the full
+    # lenient-cast/parse chain) into each pushed-down filter condition,
+    # evaluating the parses twice per row - and below a widening
+    # exchange, serially on the raw scan. The split keeps only ~3% of
+    # rows out of `clean`, so filter-before-shuffle saves nothing here.
+    flagged = no_pushdown_barrier(flag_critical(df))
     clean = flagged.filter(~F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG, CRITICAL_REASON)
     critical = flagged.filter(F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG)
     return clean, critical

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 # Runtime confs that are safe to (re)apply to an externally provided session
 # (e.g. the verification driver's). All of these are runtime-mutable.
@@ -39,6 +40,34 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def no_pushdown_barrier(df):
+    """Pin downstream filters ABOVE this point in the plan.
+
+    An always-true non-deterministic filter: Catalyst cannot combine a
+    filter with, or push one below, a non-deterministic predicate, so
+    filters added later stay above it and reference the columns computed
+    below as columns instead of having their defining expressions
+    substituted into the pushed-down condition.
+
+    The predicate is ``monotonically_increasing_id() >= -1`` and not a
+    ``rand()`` comparison: Spark 4 constant-folds every always-true
+    rand() bound (rand>=-1, rand>=0.0, rand().isNotNull all optimize to
+    nothing, verified), while the mid() comparison survives optimization
+    and costs no RNG per row.
+
+    Use it where pushdown is a pessimization: when a predicate over a
+    DERIVED column is pushed below the projection that computes it, the
+    whole derivation chain (multi-format timestamp parses, lenient casts)
+    is re-inlined into the filter condition and evaluated a second time -
+    and if it lands below a widening exchange, serially on the raw scan's
+    splits. Blocking the push keeps the expensive expression computed
+    once per row. Do NOT use where the predicate is a cheap column
+    comparison that parquet row-group stats could prune - there the push
+    is the win.
+    """
+    return df.filter(F.monotonically_increasing_id() >= F.lit(-1))
+
+
 def widen_scan(df, min_factor: int = 4):
     """Rebalance a freshly-scanned frame across all cores when the scan
     itself yields too few splits to use them.
@@ -55,7 +84,12 @@ def widen_scan(df, min_factor: int = 4):
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
     if df.rdd.getNumPartitions() * min_factor <= cores:
-        return df.repartition(cores)
+        # barrier: without it Catalyst pushes downstream filters (with
+        # their full derivation chains substituted in) below this
+        # exchange onto the un-widened scan - the exact serial hot spot
+        # the repartition exists to avoid (measured 5.3s -> 3.4s on
+        # etl_clean_scaled at sf0.1).
+        return no_pushdown_barrier(df.repartition(cores))
     return df
 
 
