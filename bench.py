@@ -82,38 +82,55 @@ def main() -> None:
 
     # Warm-up pass (untimed): absorbs cold-start (codegen, Python worker
     # spawn, shuffle dirs) and records row counts for the status lines.
+    # Fault-isolated per query (round-2 lesson: one broken entry must not
+    # zero the whole artifact): a failing entry records an err string and
+    # the survivors still get timed and reported.
     rows: dict[str, int] = {}
+    errs: dict[str, str] = {}
     for name in HEADLINE:
-        rows[name] = registry.QUERIES[name](spark, SF_DIR).count()
+        try:
+            rows[name] = registry.QUERIES[name](spark, SF_DIR).count()
+        except Exception as exc:  # noqa: BLE001 - isolate, record, go on
+            errs[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# WARMUP FAIL {name}: {errs[name]}", file=sys.stderr)
 
     # Timed reps use a noop DataSource-V2 write: count() lets Catalyst
     # prune computed columns that feed no filter/agg, under-measuring
     # narrow map-heavy queries; noop materializes every column JVM-side.
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    live = [n for n in HEADLINE if n not in errs]
+    samples: dict[str, list[float]] = {name: [] for name in live}
     for rep in range(REPS):
-        for name in HEADLINE:
+        for name in live:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errs[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# REP FAIL {name}: {errs[name]}", file=sys.stderr)
+                continue
             dt = time.perf_counter() - t0
             samples[name].append(dt)
             print(f"# rep{rep} {name}: {rows[name]} rows in {dt:.3f}s",
                   file=sys.stderr)
 
     timings = {name: round(statistics.median(ts), 3)
-               for name, ts in samples.items()}
+               for name, ts in samples.items() if ts}
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errs:
+        out["errors"] = errs
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

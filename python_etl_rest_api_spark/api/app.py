@@ -37,6 +37,23 @@ from ..operators.clean import build_dim_fact, clean_pipeline
 from ..operators.first100 import First100, ValidationError
 from ..sources.csv_source import read_charges_csv
 
+MAX_PAGE = 10_000
+
+
+def paginate(view, limit: int, offset: int):
+    """Bounded, deterministic page of an unbounded view.
+
+    Clamps limit to [1, MAX_PAGE] and offset to >= 0, sorts on the view's
+    leading two columns for stable pages, and fetches only the first
+    offset+limit rows (TakeOrderedAndProject JVM-side) -- never a
+    full-view collect, so a 100 TB-scale warehouse can't OOM the driver.
+    Returns (rows, limit, offset)."""
+    limit = max(1, min(limit, MAX_PAGE))
+    offset = max(0, offset)
+    rows = (view.orderBy(*view.columns[:2])
+            .limit(offset + limit).collect()[offset:])
+    return rows, limit, offset
+
 
 def build_app(spark=None, state_path: str | None = None,
               data_root: str | None = None):
@@ -119,9 +136,15 @@ def build_app(spark=None, state_path: str | None = None,
 
     @app.get("/view/daily_company_totals")
     def view_daily(warehouse_dir: str, date: str | None = None,
-                   start: str | None = None, end: str | None = None):
+                   start: str | None = None, end: str | None = None,
+                   limit: int = 1000, offset: int = 0):
         """The flagship view with the reference's two filter patterns
-        (readme.md:156-162): date equality and BETWEEN."""
+        (readme.md:156-162): date equality and BETWEEN.
+
+        Responses are paginated (``limit``/``offset``, default page 1000,
+        hard cap ``MAX_PAGE``) via :func:`paginate`: the view is unbounded
+        in the date-range case and an uncapped collect of a 100 TB-scale
+        warehouse would OOM the driver."""
         warehouse_dir = _confined(warehouse_dir)
         charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
         companies = spark.read.parquet(os.path.join(warehouse_dir, "companies"))
@@ -130,8 +153,9 @@ def build_app(spark=None, state_path: str | None = None,
             view = view.filter(F.col("transaction_date") == F.lit(date).cast("date"))
         elif start and end:
             view = view.filter(F.col("transaction_date").between(start, end))
-        rows = view.collect()
-        return {"rows": [r.asDict() for r in rows]}
+        page, limit, offset = paginate(view, limit, offset)
+        return {"rows": [r.asDict() for r in page],
+                "limit": limit, "offset": offset}
 
     return app
 

@@ -41,15 +41,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default. Read nanos as long and convert with exact
-    integer division (long->double would lose sub-us precision at 2024
-    epoch magnitudes); DuckDB's ns->us handling truncates identically."""
+    """Load events.parquet with a timestamp-typed ``ts`` whatever the file
+    encodes. Dispatch on the LOADED dtype: TIMESTAMP(MICROS) (the current
+    testdata) reads natively as a timestamp type and passes through;
+    TIMESTAMP(NANOS) sources load as long (``nanosAsLong``) and convert
+    with exact integer division -- long->double would lose sub-us
+    precision at 2024 epoch magnitudes, and DuckDB's ns->us handling
+    truncates identically."""
+    from pyspark.sql import types as T
     tune(spark)
+    # compat: lets a TIMESTAMP(NANOS) source load (as long) instead of
+    # failing the scan; a no-op for the micros encoding the testdata uses.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        # normalize to TIMESTAMP (session tz is pinned UTC in tune(), so
+        # the instant is unchanged); unix_micros()/window() require it.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 # =====================================================================

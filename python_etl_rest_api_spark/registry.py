@@ -1,20 +1,52 @@
 """Aggregated query registry: importing this module registers every
 catalog entry (core reference surface, ETL pipeline, extensions).
 
-QUERIES/ORACLES are re-emitted in CHEAPEST-FIRST order (measured sf0.01
-wall time, Spark + DuckDB oracle side). The verification driver walks the
-dict in insertion order under a runtime budget; round 1 recorded rows for
-exactly the first 50 registered entries, so ordering by cost maximizes
-how many entries receive a driver verdict whatever the budget is. Entries
-not in the pinned list (future additions) keep registration order at the
-end until re-measured.
+QUERIES/ORACLES are re-emitted in VERIFICATION-DEBT-FIRST order. The
+driver walks the dict in insertion order under a ~50-entry budget, so a
+fixed cheapest-first pin (round 2) permanently exiled the expensive tail
+from verification. Round-3 order puts entries with the least driver
+signal first; within each debt group the round-2 measured cheapest-first
+relative order is preserved so a time-based budget still stretches:
+
+  1-19   never driver-verified in any round (multimodal x3, ANN x2,
+         q1/q3, sessionize, events_json, asof/time-band, approx_distinct,
+         text_language_id/top_terms, w4, dates_derived, centroid,
+         set_intersect, sim_cosine);
+  20-21  red in CORRECTNESS_r02 (events dtype crash, fixed this round);
+  22-23  no_oracle rows in r1, reworked since, never re-judged
+         (minhash/simhash);
+  24-40  green in r1 but no r2 row (cheapest-first pushed past 50);
+  41-88  green in r2, cheapest-first (refreshed as budget allows).
+
+Entries not in the pinned list (future additions) keep registration
+order at the end until classified.
 """
 
 from . import catalog, catalog_agg, catalog_etl, catalog_ext, catalog_win  # noqa: F401
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
-_CHEAPEST_FIRST = [
+_DEBT_FIRST = [
+    # -- never driver-verified (r1: absent, r2: absent) --
+    "dates_derived", "embed_label_centroid", "join_asof_attribution",
+    "q3_top_revenue", "set_intersect_repeat", "text_language_id",
+    "text_top_terms", "w4_above_customer_avg", "stream_sessionize",
+    "events_json_extract", "q1_pricing_summary", "agg_approx_distinct",
+    "join_time_band", "sim_cosine_near_dups", "sim_topk_ann_ivf",
+    "sim_topk_ann_srp", "multimodal_wav_decode", "multimodal_feature_extract",
+    "multimodal_media_stats",
+    # -- red in r2 (events ts dtype), fixed in r3 --
+    "stream_sliding_panes", "stream_tumbling_hourly",
+    # -- r1 no_oracle, reworked (e544d61, cf8e8), never re-judged --
+    "dedup_minhash_lsh", "dedup_simhash",
+    # -- green in r1, no r2 row --
+    "d5_view_date_eq", "e3_reason_codes", "h3_count_per_group",
+    "stats_exact_moments", "agg_conditional_filter", "agg_cube_grouping",
+    "d6_view_date_between", "g1_g2_first_valid_fill", "i2_fk_violations",
+    "set_union_distinct", "sim_topk_bruteforce", "etl_clean_pipeline",
+    "etl_dim_first_seen", "etl_critical_quarantine", "dedup_ngram_jaccard",
+    "etl_critical_scaled", "etl_clean_scaled",
+    # -- green in r2, cheapest-first --
     "c1_rename_project", "d4_negative_amounts", "d4b_threshold_filter",
     "e1_normalize_strings", "f6_gauss_missing", "text_fingerprint",
     "text_token_count", "d1_validity_split_counts", "d3_dedup_pairs",
@@ -30,26 +62,12 @@ _CHEAPEST_FIRST = [
     "etl_tier_counts", "f1_lenient_numeric_cast", "f2_multiformat_dates",
     "h1_daily_totals", "h6_sum_column", "i3_set_difference",
     "join_outer_coverage", "pivot_status_priority", "set_except_lapsed",
-    "skew_salted_agg", "stream_sliding_panes", "stream_tumbling_hourly",
-    "w6_rank_pack", "agg_argmax_best_order", "d5_view_date_eq",
-    "dates_derived", "e3_reason_codes", "embed_label_centroid",
-    "h3_count_per_group", "join_asof_attribution", "q3_top_revenue",
-    "set_intersect_repeat", "stats_exact_moments", "text_language_id",
-    "text_top_terms", "w4_above_customer_avg", "agg_conditional_filter",
-    "agg_cube_grouping", "d6_view_date_between", "g1_g2_first_valid_fill",
-    "i2_fk_violations", "set_union_distinct", "sim_topk_bruteforce",
-    "stream_sessionize", "events_json_extract", "q1_pricing_summary",
-    "agg_approx_distinct", "etl_clean_pipeline", "etl_dim_first_seen",
-    "join_time_band", "etl_critical_quarantine", "sim_cosine_near_dups",
-    "dedup_ngram_jaccard", "sim_topk_ann_ivf", "sim_topk_ann_srp",
-    "etl_critical_scaled", "multimodal_wav_decode", "dedup_minhash_lsh",
-    "dedup_simhash", "multimodal_feature_extract", "multimodal_media_stats",
-    "etl_clean_scaled",
+    "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
 ]
 
 
 def _ordered(src: dict) -> dict:
-    out = {n: src[n] for n in _CHEAPEST_FIRST if n in src}
+    out = {n: src[n] for n in _DEBT_FIRST if n in src}
     out.update({n: v for n, v in src.items() if n not in out})
     return out
 

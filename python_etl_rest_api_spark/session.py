@@ -24,9 +24,6 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # events.parquet carries TIMESTAMP(NANOS); read as long session-wide so
-    # plans built before/after _events() agree (micros columns unaffected).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -78,13 +78,16 @@ def run_stream_on_batch(spark: SparkSession, events_path: str,
     """Execute a streaming transform over a bounded parquet source using
     availableNow (test/backfill harness: stream semantics, batch data).
 
-    Handles TIMESTAMP(NANOS) sources (the driver's events table): nanos
-    are read as long and converted with exact integer division, matching
-    the batch-side _events loader."""
+    Dispatches on the loaded ``ts`` dtype like the batch-side _events
+    loader: TIMESTAMP(MICROS) sources pass through; TIMESTAMP(NANOS)
+    sources load as long (nanosAsLong compat conf) and convert with exact
+    integer division."""
     import os
     import tempfile
 
     from pyspark.sql import types as T
+    # compat: lets a TIMESTAMP(NANOS) source load (as long) instead of
+    # failing the scan; a no-op for the micros encoding the testdata uses.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if os.path.isfile(events_path):
         # the file-stream source requires a directory; shim single files
@@ -98,6 +101,10 @@ def run_stream_on_batch(spark: SparkSession, events_path: str,
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # normalize to TIMESTAMP (session tz pinned UTC); watermarks and
+        # window() require it, matching the batch-side _events loader.
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     writer = transform(stream).writeStream \
         .option("checkpointLocation", out_path + "_chk") \
         .outputMode(output_mode) \

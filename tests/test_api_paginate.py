@@ -1,0 +1,46 @@
+"""API response bounding: /view/daily_company_totals pages via
+api.app.paginate, so an unbounded view can never become one giant JSON
+response (round-2 advice). fastapi isn't in the container, so the helper
+is tested directly -- the endpoint is a thin wrapper over it."""
+
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.api.app import MAX_PAGE, paginate
+
+
+def _view(spark, n=50):
+    return spark.range(n).select(
+        F.concat(F.lit("co_"), F.format_string("%03d", "id")).alias("company"),
+        F.lit("2024-01-01").cast("date").alias("transaction_date"),
+        (F.col("id") * 10.0).alias("total_amount"))
+
+
+def test_page_is_capped(spark):
+    rows, limit, offset = paginate(_view(spark), limit=10, offset=0)
+    assert len(rows) == 10 and limit == 10 and offset == 0
+
+
+def test_limit_clamped_to_max_page(spark):
+    _, limit, _ = paginate(_view(spark), limit=10**9, offset=0)
+    assert limit == MAX_PAGE
+
+
+def test_bad_inputs_clamped(spark):
+    rows, limit, offset = paginate(_view(spark), limit=-5, offset=-3)
+    assert limit == 1 and offset == 0 and len(rows) == 1
+
+
+def test_pages_are_stable_and_disjoint(spark):
+    v = _view(spark)
+    p1, _, _ = paginate(v, limit=20, offset=0)
+    p2, _, _ = paginate(v, limit=20, offset=20)
+    names1 = [r.company for r in p1]
+    names2 = [r.company for r in p2]
+    assert names1 == sorted(names1)
+    assert not set(names1) & set(names2)
+    assert names1[0] == "co_000" and names2[0] == "co_020"
+
+
+def test_offset_past_end_is_empty(spark):
+    rows, _, _ = paginate(_view(spark, n=5), limit=10, offset=100)
+    assert rows == []
