@@ -36,7 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Entries absent here (minhash/
-    simhash banding, SRP ANN) are non-SQL-expressible pipelines checked
-    rows-only by the driver and value-checked in tests/."""
+    """DuckDB-equivalent SQL per query. Every queries() entry has one
+    (88/88 as of round 3) - including minhash/simhash (portable md5
+    variants) and the ANN paths (pinned-seed / sequential-fold value
+    oracles) - so the driver value-hashes the full surface."""
     return dict(registry.ORACLES)

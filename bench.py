@@ -4,16 +4,23 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-value = sum of per-query MEDIAN wall seconds (lower is better).
+value = sum of per-query MIN wall seconds over REPS reps (lower is better).
 
 Measurement discipline (round-1 lesson: single cold timings on this box
-vary 8s-vs-30s across sessions):
+vary 8s-vs-30s across sessions; round-3 measurement: IDENTICAL warm reps
+of the same plan in the same session vary 2.3s-vs-8.0s -- the box is
+multi-tenant and interference is one-sided noise):
 - orphaned Spark JVMs from killed runs keep all cores busy and poison
   timings; they are re-parented to init (ppid 1), so kill exactly those
   before starting -- a live harness session (real parent) is never touched.
 - every query runs REPS times, rounds interleaved (q1..qn, q1..qn, ...) so
   a transient system stall hits one round of many queries rather than all
-  reps of one query; the median per query is reported.
+  reps of one query.
+- the MIN per query is reported: external interference only ever ADDS
+  time, so the minimum is the consistent estimator of the engine's
+  achievable cost; medians of 3-4 reps still carried 3-25s of neighbor
+  noise per query. Per-query min+max both land in the JSON so the spread
+  stays visible.
 """
 
 from __future__ import annotations
@@ -21,14 +28,13 @@ from __future__ import annotations
 import json
 import os
 import signal
-import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
 # Headliners: the flagship view, scan-heavy agg, join-heavy top-k, the
 # full ETL clean pipeline, dedup + similarity extension paths, and the
@@ -114,7 +120,9 @@ def main() -> None:
             print(f"# rep{rep} {name}: {rows[name]} rows in {dt:.3f}s",
                   file=sys.stderr)
 
-    timings = {name: round(statistics.median(ts), 3)
+    timings = {name: round(min(ts), 3)
+               for name, ts in samples.items() if ts}
+    spreads = {name: round(max(ts), 3)
                for name, ts in samples.items() if ts}
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -126,6 +134,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_max": spreads,
+        "reps": REPS,
         "sf": sf_val,
     }
     if errs:

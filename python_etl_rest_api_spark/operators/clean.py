@@ -76,13 +76,26 @@ def flag_critical(df: DataFrame) -> DataFrame:
     (etl/03_transform_and_load.py:56-83); here the disjunction and the
     reason string are computed in the same projection so the split needs a
     single scan (cache the result before filtering both ways).
+
+    The flag is ANDed with an always-true non-deterministic guard
+    (``monotonically_increasing_id() >= -1``, value-preserving): a filter
+    over a column whose defining projection contains a non-deterministic
+    expression cannot be pushed through it, so the tier filters downstream
+    reference the flag AS A COLUMN instead of having the full lenient-
+    cast/3-format-parse chain substituted into their conditions and
+    evaluated a second time per row. A bare barrier FILTER does not give
+    this guarantee - it references no columns, so Catalyst legally sinks
+    it below every deterministic projection and the substitution happens
+    anyway (observed on etl_clean_scaled: the whole derivation chain
+    duplicated into the pre-projection filter).
     """
     rules = _critical_rules(df)
     any_critical = rules[0][0]
     for cond, _ in rules[1:]:
         any_critical = any_critical | cond
+    pin = F.monotonically_increasing_id() >= F.lit(-1)
     return df.withColumns({
-        CRITICAL_FLAG: any_critical,
+        CRITICAL_FLAG: any_critical & pin,
         CRITICAL_REASON: reason_codes(rules),
     })
 
@@ -95,14 +108,11 @@ def split_critical(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     coercion run once. Clean drops the audit columns; critical keeps
     ``_critical_reason``.
     """
-    from ..session import no_pushdown_barrier
-    # Barrier between the flag projection and the tier filters: without
-    # it Catalyst substitutes the flag's defining expression (the full
-    # lenient-cast/parse chain) into each pushed-down filter condition,
-    # evaluating the parses twice per row - and below a widening
-    # exchange, serially on the raw scan. The split keeps only ~3% of
-    # rows out of `clean`, so filter-before-shuffle saves nothing here.
-    flagged = no_pushdown_barrier(flag_critical(df))
+    # flag_critical's non-deterministic pin keeps the tier filters above
+    # the flag projection (see its docstring), so the lenient-cast/parse
+    # chain runs once per row. The split keeps ~97% of rows in `clean`,
+    # so filter-before-shuffle would save nothing here anyway.
+    flagged = flag_critical(df)
     clean = flagged.filter(~F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG, CRITICAL_REASON)
     critical = flagged.filter(F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG)
     return clean, critical

@@ -38,13 +38,24 @@ def tune(spark: SparkSession) -> SparkSession:
 
 
 def no_pushdown_barrier(df):
-    """Pin downstream filters ABOVE this point in the plan.
+    """Pin downstream filters ABOVE the node below this point.
 
-    An always-true non-deterministic filter: Catalyst cannot combine a
-    filter with, or push one below, a non-deterministic predicate, so
-    filters added later stay above it and reference the columns computed
-    below as columns instead of having their defining expressions
-    substituted into the pushed-down condition.
+    An always-true non-deterministic filter: Catalyst cannot push a
+    predicate below a non-deterministic filter, so filters added later
+    stay above whatever sits under the barrier (e.g. widen_scan's
+    repartition exchange - that is this helper's one job).
+
+    What it does NOT do (measured, Spark 4.1): stop expression
+    SUBSTITUTION. The barrier references no columns, so Catalyst legally
+    sinks the barrier itself below every deterministic projection; a
+    downstream filter over a derived column is then still pushed through
+    the projections - full derivation chain re-inlined into its
+    condition - until it meets the sunk barrier. To pin a filter above
+    the projection that computes its column, make the COLUMN's defining
+    expression non-deterministic instead (AND an always-true
+    ``monotonically_increasing_id() >= -1`` guard into it - see
+    operators/clean.py::flag_critical): a filter cannot be pushed
+    through a projection containing a non-deterministic expression.
 
     The predicate is ``monotonically_increasing_id() >= -1`` and not a
     ``rand()`` comparison: Spark 4 constant-folds every always-true
@@ -52,15 +63,8 @@ def no_pushdown_barrier(df):
     nothing, verified), while the mid() comparison survives optimization
     and costs no RNG per row.
 
-    Use it where pushdown is a pessimization: when a predicate over a
-    DERIVED column is pushed below the projection that computes it, the
-    whole derivation chain (multi-format timestamp parses, lenient casts)
-    is re-inlined into the filter condition and evaluated a second time -
-    and if it lands below a widening exchange, serially on the raw scan's
-    splits. Blocking the push keeps the expensive expression computed
-    once per row. Do NOT use where the predicate is a cheap column
-    comparison that parquet row-group stats could prune - there the push
-    is the win.
+    Do NOT use where the blocked predicate is a cheap column comparison
+    that parquet row-group stats could prune - there the push is the win.
     """
     return df.filter(F.monotonically_increasing_id() >= F.lit(-1))
 

@@ -54,3 +54,26 @@ def test_scan_agg_stays_in_codegen(spark):
     from python_etl_rest_api_spark.plans.explain import codegen_stage_count
     df = q1_pricing_summary(spark, SF)
     assert codegen_stage_count(df) >= 1
+
+
+def test_clean_pipeline_parses_once(spark):
+    """The tier filters must reference the critical flag AS A COLUMN, not
+    re-inline its defining lenient-cast/3-format-parse chain (the
+    non-deterministic pin in flag_critical). A regression here silently
+    doubles the narrow CPU cost of the whole ETL pipeline - the dominant
+    term at 100 TB. Checked on BOTH tiers of the scaled instance."""
+    from python_etl_rest_api_spark.catalog_etl import (
+        etl_clean_scaled,
+        etl_critical_scaled,
+    )
+    from python_etl_rest_api_spark.plans.explain import physical_plan
+    for fn in (etl_clean_scaled, etl_critical_scaled):
+        plan = physical_plan(fn(spark, SF))
+        blocks = [b for b in plan.split("\n\n")
+                  if b.startswith("(") and "Filter" in b.splitlines()[0]]
+        assert blocks, "expected at least one Filter node"
+        for b in blocks:
+            assert "gettimestamp" not in b, (
+                "timestamp-parse chain re-inlined into a filter:\n" + b[:500])
+            assert "md5" not in b, (
+                "derivation chain re-inlined into a filter:\n" + b[:500])
