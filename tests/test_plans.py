@@ -56,6 +56,23 @@ def test_scan_agg_stays_in_codegen(spark):
     assert codegen_stage_count(df) >= 1
 
 
+def test_extension_paths_never_go_cartesian(spark):
+    """The scale-path extension operators must stay banded/bucketed
+    equi-joins: a regression to CartesianProduct / BroadcastNestedLoopJoin
+    is quadratic at 100 TB. (sim_cosine_near_dups and
+    text_levenshtein_pairs are intentionally-bounded brute-force BASELINES
+    with explicit max_id/blocking guards - they are excluded here.)"""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    scale_paths = ["dedup_minhash_lsh", "dedup_simhash", "sim_topk_ann_srp",
+                   "sim_topk_ann_ivf", "join_asof_attribution",
+                   "join_time_band", "dedup_exact", "stream_sessionize"]
+    for name in scale_paths:
+        plan = simple_plan(registry.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} uses BNLJ"
+
+
 def test_clean_pipeline_parses_once(spark):
     """The tier filters must reference the critical flag AS A COLUMN, not
     re-inline its defining lenient-cast/3-format-parse chain (the
