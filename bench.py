@@ -46,6 +46,7 @@ HEADLINE = [
     "etl_clean_scaled",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "pipeline_docs_curate",
     "sim_topk_bruteforce",
     "sim_topk_ann_srp",
     "stream_tumbling_hourly",

@@ -162,6 +162,80 @@ def dedup_simhash(spark, sf_dir):
                                    portable=True)
 
 
+@query("pipeline_docs_curate", """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, text, toks,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que'))) AS h_fr
+      FROM t),
+    langed AS (
+      SELECT *, CASE WHEN greatest(h_de,h_en,h_es,h_fr) > 0 THEN
+          CASE greatest(h_de,h_en,h_es,h_fr) WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+               WHEN h_en THEN 'en' WHEN h_de THEN 'de' END
+        ELSE 'und' END AS predicted_lang
+      FROM hits),
+    quality AS (
+      SELECT * FROM langed
+      WHERE predicted_lang = 'en' AND n_tokens >= 20 AND distinct_ratio >= 0.35),
+    uniq AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [] END AS shingles
+      FROM uniq),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key FROM sig,
+      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
+                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+      WHERE (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+    SELECT u.doc_id, u.predicted_lang, u.n_tokens,
+           CAST(length(u.text) // 4 AS BIGINT) AS n_tokens_bpe_est
+    FROM uniq u ANTI JOIN dropped d ON u.doc_id = d.doc_id
+""")
+def pipeline_docs_curate(spark, sf_dir):
+    """THE end-to-end LLM training-data curation funnel as ONE declarative
+    plan: language-ID (stopword vote) -> quality filters (token count +
+    lexical diversity) -> exact dedup (lowest id per identical text) ->
+    MinHash-LSH near-dup removal (verified Jaccard >= 0.5, higher id of
+    each pair dropped) -> token accounting for the survivors. Composes
+    operators/text + operators/dedup via operators/curate; the oracle
+    reproduces every stage in SQL (all hashes md5), so the driver
+    value-hashes the final surviving set. At sf0.01: 500 docs -> 315
+    survivors (lang/quality and near-dup stages all bite)."""
+    from .operators.curate import curate_documents
+    tune(spark)
+    return curate_documents(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------

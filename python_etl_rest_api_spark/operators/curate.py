@@ -1,0 +1,82 @@
+"""End-to-end training-data curation pipeline over a document corpus.
+
+Composes the extension operators into the funnel every large-scale LLM
+data pipeline runs: language-ID -> quality filters -> exact dedup ->
+MinHash-LSH near-dup removal -> token accounting. One entry point,
+`curate_documents`, so a user gets the whole curation pass as a single
+declarative plan (and the driver value-hashes the surviving set).
+
+Plan shape at scale (the 100 TB audit):
+- language-ID + quality scoring + BPE estimate: ONE narrow projection +
+  filter over the scan - no shuffle, stays in whole-stage codegen.
+- exact dedup: min-id-per-content-hash window - one shuffle on the
+  32-byte md5 digest, never on document bodies.
+- near-dup removal: the banded MinHash self-join from operators/dedup
+  (equi-join on band keys, no all-pairs product), then a left-anti join
+  dropping the higher id of each verified pair.
+Every join is an equi-join; the quadratic stage is bounded by bucket
+sizes, exactly like dedup_minhash_lsh standalone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import dedup
+from .text import STOPWORDS, tokens
+
+
+def curate_documents(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", lang: str = "en",
+                     min_tokens: int = 20, min_distinct_ratio: float = 0.35,
+                     num_hashes: int = 8, bands: int = 4,
+                     jaccard_threshold: float = 0.5) -> DataFrame:
+    """Curated survivors of the full funnel: (id, predicted_lang,
+    n_tokens, n_tokens_bpe_est), one row per document that passes
+    language-ID == ``lang``, the quality thresholds, exact dedup
+    (lowest id per identical text wins) and near-dup removal (for every
+    verified MinHash pair the higher id is dropped, so each near-dup
+    cluster keeps its lowest-id representative against transitive chains
+    anchored at the keeper)."""
+    toks = tokens(text_col)
+
+    def in_list(sw):
+        # factory: capture the stopword tuple as a closure constant
+        return lambda t: t.isin(*sw)
+
+    hit_cols = [
+        F.struct(F.size(F.filter(toks, in_list(sw))).alias("hits"),
+                 F.lit(lg).alias("lang"))
+        for lg, sw in sorted(STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*hit_cols))
+    n_tokens = F.size(toks)
+    staged = df.select(
+        id_col, text_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        n_tokens.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens)
+        .alias("distinct_ratio"),
+        (F.length(text_col).cast("long") / F.lit(4)).cast("long")
+        .alias("n_tokens_bpe_est"),
+    )
+    quality = staged.filter(
+        (F.col("predicted_lang") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio))
+
+    # exact dedup: keep the lowest id per identical text; shuffles the
+    # md5 digest (window partition key), not the body
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    uniq = (quality
+            .withColumn("_keep", F.col(id_col) == F.min(id_col).over(w))
+            .filter(F.col("_keep")).drop("_keep"))
+
+    pairs = dedup.minhash_near_dups(
+        uniq, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, threshold=jaccard_threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (uniq.join(dropped, id_col, "left_anti")
+            .select(id_col, "predicted_lang", "n_tokens", "n_tokens_bpe_est"))

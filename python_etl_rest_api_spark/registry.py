@@ -27,6 +27,8 @@ from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
 _DEBT_FIRST = [
+    # -- new in r3 (never driver-verified) --
+    "pipeline_docs_curate",
     # -- never driver-verified (r1: absent, r2: absent) --
     "dates_derived", "embed_label_centroid", "join_asof_attribution",
     "q3_top_revenue", "set_intersect_repeat", "text_language_id",

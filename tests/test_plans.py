@@ -66,7 +66,8 @@ def test_extension_paths_never_go_cartesian(spark):
     from python_etl_rest_api_spark.plans.explain import simple_plan
     scale_paths = ["dedup_minhash_lsh", "dedup_simhash", "sim_topk_ann_srp",
                    "sim_topk_ann_ivf", "join_asof_attribution",
-                   "join_time_band", "dedup_exact", "stream_sessionize"]
+                   "join_time_band", "dedup_exact", "stream_sessionize",
+                   "pipeline_docs_curate"]
     for name in scale_paths:
         plan = simple_plan(registry.QUERIES[name](spark, SF))
         assert "CartesianProduct" not in plan, f"{name} went cartesian"
