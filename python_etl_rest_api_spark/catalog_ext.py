@@ -539,6 +539,69 @@ def text_language_id(spark, sf_dir):
     return text.language_id(_t(spark, sf_dir, "documents"))
 
 
+@query("text_chunk_windows", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ex AS (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS s FROM t)
+    SELECT doc_id,
+           CAST(s // 16 AS BIGINT) AS chunk_id,
+           array_to_string(toks[s+1 : s+32], ' ') AS chunk_text,
+           CAST(least(32, len(toks) - s) AS INTEGER) AS n_chunk_tokens
+    FROM ex
+""")
+def text_chunk_windows(spark, sf_dir):
+    """Pre-training document chunking: overlapping 32-token windows with
+    stride 16 (posexplode over window starts, 1-indexed slice on both
+    engines). Narrow map stage - no shuffle, no UDF."""
+    return text.chunk_windows(_t(spark, sf_dir, "documents"),
+                              window=32, stride=16)
+
+
+@query("text_redact_pii", """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || doc_id || '@mail.example.org'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ref 90210' || doc_id || '1234'
+                     ELSE '' END AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS text_redacted
+      FROM aug)
+    SELECT doc_id, text_redacted, (text_redacted != text) AS was_redacted
+    FROM red
+""")
+def text_redact_pii(spark, sf_dir):
+    """PII redaction pass: emails and long digit runs masked with typed
+    placeholders. PII is INJECTED deterministically from doc_id on both
+    engines (the synthetic corpus carries none), so the masking
+    demonstrably bites: every doc_id % 5 == 0 gains an email, % 7 == 0 a
+    long number, and the oracle value-hashes the redacted text. Patterns
+    are portable Java-regex/RE2 (char classes + bounded quantifiers);
+    DuckDB needs the explicit 'g' flag to match Spark's replace-all."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@mail.example.org"))).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" ref 90210"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("1234"))).otherwise("")))
+    return text.redact_pii(aug)
+
+
 @query("text_fingerprint", """
     SELECT doc_id,
            md5(lower(trim(text))) AS fp_md5,

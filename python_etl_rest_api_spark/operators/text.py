@@ -86,6 +86,49 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_windows(df: DataFrame, text_col: str = "text",
+                  window: int = 32, stride: int = 16) -> DataFrame:
+    """Document chunking for pre-training prep: overlapping token windows
+    of ``window`` tokens every ``stride`` tokens (starts 0, stride,
+    2*stride, ... < n_tokens; the final window is shorter when the doc
+    runs out). One narrow projection + posexplode - no shuffle, no UDF;
+    at 100 TB this is a pure map stage whose output row count is
+    n_tokens/stride per doc."""
+    staged = df.select("doc_id", tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", s + 1, window)).alias("chunk_text"),
+            F.least(F.lit(window), n - s).alias("n_chunk_tokens")))
+    return (staged.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.chunk_text",
+                    "c.n_chunk_tokens"))
+
+
+# Redaction patterns: portable between Java regex (Spark) and RE2
+# (DuckDB) - character classes and bounded quantifiers only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUMBER = r"[0-9]{6,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: mask email addresses and long
+    digit runs (account/phone-shaped) with typed placeholders. Native
+    regexp_replace (replace-all on both engines), narrow map over the
+    scan - the standard pre-training redaction pass."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+        PII_LONG_NUMBER, "<NUM>")
+    return df.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        (redacted != F.col(text_col)).alias("was_redacted"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of the normalized text (exact-dup key)
     plus a cheap structural sketch (length bucket + first/last token)."""

@@ -37,6 +37,44 @@ def test_language_id(docs):
     assert got[2] == "und"
 
 
+def test_chunk_windows_overlap_and_tail(spark):
+    # 10 tokens, window 4, stride 2 -> starts 0,2,4,6,8; last chunks short
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    rows = sorted(text.chunk_windows(df, window=4, stride=2).collect(),
+                  key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t2 t3 t4 t5"          # stride-2 overlap
+    assert rows[4].chunk_text == "t8 t9"                # clipped tail
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4, 4, 2]
+
+
+def test_chunks_reconstruct_document(spark):
+    # stride == window (no overlap): concatenating chunks = original text
+    toks = " ".join(f"w{i}" for i in range(11))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    rows = sorted(text.chunk_windows(df, window=4, stride=4).collect(),
+                  key=lambda r: r.chunk_id)
+    assert " ".join(r.chunk_text for r in rows) == toks
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@sub.example.co today"),
+        (1, "account 123456789 flagged"),
+        (2, "short num 12345 stays"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert got[0].text_redacted == "mail me at <EMAIL> today"
+    assert got[1].text_redacted == "account <NUM> flagged"
+    assert got[2].text_redacted == rows[2][1]      # 5 digits: untouched
+    assert [got[i].was_redacted for i in range(4)] == [
+        True, True, False, False]
+
+
 def test_fingerprint_stability(spark, docs):
     fp1 = {r["doc_id"]: r["fp_md5"] for r in text.fingerprint(docs).collect()}
     fp2 = {r["doc_id"]: r["fp_md5"] for r in text.fingerprint(docs).collect()}
