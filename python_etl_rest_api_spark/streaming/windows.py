@@ -72,6 +72,24 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "n_events"))
 
 
+def dedup_ingest_stream(events: DataFrame,
+                        keys: list[str] | None = None,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup at ingest: dropDuplicatesWithinWatermark on
+    the event key - the first stage of a streaming training-data pipeline
+    (at-least-once sources redeliver; identical events arriving in
+    DIFFERENT micro-batches are collapsed by cross-batch state).
+
+    State is bounded by the watermark horizon: keys older than the
+    watermark are evicted, so duplicates farther apart than the watermark
+    may both survive - the documented contract (exactly-once within the
+    horizon, at-least-once beyond it). At 100 TB the state store holds
+    only (key, ts) pairs inside the horizon, never the corpus."""
+    keys = keys or ["event_id"]
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def run_stream_on_batch(spark: SparkSession, events_path: str,
                         transform, out_path: str,
                         output_mode: str = "append") -> None:

@@ -6,11 +6,14 @@ yet below the final watermark are intentionally NOT emitted at end of
 stream - so the streamed output is a strict subset of the batch result,
 value-identical on every emitted key."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
 from python_etl_rest_api_spark.catalog import _events
 from python_etl_rest_api_spark.streaming.windows import (
+    dedup_ingest_stream,
     run_stream_on_batch,
     session_agg_stream,
     sliding_agg_stream,
@@ -54,6 +57,22 @@ def test_sliding_stream_runs(spark, tmp_path):
     emitted = got.agg(F.sum("n_events")).collect()[0][0]
     assert emitted <= 4 * n_events
     assert emitted >= 3 * n_events   # tail loss bounded
+
+
+def test_dedup_ingest_collapses_cross_batch_duplicates(spark, tmp_path):
+    """The SAME file delivered twice (two files, maxFilesPerTrigger=1 ->
+    two separate micro-batches) must yield each event exactly once:
+    cross-batch dedup state, not per-batch distinct."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name in ("a.parquet", "b.parquet"):
+        os.symlink(os.path.abspath(EVENTS), os.path.join(src, name))
+    out = str(tmp_path / "out")
+    run_stream_on_batch(spark, src, dedup_ingest_stream, out)
+    got = spark.read.parquet(out)
+    n_src = _events(spark, SF_DIR).count()
+    assert got.count() == n_src                      # not 2 * n_src
+    assert got.select("event_id").distinct().count() == n_src
 
 
 def test_session_stream_runs(spark, tmp_path):
