@@ -556,6 +556,26 @@ def text_chunk_windows(spark, sf_dir):
                               window=32, stride=16)
 
 
+@query("text_pack_sequences", """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source AS pack_group,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256) AS BIGINT) AS pack_id
+    FROM t
+""")
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for pre-training batches: docs assigned to
+    ~256-token packs per source via a running-sum window (single shuffle
+    on the group key; deterministic first-fit, packs overshoot by at most
+    one doc)."""
+    return text.pack_sequences(_t(spark, sf_dir, "documents"), budget=256)
+
+
 @query("text_redact_pii", """
     WITH aug AS (
       SELECT doc_id,

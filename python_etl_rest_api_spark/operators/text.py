@@ -108,6 +108,33 @@ def chunk_windows(df: DataFrame, text_col: str = "text",
                     "c.n_chunk_tokens"))
 
 
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source",
+                   budget: int = 256) -> DataFrame:
+    """Deterministic sequence packing: assign docs to training packs of
+    ~``budget`` tokens. Pack id = floor(cumulative-tokens-before-this-doc
+    / budget) within ``group_col``, docs in stable doc_id order - a
+    streaming-friendly first-fit variant where a pack may overshoot the
+    budget by at most one document (the standard trade for a single-pass,
+    shuffle-once plan; bin-optimal packing is NP-hard and
+    order-dependent).
+
+    Scale shape: ONE shuffle on group_col for the running-sum window; the
+    pack assembly (collect packs downstream) groups on (group, pack_id) -
+    the same partitioning, so AQE reuses the exchange. State per task is
+    one running sum."""
+    n = F.size(tokens(text_col))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col).orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(n).over(w), F.lit(0))
+    return df.select(
+        "doc_id", F.col(group_col).alias("pack_group"),
+        n.alias("n_tokens"),
+        F.floor(cum_before / budget).cast("long").alias("pack_id"),
+    )
+
+
 # Redaction patterns: portable between Java regex (Spark) and RE2
 # (DuckDB) - character classes and bounded quantifiers only.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -59,6 +59,25 @@ def test_chunks_reconstruct_document(spark):
     assert " ".join(r.chunk_text for r in rows) == toks
 
 
+def test_pack_sequences_budget_and_order(spark):
+    # 6 docs of 10 tokens each, one group, budget 25:
+    # cum_before = 0,10,20,30,40,50 -> packs 0,0,0,1,1,2
+    rows = [(i, " ".join(["w"] * 10), "s1") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r.pack_id
+           for r in text.pack_sequences(df, budget=25).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    rows = [(1, "a b c", "s1"), (2, "d e f", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text.pack_sequences(df, budget=2).collect()
+    # each group starts at pack 0 regardless of the other group's volume
+    assert all(r.pack_id == 0 for r in out)
+    assert {r.pack_group for r in out} == {"s1", "s2"}
+
+
 def test_redact_pii(spark):
     rows = [
         (0, "mail me at alice.smith+x@sub.example.co today"),
