@@ -37,7 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query. Every queries() entry has one
-    (88/88 as of round 3) - including minhash/simhash (portable md5
-    variants) and the ANN paths (pinned-seed / sequential-fold value
-    oracles) - so the driver value-hashes the full surface."""
+    (92/92 as of round 3) - including minhash/simhash (portable md5
+    variants), the ANN paths (pinned-seed / sequential-fold value
+    oracles) and the end-to-end curation funnel - so the driver
+    value-hashes the full surface."""
     return dict(registry.ORACLES)
