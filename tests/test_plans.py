@@ -74,6 +74,20 @@ def test_extension_paths_never_go_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} uses BNLJ"
 
 
+def test_text_op_shuffle_budgets(spark):
+    """Narrow text ops must stay shuffle-free (pure map stages at 100 TB);
+    sequence packing is allowed exactly its ONE running-sum window
+    exchange on the group key."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.plans.explain import shuffle_count
+    for name, budget in [("text_chunk_windows", 0), ("text_redact_pii", 0),
+                         ("text_token_count", 0), ("text_quality_score", 0),
+                         ("text_language_id", 0), ("text_fingerprint", 0),
+                         ("text_pack_sequences", 1)]:
+        n = shuffle_count(registry.QUERIES[name](spark, SF))
+        assert n == budget, f"{name}: {n} shuffles, budget {budget}"
+
+
 def test_clean_pipeline_parses_once(spark):
     """The tier filters must reference the critical flag AS A COLUMN, not
     re-inline its defining lenient-cast/3-format-parse chain (the
