@@ -1026,12 +1026,58 @@ def pivot_status_priority(spark, sf_dir):
 def stats_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark percentile <->
     DuckDB quantile_cont - same definition, bit-identical on doubles).
-    At 100 TB swap for approx_percentile (t-digest sketch, mergeable)."""
+    At 100 TB swap for approx_percentile (stats_approx_quantiles)."""
     return (_t(spark, sf_dir, "orders")
             .groupBy("o_orderstatus")
             .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
                  F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("stats_approx_quantiles", """
+    SELECT CAST(0.5 AS DOUBLE) AS p,
+           quantile_cont(o_totalprice, 0.5) AS exact_value, 1 AS approx_ok
+    FROM orders
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE),
+           quantile_cont(o_totalprice, 0.95), 1 FROM orders
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           quantile_cont(o_totalprice, 0.99), 1 FROM orders
+""")
+def stats_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles (Greenwald-Khanna sketch) - the mergeable
+    100 TB profiling path (exact percentile buffers every value per
+    group; the sketch is fixed-size and mergeable across partitions).
+
+    The sketch estimate cannot be value-hashed cross-engine (GK here,
+    t-digest in DuckDB), so like agg_approx_distinct the entry emits the
+    EXACT interpolated percentile PLUS an accuracy verdict: approx_ok = 1
+    iff the approx_percentile(accuracy=10000, guaranteed rank error
+    <= n/10000) lands between the exact interpolated quantiles at
+    p +- 0.001 (a 10x margin over the guarantee at sf0.01's n). The
+    oracle asserts every verdict is 1 - a real bound on the sketch,
+    hash-checked by the driver."""
+    probs = [0.5, 0.95, 0.99]
+    eps = 0.001
+    agg = (_t(spark, sf_dir, "orders").agg(
+        F.expr(f"percentile(o_totalprice, array({','.join(str(p) for p in probs)}))")
+        .alias("exact"),
+        F.expr("approx_percentile(o_totalprice, array(" +
+               ",".join(str(p) for p in probs) + "), 10000)").alias("approx"),
+        F.expr("percentile(o_totalprice, array(" +
+               ",".join(str(max(0.0, p - eps)) for p in probs) + "))").alias("lo"),
+        F.expr("percentile(o_totalprice, array(" +
+               ",".join(str(min(1.0, p + eps)) for p in probs) + "))").alias("hi")))
+    exploded = agg.select(
+        F.posexplode(F.array(*[F.lit(float(p)) for p in probs]))
+        .alias("i", "p"),
+        "exact", "approx", "lo", "hi")
+    ok = ((F.col("approx")[F.col("i")] >= F.col("lo")[F.col("i")])
+          & (F.col("approx")[F.col("i")] <= F.col("hi")[F.col("i")]))
+    return exploded.select(
+        "p", F.col("exact")[F.col("i")].alias("exact_value"),
+        F.when(ok, 1).otherwise(0).alias("approx_ok"))
 
 
 @query("text_levenshtein_pairs", """
