@@ -271,3 +271,33 @@ def agg_approx_distinct(spark, sf_dir):
                  F.count_distinct(F.col("user_id")).alias("exact_users"))
             .select("event_type", "n_events", "exact_users",
                     F.when(ok, 1).otherwise(0).alias("approx_ok")))
+
+
+@query("events_funnel_conversion", """
+    WITH s0 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0 GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1 GROUP BY 1)
+    SELECT s0.user_id,
+           s0.t0 AS view_us, s1.t1 AS click_us, s2.t2 AS purchase_us,
+           CAST(1 + (s1.t1 IS NOT NULL)::INTEGER
+                  + (s2.t2 IS NOT NULL)::INTEGER AS INTEGER) AS reached_stage
+    FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+""")
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: per user, the
+    first occurrence of each stage strictly after the previous stage's
+    first occurrence; reached_stage = conversion depth. Event times as
+    integer microseconds (exact cross-engine). Every agg/join keyed on
+    user_id - the shuffle partitioning is established once and reused
+    (no full-stream window, no cross product)."""
+    from .operators.analytics import event_funnel
+    return event_funnel(_events(spark, sf_dir))

@@ -72,3 +72,38 @@ def negative_amounts(charges: DataFrame, amount_col: str = "amount") -> DataFram
     """D4: validation filter WHERE amount < 0 (reference readme.md:143-145).
     Predicate pushes to the parquet scan (min/max row-group skipping)."""
     return charges.filter(F.col(amount_col) < 0)
+
+
+def event_funnel(events: DataFrame,
+                 stages: tuple[str, ...] = ("view", "click", "purchase"),
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: per user, the FIRST occurrence of each
+    stage that happens STRICTLY AFTER the previous stage's first
+    occurrence (first view, then first click after that view, then first
+    purchase after that click). Output: one row per user who entered the
+    funnel - stage timestamps as integer microseconds (nullable past the
+    stage reached) and reached_stage = how deep they converted.
+
+    Plan shape at scale: one aggregation per stage plus joins, ALL keyed
+    on user_col - the shuffle partitioning is established once and every
+    subsequent stage agg/join reuses it (AQE exchange reuse); no window
+    over the full event stream, no cross product. Cost is O(stages)
+    passes over the (pre-filtered) per-stage slices, not O(events^2)."""
+    us = F.unix_micros(F.col(ts_col))
+    cur = (events.filter(F.col(type_col) == stages[0])
+           .groupBy(user_col).agg(F.min(us).alias("t0")))
+    out = cur
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = (events.filter(F.col(type_col) == stage)
+               .join(cur.select(user_col, F.col(f"t{i-1}")), user_col)
+               .filter(us > F.col(f"t{i-1}"))
+               .groupBy(user_col).agg(F.min(us).alias(f"t{i}")))
+        out = out.join(nxt, user_col, "left")
+        cur = nxt
+    reached = F.lit(1)
+    for i in range(1, len(stages)):
+        reached = reached + F.col(f"t{i}").isNotNull().cast("int")
+    cols = [user_col] + [F.col(f"t{i}").alias(f"{s}_us")
+                         for i, s in enumerate(stages)]
+    return out.select(*cols, reached.alias("reached_stage"))
