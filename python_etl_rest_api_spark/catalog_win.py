@@ -301,3 +301,37 @@ def events_funnel_conversion(spark, sf_dir):
     (no full-stream window, no cross product)."""
     from .operators.analytics import event_funnel
     return event_funnel(_events(spark, sf_dir))
+
+
+@query("events_retention_cohorts", """
+    WITH fw AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
+    SELECT fw.cohort_week,
+           CAST((epoch_us(a.week) - epoch_us(fw.cohort_week))
+                / 604800000000 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM act a JOIN fw ON a.user_id = fw.user_id
+    GROUP BY 1, 2
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen week, counted active
+    per week offset from their cohort. date_trunc('week') is Monday-start
+    in both engines; offsets are integer-microsecond differences divided
+    by a constant week (exact). Plan: min-agg on user_id, distinct on
+    (user_id, week) - both one shuffle - then a user_id equi-join and the
+    final (cohort, offset) aggregate; no window over the full stream."""
+    e = _events(spark, sf_dir)
+    fw = (e.groupBy("user_id")
+          .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    act = e.select("user_id",
+                   F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    off = ((F.unix_micros(F.col("week"))
+            - F.unix_micros(F.col("cohort_week"))) / F.lit(604800000000))
+    return (act.join(fw, "user_id")
+            .groupBy("cohort_week", off.cast("long").alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active_users")))
