@@ -1124,3 +1124,49 @@ def dates_derived(spark, sf_dir):
         F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
         F.datediff(F.to_date("o_orderdate"),
                    F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"))
+
+
+@query("text_tfidf_top_terms", """
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+    SELECT doc_id, tok, tf, df, score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+""")
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 most distinctive terms per document by a log-free tf-idf
+    (score = tf * N / df - exact integer arithmetic divided once in
+    double, so the ranking cross-hashes; classical log-idf only reorders
+    monotonically in df and would differ in low bits between libm
+    implementations). Plan: explode -> (doc,term) agg -> term df agg ->
+    equi-join on term + broadcast 1-row N -> per-doc top-k window.
+    Deterministic ties (term asc)."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(n))
+              .select("doc_id", "tok", "tf", "df",
+                      ((F.col("tf") * F.col("n_docs")).cast("double")
+                       / F.col("df")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("tok").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "tok", "tf", "df", "score",
+                    F.col("rnk").cast("int").alias("rnk")))
