@@ -1170,3 +1170,64 @@ def text_tfidf_top_terms(spark, sf_dir):
             .filter(F.col("rnk") <= 3)
             .select("doc_id", "tok", "tf", "df", "score",
                     F.col("rnk").cast("int").alias("rnk")))
+
+
+@query("dedup_cluster_components", """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [] END AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key FROM sig,
+      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
+                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b
+      WHERE (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+      UNION SELECT id_a, id_a FROM verified
+      UNION SELECT id_b, id_b FROM verified),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+    SELECT a AS vertex, min(b) AS component_id FROM reach GROUP BY 1
+""")
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup CLUSTERS from the verified MinHash pair graph: connected
+    components by iterative min-label propagation (operators/dedup.py) -
+    the iterative-algorithm pattern on Spark (driver convergence loop,
+    localCheckpoint lineage truncation). component_id = smallest doc_id
+    in the cluster, i.e. the keeper a transitive dedup policy retains.
+    The oracle reproduces the SAME fixpoint with a recursive CTE
+    (transitive closure + min over reachable set) - exact agreement, so
+    the driver value-hashes an iterative distributed algorithm."""
+    pairs = dedup.minhash_near_dups(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
+    return dedup.connected_components(pairs)

@@ -297,3 +297,43 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex repeatedly adopts the smallest label among itself and its
+    neighbors until no label changes. Returns (vertex, component_id)
+    where component_id = the smallest vertex id in the component -
+    turning near-dup PAIRS into near-dup CLUSTERS (the form a dedup
+    keeper policy actually needs: keep each cluster's min id).
+
+    The iterative-algorithm pattern on Spark: a driver loop whose body is
+    pure DataFrame algebra, one `.count()` per round as the convergence
+    check (a scalar, not a hot-path collect), and `localCheckpoint` each
+    round to truncate the growing lineage - without it the plan doubles
+    per iteration and the job dies on analysis cost long before data
+    cost. Label propagation converges in O(diameter) rounds; near-dup
+    clusters are shallow (diameter <= a few), so 25 rounds is a generous
+    ceiling - the loop exits early the first round nothing changes.
+    """
+    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
+    labels = (both.select("a").distinct()
+              .select(F.col("a").alias("v"), F.col("a").alias("label"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (both.join(labels, both.b == labels.v)
+                 .groupBy("a").agg(F.min("label").alias("nmin")))
+        new = (labels.join(neigh, labels.v == neigh.a, "left")
+               .select("v", F.least("label", F.coalesce("nmin", "label"))
+                       .alias("label"))
+               .localCheckpoint())
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"),
+                         F.col("label").alias("component_id"))

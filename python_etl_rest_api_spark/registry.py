@@ -31,7 +31,7 @@ _DEBT_FIRST = [
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
     "events_funnel_conversion", "events_retention_cohorts",
-    "text_tfidf_top_terms",
+    "text_tfidf_top_terms", "dedup_cluster_components",
     # -- never driver-verified (r1: absent, r2: absent) --
     "dates_derived", "embed_label_centroid", "join_asof_attribution",
     "q3_top_revenue", "set_intersect_repeat", "text_language_id",

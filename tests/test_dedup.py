@@ -84,3 +84,15 @@ def test_simhash_portable_agrees_with_default(docs):
                                     portable=True).collect()
     found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     assert found[(0, 1)] == 0
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Chain 1-2-3 (transitivity beyond direct pairs), separate pair 10-11,
+    triangle 20-21-22: labels must be the component minimum."""
+    from python_etl_rest_api_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    got = {r.vertex: r.component_id
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
