@@ -335,3 +335,48 @@ def events_retention_cohorts(spark, sf_dir):
     return (act.join(fw, "user_id")
             .groupBy("cohort_week", off.cast("long").alias("week_offset"))
             .agg(F.count(F.lit(1)).alias("n_active_users")))
+
+
+@query("events_hourly_anomalies", """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_hours,
+             CAST(SUM(n_events) AS DOUBLE) AS sx,
+             CAST(SUM(n_events * n_events) AS DOUBLE) AS sxx
+      FROM hourly GROUP BY 1)
+    SELECT h.event_type, h.hour, h.n_events,
+           s.sx / s.n_hours AS mean_rate,
+           CAST(abs(h.n_events - s.sx / s.n_hours) >
+                2 * sqrt((s.sxx - s.sx * s.sx / s.n_hours)
+                         / (s.n_hours - 1)) AS INTEGER) AS is_anomaly
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+""")
+def events_hourly_anomalies(spark, sf_dir):
+    """Hourly event-rate anomaly flags: |count - mean| > 2 sigma per
+    event type. Counts are integers, so the power sums are exact in
+    double and mean/var/sqrt are bit-identical cross-engine with the
+    same expression order (the stats_exact_moments recipe without the
+    decimal detour). Plan: hourly agg (one shuffle) -> tiny per-type
+    stats agg -> broadcast join back; at 100 TB the stats side is
+    |event_types| rows."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_hours"),
+                  F.sum("n_events").cast("double").alias("sx"),
+                  F.sum(F.col("n_events") * F.col("n_events"))
+                  .cast("double").alias("sxx")))
+    n, sx, sxx = F.col("n_hours"), F.col("sx"), F.col("sxx")
+    mean = sx / n
+    sigma = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .select("event_type", "hour", "n_events",
+                    mean.alias("mean_rate"),
+                    (F.abs(F.col("n_events") - mean) > 2 * sigma)
+                    .cast("int").alias("is_anomaly")))
