@@ -1231,3 +1231,27 @@ def dedup_cluster_components(spark, sf_dir):
     pairs = dedup.minhash_near_dups(
         _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
     return dedup.connected_components(pairs)
+
+
+@query("data_split_assign", """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 2))::BIGINT AS INTEGER) AS bucket,
+           CASE WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT < 204 THEN 'train'
+                WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+""")
+def data_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (~80/10/10) keyed on CONTENT
+    hash, not row id: byte-identical documents always land in the same
+    split whatever their ids, so exact duplicates can never leak across
+    the train/eval boundary - the property a rand() or id-hash split
+    silently lacks. Reproducible across runs, engines, partitionings; a
+    narrow map stage (no shuffle) at any scale."""
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10) \
+        .cast("int")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", bucket.alias("bucket"),
+                    F.when(bucket < 204, "train")
+                    .when(bucket < 230, "val")
+                    .otherwise("test").alias("split")))
