@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "pipeline_docs_curate",
+    "pipeline_training_data",
     "sim_topk_bruteforce",
     "sim_topk_ann_srp",
     "stream_tumbling_hourly",

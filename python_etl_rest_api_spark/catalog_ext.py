@@ -1255,3 +1255,104 @@ def data_split_assign(spark, sf_dir):
                     F.when(bucket < 204, "train")
                     .when(bucket < 230, "val")
                     .otherwise("test").alias("split")))
+
+
+@query("pipeline_training_data", """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, text, toks,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS h_de,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS h_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','y','que','en','un'))) AS h_es,
+        len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que'))) AS h_fr
+      FROM t),
+    langed AS (
+      SELECT *, CASE WHEN greatest(h_de,h_en,h_es,h_fr) > 0 THEN
+          CASE greatest(h_de,h_en,h_es,h_fr) WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+               WHEN h_en THEN 'en' WHEN h_de THEN 'de' END
+        ELSE 'und' END AS predicted_lang
+      FROM hits),
+    quality AS (
+      SELECT * FROM langed
+      WHERE predicted_lang = 'en' AND n_tokens >= 20 AND distinct_ratio >= 0.35),
+    uniq AS (
+      SELECT * FROM quality
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             ELSE [] END AS shingles
+      FROM uniq),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key FROM sig,
+      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
+                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id),
+    dropped AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+      WHERE (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+    survivors AS (
+      SELECT u.doc_id, u.text, u.toks,
+             CASE WHEN ('0x' || substr(md5(u.text), 1, 2))::BIGINT < 204 THEN 'train'
+                  WHEN ('0x' || substr(md5(u.text), 1, 2))::BIGINT < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM uniq u ANTI JOIN dropped d ON u.doc_id = d.doc_id),
+    chunks AS (
+      SELECT s.doc_id, s.split,
+             CAST(least(32, len(s.toks) - st.s) AS INTEGER) AS n_chunk_tokens
+      FROM survivors s,
+           LATERAL (SELECT unnest(range(0, len(s.toks), 16)) AS s) AS st)
+    SELECT split,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens_total
+    FROM chunks GROUP BY 1
+""")
+def pipeline_training_data(spark, sf_dir):
+    """THE capstone: produce training data end to end - curation funnel
+    (lang -> quality -> exact dedup -> near-dup removal), leakage-safe
+    content-hash train/val/test split, overlapping-window chunking, and
+    per-split doc/chunk/token accounting, as ONE declarative plan whose
+    final 3-row summary the oracle value-hashes. This is the query a
+    100 TB pre-training pipeline runs nightly; every stage is the
+    already-verified operator (curate_documents + split + chunk_windows)
+    composed, not reimplemented."""
+    from .operators.curate import curate_documents
+    from .operators.text import chunk_windows
+    tune(spark)
+    docs = _t(spark, sf_dir, "documents")
+    surv_ids = curate_documents(docs).select("doc_id")
+    kept = docs.join(surv_ids, "doc_id", "left_semi")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10) \
+        .cast("int")
+    split = (F.when(bucket < 204, "train")
+             .when(bucket < 230, "val").otherwise("test"))
+    splits = kept.select("doc_id", split.alias("split"))
+    chunks = chunk_windows(kept, window=32, stride=16)
+    return (chunks.join(splits, "doc_id")
+            .groupBy("split")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("n_chunk_tokens").cast("long")
+                 .alias("n_tokens_total")))
