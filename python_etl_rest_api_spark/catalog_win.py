@@ -380,3 +380,40 @@ def events_hourly_anomalies(spark, sf_dir):
                     mean.alias("mean_rate"),
                     (F.abs(F.col("n_events") - mean) > 2 * sigma)
                     .cast("int").alias("is_anomaly")))
+
+
+@query("events_transition_matrix", """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type, SUM(n) AS n_total FROM pairs GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n,
+           CAST(p.n AS DOUBLE) / t.n_total AS prob
+    FROM pairs p JOIN totals t ON p.event_type = t.event_type
+""")
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: P(next_type | type) = exact integer pair count / row total
+    (single double division - bit-identical cross-engine). Plan: ONE
+    window shuffle on user_id for the lead, then a tiny
+    (|types|^2)-row aggregate and a broadcast-sized totals join; the
+    full stream is never shuffled twice. Deterministic ordering ties
+    broken by event_id."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select("user_id", "event_type",
+                       F.lead("event_type").over(w).alias("next_type"))
+    pairs = (ordered.filter(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("event_type").agg(F.sum("n").alias("n_total"))
+    return (pairs.join(F.broadcast(totals), "event_type")
+            .select("event_type", "next_type", "n",
+                    (F.col("n").cast("double") / F.col("n_total"))
+                    .alias("prob")))
