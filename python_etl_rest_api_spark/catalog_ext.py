@@ -1356,3 +1356,50 @@ def pipeline_training_data(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_chunks"),
                  F.sum("n_chunk_tokens").cast("long")
                  .alias("n_tokens_total")))
+
+
+@query("embed_quantize_int8", """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), (a, b) -> greatest(a, b)) AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CASE WHEN scale > 0 THEN
+             list_reduce(list_transform(embedding,
+               x -> (CAST(x AS DOUBLE)
+                     - floor(CAST(x AS DOUBLE) * 127 / scale + 0.5)
+                       * scale / 127)
+                    * (CAST(x AS DOUBLE)
+                       - floor(CAST(x AS DOUBLE) * 127 / scale + 0.5)
+                         * scale / 127)),
+               (a, b) -> a + b)
+           ELSE 0.0 END AS sq_err
+    FROM s
+""")
+def embed_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (per-vector max-abs scale,
+    symmetric) with the exact reconstruction error - the compression
+    step a 100 TB vector store applies before ANN (4x smaller, distance
+    bounds preserved). Quantization uses floor(v + 0.5) instead of
+    round() (identical semantics in both engines; round() differs in
+    half-way tie direction between Java and C), and the error folds
+    sequentially in double - the repo's standard recipe - so the per-
+    vector error is bit-identical cross-engine. Narrow map stage, no
+    shuffle, no UDF."""
+    x = lambda c: c.cast("double")
+    arr = F.col("embedding")
+    scale = F.array_max(F.transform(arr, lambda v: F.abs(x(v))))
+    def recon_err(v):
+        q = F.floor(x(v) * 127 / F.col("scale") + F.lit(0.5))
+        d = x(v) - q * F.col("scale") / 127
+        return d * d
+    err = F.aggregate(arr, F.lit(0.0),
+                      lambda acc, v: acc + recon_err(v))
+    return (_t(spark, sf_dir, "embeddings")
+            .select("vec_id", scale.alias("scale"),
+                    F.size(arr).cast("int").alias("n_dims"), "embedding")
+            .select("vec_id", "scale", "n_dims",
+                    F.when(F.col("scale") > 0, err)
+                    .otherwise(F.lit(0.0)).alias("sq_err")))

@@ -34,6 +34,7 @@ _DEBT_FIRST = [
     "text_tfidf_top_terms", "dedup_cluster_components",
     "events_hourly_anomalies", "data_split_assign",
     "pipeline_training_data", "events_transition_matrix",
+    "embed_quantize_int8",
     # -- never driver-verified (r1: absent, r2: absent) --
     "dates_derived", "embed_label_centroid", "join_asof_attribution",
     "q3_top_revenue", "set_intersect_repeat", "text_language_id",
