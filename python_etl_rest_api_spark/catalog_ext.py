@@ -715,15 +715,21 @@ def events_json_extract(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 @query("multimodal_feature_extract", """
-    WITH m AS (SELECT unnest(range(0, 96)) AS i)
+    WITH m AS (SELECT unnest(range(0, 96)) AS i),
+    f AS (SELECT i,
+                 list_transform(range(0, 8),
+                   h -> CAST(CAST(len(list_filter(range(0, 128 + i),
+                        j -> (i * 31 + j * 7) % 8 = h)) AS DOUBLE)
+                        / (128 + i) AS FLOAT)) AS feature
+          FROM m)
     SELECT i AS media_id,
            (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
            CAST(128 + i AS BIGINT) AS n_bytes,
-           list_transform(range(0, 8),
-             h -> CAST(CAST(len(list_filter(range(0, 128 + i),
-                  j -> (i * 31 + j * 7) % 8 = h)) AS DOUBLE)
-                  / (128 + i) AS FLOAT)) AS feature
-    FROM m
+           CAST(feature[1] AS DOUBLE) AS f0, CAST(feature[2] AS DOUBLE) AS f1,
+           CAST(feature[3] AS DOUBLE) AS f2, CAST(feature[4] AS DOUBLE) AS f3,
+           CAST(feature[5] AS DOUBLE) AS f4, CAST(feature[6] AS DOUBLE) AS f5,
+           CAST(feature[7] AS DOUBLE) AS f6, CAST(feature[8] AS DOUBLE) AS f7
+    FROM f
 """)
 def multimodal_feature_extract(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary media
@@ -734,10 +740,19 @@ def multimodal_feature_extract(spark, sf_dir):
     function of the row index, so the SQL oracle reproduces it in closed
     form ((i*31 + j*7) % 256 % 8 == (i*31 + j*7) % 8 because 8 | 256) -
     the driver value-hashes the full mapInPandas round-trip: Arrow batch
-    in, binary decode, array<float> out."""
+    in, binary decode, feature out. The 8-dim feature vector is emitted
+    as scalar DOUBLE columns f0..f7 (not array<float>): the verification
+    harness canonicalizes by pandas-sorting every column, and list-typed
+    cells are unhashable there; each element goes float32 -> float64 on
+    BOTH engines (element_at cast here, feature[k] cast in the oracle) so
+    the widening is bit-identical."""
     from .operators.multimodal import extract_features, synthesize_media
     tune(spark)
-    return extract_features(synthesize_media(spark, n=96))
+    feat = extract_features(synthesize_media(spark, n=96))
+    return feat.select(
+        "media_id", "kind", "n_bytes",
+        *[F.element_at("feature", k + 1).cast("double").alias(f"f{k}")
+          for k in range(8)])
 
 
 @query("multimodal_media_stats", """

@@ -4,19 +4,20 @@ catalog entry (core reference surface, ETL pipeline, extensions).
 QUERIES/ORACLES are re-emitted in VERIFICATION-DEBT-FIRST order. The
 driver walks the dict in insertion order under a ~50-entry budget, so a
 fixed cheapest-first pin (round 2) permanently exiled the expensive tail
-from verification. Round-3 order puts entries with the least driver
-signal first; within each debt group the round-2 measured cheapest-first
-relative order is preserved so a time-based budget still stretches:
+from verification. Round-3 spent its whole window on never-verified
+entries and cleared that debt (49 green, 1 err); the round-4 order
+rotates currency back:
 
-  1-19   never driver-verified in any round (multimodal x3, ANN x2,
-         q1/q3, sessionize, events_json, asof/time-band, approx_distinct,
-         text_language_id/top_terms, w4, dates_derived, centroid,
-         set_intersect, sim_cosine);
-  20-21  red in CORRECTNESS_r02 (events dtype crash, fixed this round);
-  22-23  no_oracle rows in r1, reworked since, never re-judged
-         (minhash/simhash);
-  24-40  green in r1 but no r2 row (cheapest-first pushed past 50);
-  41-88  green in r2, cheapest-first (refreshed as budget allows).
+  1      multimodal_feature_extract - the one r3 err (driver
+         canonicalizer could not hash its array<float> column; output
+         reshaped to scalar f0..f7 this round) - must re-judge first;
+  2-5    last green in r1 (two rounds stale, the oldest signal);
+  6-53   last green in r2, r2-measured cheapest-first preserved so a
+         time-based budget stretches across all of them;
+  54+    new round-4 entries (never driver-verified - verified here if
+         the budget stretches past the stale refresh, else next round);
+  tail   the 49 entries CORRECTNESS_r03 just confirmed green (freshest
+         signal, safe to defer).
 
 Entries not in the pinned list (future additions) keep registration
 order at the end until classified.
@@ -27,34 +28,12 @@ from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
 _DEBT_FIRST = [
-    # -- new in r3 (never driver-verified) --
-    "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
-    "text_pack_sequences", "stats_approx_quantiles",
-    "events_funnel_conversion", "events_retention_cohorts",
-    "text_tfidf_top_terms", "dedup_cluster_components",
-    "events_hourly_anomalies", "data_split_assign",
-    "pipeline_training_data", "events_transition_matrix",
-    "embed_quantize_int8",
-    # -- never driver-verified (r1: absent, r2: absent) --
-    "dates_derived", "embed_label_centroid", "join_asof_attribution",
-    "q3_top_revenue", "set_intersect_repeat", "text_language_id",
-    "text_top_terms", "w4_above_customer_avg", "stream_sessionize",
-    "events_json_extract", "q1_pricing_summary", "agg_approx_distinct",
-    "join_time_band", "sim_cosine_near_dups", "sim_topk_ann_ivf",
-    "sim_topk_ann_srp", "multimodal_wav_decode", "multimodal_feature_extract",
-    "multimodal_media_stats",
-    # -- red in r2 (events ts dtype), fixed in r3 --
-    "stream_sliding_panes", "stream_tumbling_hourly",
-    # -- r1 no_oracle, reworked (e544d61, cf8e8), never re-judged --
-    "dedup_minhash_lsh", "dedup_simhash",
-    # -- green in r1, no r2 row --
-    "d5_view_date_eq", "e3_reason_codes", "h3_count_per_group",
-    "stats_exact_moments", "agg_conditional_filter", "agg_cube_grouping",
-    "d6_view_date_between", "g1_g2_first_valid_fill", "i2_fk_violations",
-    "set_union_distinct", "sim_topk_bruteforce", "etl_clean_pipeline",
-    "etl_dim_first_seen", "etl_critical_quarantine", "dedup_ngram_jaccard",
+    # -- r3 err (canonicalizer vs array<float>; reshaped this round) --
+    "multimodal_feature_extract",
+    # -- last green in r1 (oldest live signal) --
+    "etl_critical_quarantine", "dedup_ngram_jaccard",
     "etl_critical_scaled", "etl_clean_scaled",
-    # -- green in r2, cheapest-first --
+    # -- last green in r2, r2-measured cheapest-first --
     "c1_rename_project", "d4_negative_amounts", "d4b_threshold_filter",
     "e1_normalize_strings", "f6_gauss_missing", "text_fingerprint",
     "text_token_count", "d1_validity_split_counts", "d3_dedup_pairs",
@@ -71,6 +50,29 @@ _DEBT_FIRST = [
     "h1_daily_totals", "h6_sum_column", "i3_set_difference",
     "join_outer_coverage", "pivot_status_priority", "set_except_lapsed",
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
+    # -- new in r4 (never driver-verified; appended below as built) --
+    # (registration-order fallback in _ordered() also catches any
+    #  unlisted additions)
+    # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
+    "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
+    "text_pack_sequences", "stats_approx_quantiles",
+    "events_funnel_conversion", "events_retention_cohorts",
+    "text_tfidf_top_terms", "dedup_cluster_components",
+    "events_hourly_anomalies", "data_split_assign",
+    "pipeline_training_data", "events_transition_matrix",
+    "embed_quantize_int8", "dates_derived", "embed_label_centroid",
+    "join_asof_attribution", "q3_top_revenue", "set_intersect_repeat",
+    "text_language_id", "text_top_terms", "w4_above_customer_avg",
+    "stream_sessionize", "events_json_extract", "q1_pricing_summary",
+    "agg_approx_distinct", "join_time_band", "sim_cosine_near_dups",
+    "sim_topk_ann_ivf", "sim_topk_ann_srp", "multimodal_wav_decode",
+    "multimodal_media_stats", "stream_sliding_panes",
+    "stream_tumbling_hourly", "dedup_minhash_lsh", "dedup_simhash",
+    "d5_view_date_eq", "e3_reason_codes", "h3_count_per_group",
+    "stats_exact_moments", "agg_conditional_filter", "agg_cube_grouping",
+    "d6_view_date_between", "g1_g2_first_valid_fill", "i2_fk_violations",
+    "set_union_distinct", "sim_topk_bruteforce", "etl_clean_pipeline",
+    "etl_dim_first_seen",
 ]
 
 
