@@ -36,9 +36,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Every queries() entry has one
-    (92/92 as of round 3) - including minhash/simhash (portable md5
+    """DuckDB-equivalent SQL per query - one for EVERY queries() entry
+    (asserted below, so the count can never silently drift from the
+    registered surface) - including minhash/simhash (portable md5
     variants), the ANN paths (pinned-seed / sequential-fold value
     oracles) and the end-to-end curation funnel - so the driver
     value-hashes the full surface."""
+    assert registry.ORACLES.keys() == registry.QUERIES.keys()
     return dict(registry.ORACLES)

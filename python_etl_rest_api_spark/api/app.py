@@ -40,18 +40,39 @@ from ..sources.csv_source import read_charges_csv
 MAX_PAGE = 10_000
 
 
-def paginate(view, limit: int, offset: int):
+def paginate(view, limit: int, offset: int = 0, after: tuple | None = None):
     """Bounded, deterministic page of an unbounded view.
 
-    Clamps limit to [1, MAX_PAGE] and offset to >= 0, sorts on the view's
-    leading two columns for stable pages, and fetches only the first
-    offset+limit rows (TakeOrderedAndProject JVM-side) -- never a
-    full-view collect, so a 100 TB-scale warehouse can't OOM the driver.
+    Sorts on ALL view columns (a total order regardless of whether any
+    column prefix is a unique key, so pages can never overlap or drop
+    rows) and clamps limit to [1, MAX_PAGE]. Two paging modes:
+
+    - offset (default): fetches the first offset+limit rows
+      (TakeOrderedAndProject JVM-side) and slices - never a full-view
+      collect, so a 100 TB-scale warehouse can't OOM the driver; but a
+      deep page re-fetches and discards its prefix on the driver,
+      O(offset+limit) per page.
+    - keyset (``after`` = values of the view's leading two columns from
+      the last row of the previous page): filters
+      ``(c1, c2) > (a1, a2)`` BEFORE the sort+limit, O(limit) per page
+      at any depth, and the predicate prunes at the scan. Requires the
+      leading two columns to be a unique key of the view - true for
+      daily_company_totals whose grain IS (company_name,
+      transaction_date); callers paging other views through this helper
+      must ensure the same or successive pages may skip ties.
+
     Returns (rows, limit, offset)."""
     limit = max(1, min(limit, MAX_PAGE))
+    cols = view.columns
+    if after is not None:
+        a1, a2 = after
+        c1, c2 = F.col(cols[0]), F.col(cols[1])
+        page = (view.filter((c1 > F.lit(a1))
+                            | ((c1 == F.lit(a1)) & (c2 > F.lit(a2))))
+                .orderBy(*cols).limit(limit).collect())
+        return page, limit, 0
     offset = max(0, offset)
-    rows = (view.orderBy(*view.columns[:2])
-            .limit(offset + limit).collect()[offset:])
+    rows = view.orderBy(*cols).limit(offset + limit).collect()[offset:]
     return rows, limit, offset
 
 
@@ -137,14 +158,22 @@ def build_app(spark=None, state_path: str | None = None,
     @app.get("/view/daily_company_totals")
     def view_daily(warehouse_dir: str, date: str | None = None,
                    start: str | None = None, end: str | None = None,
-                   limit: int = 1000, offset: int = 0):
+                   limit: int = 1000, offset: int = 0,
+                   after: str | None = None):
         """The flagship view with the reference's two filter patterns
         (readme.md:156-162): date equality and BETWEEN.
 
-        Responses are paginated (``limit``/``offset``, default page 1000,
-        hard cap ``MAX_PAGE``) via :func:`paginate`: the view is unbounded
-        in the date-range case and an uncapped collect of a 100 TB-scale
-        warehouse would OOM the driver."""
+        Responses are paginated via :func:`paginate` (default page 1000,
+        hard cap ``MAX_PAGE``): the view is unbounded in the date-range
+        case and an uncapped collect of a 100 TB-scale warehouse would
+        OOM the driver. Two paging styles:
+
+        - ``offset=N`` - simple but O(offset+limit) per page;
+        - ``after=<JSON [company_name, transaction_date]>`` - keyset
+          cursor over the view's grain, O(limit) at any depth. Each
+          response carries ``next``: pass it back verbatim as ``after``
+          for the following page (null when the page was short = done).
+        """
         warehouse_dir = _confined(warehouse_dir)
         charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
         companies = spark.read.parquet(os.path.join(warehouse_dir, "companies"))
@@ -153,9 +182,24 @@ def build_app(spark=None, state_path: str | None = None,
             view = view.filter(F.col("transaction_date") == F.lit(date).cast("date"))
         elif start and end:
             view = view.filter(F.col("transaction_date").between(start, end))
-        page, limit, offset = paginate(view, limit, offset)
+        cursor = None
+        if after is not None:
+            import json
+            try:
+                cursor = json.loads(after)
+                assert isinstance(cursor, list) and len(cursor) == 2
+                cursor = (cursor[0], str(cursor[1]))
+            except (ValueError, AssertionError):
+                raise HTTPException(
+                    status_code=400,
+                    detail='after must be a JSON ["company","YYYY-MM-DD"] pair')
+        page, limit, offset = paginate(view, limit, offset, after=cursor)
+        nxt = None
+        if cursor is not None and len(page) == limit:
+            last = page[-1]
+            nxt = [last[view.columns[0]], str(last[view.columns[1]])]
         return {"rows": [r.asDict() for r in page],
-                "limit": limit, "offset": offset}
+                "limit": limit, "offset": offset, "next": nxt}
 
     return app
 

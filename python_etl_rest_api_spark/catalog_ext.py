@@ -820,16 +820,28 @@ def multimodal_wav_decode(spark, sf_dir):
 """)
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: the scan+aggregate throughput
-    headliner. All sums decimal-exact; filter pushes to the scan."""
-    # decimal partial aggregation is the heavy pre-shuffle stage; widen a
-    # single-split local scan so it runs on all cores (no-op at scale)
-    li = widen_scan(_t(spark, sf_dir, "lineitem"))
+    headliner. All sums decimal-exact; filter pushes to the scan.
+
+    Order matters (r3 regression, fixed): filter + project FIRST, widen
+    AFTER. Widening the raw scan repartitioned all 16 lineitem columns
+    and its barrier pinned the l_shipdate predicate above the scan -
+    exactly the case session.no_pushdown_barrier's docstring forbids (a
+    cheap comparison parquet row-group stats can prune). Narrow-first
+    means the exchange moves 6 columns of pre-filtered rows and the
+    predicate reaches PushedFilters; the decimal partial agg still runs
+    on all cores."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= "2001-08-06 00:00:00")
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_tax"))
+    # widen the (still single-split) filtered scan so the decimal
+    # partial aggregation runs on all cores (no-op at scale)
+    li = widen_scan(li)
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
-    return (li.filter(F.col("l_shipdate") <= "2001-08-06 00:00:00")
-            .groupBy("l_returnflag", "l_linestatus")
+    return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(qty).cast("double").alias("sum_qty"),
                  F.sum(price).cast("double").alias("sum_base_price"),
                  F.sum(price * ((F.lit(1) - disc) * (F.lit(1) + tax)))

@@ -88,6 +88,17 @@ def flag_critical(df: DataFrame) -> DataFrame:
     it below every deterministic projection and the substitution happens
     anyway (observed on etl_clean_scaled: the whole derivation chain
     duplicated into the pre-projection filter).
+
+    PLAN-WIDE SIDE EFFECT consumers must know: because Catalyst refuses
+    to push ANY predicate through a projection whose project list holds a
+    non-deterministic expression, the pin blocks pushdown for EVERY
+    downstream filter - including cheap selective ones on columns this
+    projection never touched (date, company), which lose parquet
+    row-group pruning. That is the right trade for this pipeline (the
+    coercion chain dominates, and the split consumes ~all rows), but if
+    you filter the output on raw columns, do it BEFORE calling
+    flag_critical, or re-project the needed columns after the split to
+    restore a deterministic plan for Catalyst to push through.
     """
     rules = _critical_rules(df)
     any_critical = rules[0][0]

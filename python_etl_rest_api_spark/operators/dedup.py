@@ -316,12 +316,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     cost. Label propagation converges in O(diameter) rounds; near-dup
     clusters are shallow (diameter <= a few), so 25 rounds is a generous
     ceiling - the loop exits early the first round nothing changes.
+    Raises RuntimeError if the ceiling is hit while labels are still
+    moving: a component with diameter > max_iter would otherwise return
+    silently WRONG (split) component ids.
     """
     both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))))
     labels = (both.select("a").distinct()
               .select(F.col("a").alias("v"), F.col("a").alias("label"))
               .localCheckpoint())
+    changed = None
     for _ in range(max_iter):
         neigh = (both.join(labels, both.b == labels.v)
                  .groupBy("a").agg(F.min("label").alias("nmin")))
@@ -335,5 +339,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            f"(graph diameter exceeds it)")
     return labels.select(F.col("v").alias("vertex"),
                          F.col("label").alias("component_id"))

@@ -142,9 +142,15 @@ def write_jdbc(df: DataFrame, url: str, table: str,
     BEFORE this call so the batch is already deduplicated, and load into
     a staging table + server-side MERGE for concurrent writers.
 
-    No JDBC driver or MySQL exists in this sandbox, so this is option
-    plumbing only (untested against a live server; unit-tested for
-    argument forwarding).
+    Integration-tested live in tests/test_jdbc.py: the full Spark
+    JdbcUtils path (batched PreparedStatement INSERTs, overwrite DDL,
+    read-back) runs against an embedded DuckDB over its public JDBC
+    driver when the jar is present locally; argument forwarding is
+    unit-tested unconditionally. One dialect caveat that test documents:
+    Spark's table-exists probe propagates DuckDB's table-missing
+    SQLException (unclassifiable SQLState), so appending into a
+    NOT-yet-existing table needs the DDL issued first - standard for
+    MySQL deployments where the schema is owned server-side.
     """
     writer = (df.write.format("jdbc")
               .option("url", url)

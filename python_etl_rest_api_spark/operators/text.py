@@ -96,7 +96,12 @@ def chunk_windows(df: DataFrame, text_col: str = "text",
     n_tokens/stride per doc."""
     staged = df.select("doc_id", tokens(text_col).alias("_toks"))
     n = F.size("_toks")
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    # NULL/empty guard: size(NULL) is -1 under non-ANSI defaults and
+    # sequence(0, -2, stride) THROWS 'Illegal sequence boundaries' at
+    # runtime - a null document must chunk to zero rows (matching the
+    # SQL range(0, NULL, stride) behavior), not crash the stage.
+    starts = F.when(n >= 1, F.sequence(F.lit(0), n - 1, F.lit(stride))
+                    ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,
         lambda s: F.struct(

@@ -44,3 +44,31 @@ def test_pages_are_stable_and_disjoint(spark):
 def test_offset_past_end_is_empty(spark):
     rows, _, _ = paginate(_view(spark, n=5), limit=10, offset=100)
     assert rows == []
+
+
+def test_keyset_equals_offset_full_walk(spark):
+    """Round-3 advice: keyset cursor pages must reproduce the offset walk
+    exactly - same rows, same order, no overlap - at O(limit) per page."""
+    v = _view(spark, n=47)
+    by_offset = []
+    for off in range(0, 60, 10):
+        page, _, _ = paginate(v, limit=10, offset=off)
+        by_offset.extend(page)
+
+    # first page = no cursor (plain first-10), then cursor from each tail
+    by_keyset, cursor = [], None
+    while True:
+        page, _, _ = paginate(v, limit=10, after=cursor)
+        if not page:
+            break
+        by_keyset.extend(page)
+        last = page[-1]
+        cursor = (last.company, str(last.transaction_date))
+    assert [tuple(r) for r in by_keyset] == [tuple(r) for r in by_offset]
+    assert len(by_keyset) == 47
+
+
+def test_keyset_page_starts_strictly_after_cursor(spark):
+    v = _view(spark, n=30)
+    page, _, _ = paginate(v, limit=5, after=("co_009", "2024-01-01"))
+    assert [r.company for r in page] == [f"co_{i:03d}" for i in range(10, 15)]

@@ -96,3 +96,19 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r.vertex: r.component_id
            for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Round-3 advice: a diameter > max_iter chain must raise, not return
+    silently split components."""
+    import pytest
+
+    from python_etl_rest_api_spark.operators.dedup import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and a sufficient ceiling converges fine on the same graph
+    got = {r.vertex: r.component_id
+           for r in connected_components(chain, max_iter=10).collect()}
+    assert set(got.values()) == {0}

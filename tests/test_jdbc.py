@@ -1,0 +1,145 @@
+"""Live JDBC round trip for operators/load.py::write_jdbc (round-3 advice:
+the passthrough existed but nothing ever drove a real JDBC connection).
+
+The container ships no MySQL, but a public DuckDB JDBC driver jar
+(org.duckdb:duckdb_jdbc, Maven Central) may be present in a local
+artifact cache; when found, the test spawns a SEPARATE python/JVM
+process (spark.jars is a static conf - it cannot be added to the shared
+test session) that:
+
+  Spark df -> write_jdbc(append) -> DuckDB file -> spark.read.jdbc -> assert
+
+exercising the exact codepath a MySQL deployment uses (JdbcUtils CREATE
+TABLE + batched INSERT over a real java.sql.Connection), just with an
+embedded engine. Skips cleanly when no jar is available.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+_JAR_GLOBS = [
+    "~/.cache/coursier/**/duckdb_jdbc-*.jar",
+    "~/.ivy2/**/duckdb_jdbc-*.jar",
+    "~/.m2/**/duckdb_jdbc-*.jar",
+]
+
+
+def find_duckdb_jdbc_jar() -> str | None:
+    for pat in _JAR_GLOBS:
+        hits = glob.glob(os.path.expanduser(pat), recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[2]")
+         .appName("jdbc-roundtrip")
+         .config("spark.jars", {jar!r})
+         .config("spark.driver.extraClassPath", {jar!r})
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from python_etl_rest_api_spark.operators.load import write_jdbc
+
+url = "jdbc:duckdb:" + {db!r}
+props = {{"driver": "org.duckdb.DuckDBDriver"}}
+
+# Pre-create the table over a raw JDBC connection (same driver jar):
+# Spark's exists-probe (SELECT 1 FROM t WHERE 1=0) propagates DuckDB's
+# table-missing SQLException instead of treating it as "absent" (the
+# default dialect can't classify DuckDB's SQLState), so append into a
+# fresh table needs DDL first - same as a real MySQL deployment where
+# the DBA owns the schema and Spark only loads rows.
+jvm = spark._jvm
+jvm.java.lang.Class.forName("org.duckdb.DuckDBDriver")
+conn = jvm.java.sql.DriverManager.getConnection(url)
+st = conn.createStatement()
+st.execute("CREATE TABLE companies (company_id BIGINT, company_name VARCHAR)")
+st.close(); conn.close()
+
+companies = spark.createDataFrame(
+    [(1, "acme corp"), (2, "globex"), (3, "initech")],
+    "company_id long, company_name string").coalesce(1)
+write_jdbc(companies, url, "companies", mode="append", properties=props)
+# second batch through the same table: append must not clobber
+write_jdbc(spark.createDataFrame([(4, "umbrella")],
+                                 "company_id long, company_name string"),
+           url, "companies", mode="append", properties=props)
+
+back = (spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "companies")
+        .option("driver", "org.duckdb.DuckDBDriver").load())
+rows = sorted((r.company_id, r.company_name) for r in back.collect())
+assert rows == [(1, "acme corp"), (2, "globex"), (3, "initech"),
+                (4, "umbrella")], rows
+
+# overwrite mode drops + recreates
+write_jdbc(companies.limit(1), url, "companies", mode="overwrite",
+           properties=props)
+n = (spark.read.format("jdbc").option("url", url)
+     .option("dbtable", "companies")
+     .option("driver", "org.duckdb.DuckDBDriver").load().count())
+assert n == 1, n
+print("JDBC_ROUNDTRIP_OK")
+"""
+
+
+@pytest.mark.skipif(find_duckdb_jdbc_jar() is None,
+                    reason="no duckdb_jdbc jar in local artifact caches")
+def test_write_jdbc_live_roundtrip():
+    jar = find_duckdb_jdbc_jar()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as tmp:
+        script = _SCRIPT.format(repo=repo, jar=jar,
+                                db=os.path.join(tmp, "rt.duckdb"))
+        proc = subprocess.run([sys.executable, "-c", script], cwd=tmp,
+                              capture_output=True, text=True, timeout=300)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "JDBC_ROUNDTRIP_OK" in proc.stdout
+
+
+def test_write_jdbc_forwards_writer_options(spark, monkeypatch):
+    """Unit check (always runs): url/dbtable/batchsize/mode/properties all
+    reach the DataFrameWriter."""
+    from python_etl_rest_api_spark.operators import load
+
+    captured = {}
+
+    class FakeWriter:
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def mode(self, m):
+            captured["mode"] = m
+            return self
+
+        def save(self):
+            captured["saved"] = True
+
+    df = spark.range(1)
+    monkeypatch.setattr(type(df), "write", property(lambda self: FakeWriter()))
+    load.write_jdbc(df, "jdbc:mysql://h/db", "t", mode="append",
+                    properties={"user": "u", "password": "p"},
+                    batchsize=500)
+    assert captured == {"format": "jdbc", "url": "jdbc:mysql://h/db",
+                        "dbtable": "t", "batchsize": "500", "mode": "append",
+                        "user": "u", "password": "p", "saved": True}

@@ -105,3 +105,17 @@ def test_fingerprint_stability(spark, docs):
         [(9, "  THE CAT SAT ON THE MAT ")], "doc_id long, text string")
     fp9 = text.fingerprint(shouty).collect()[0]["fp_md5"]
     assert fp9 == fp1[0]
+
+
+def test_chunk_windows_null_and_empty_text(spark):
+    """Round-3 advice: size(NULL) is -1 under non-ANSI defaults, so an
+    unguarded sequence(0, -2, stride) crashes the stage. A NULL doc must
+    chunk to zero rows (the SQL range(0, NULL, s) behavior), not crash;
+    an empty string tokenizes to [''] under split semantics (both
+    engines) and legitimately yields one empty chunk."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string")
+    rows = text.chunk_windows(df, window=2, stride=2).collect()
+    assert {r.doc_id for r in rows} == {2, 3}
+    assert sorted(r.chunk_text for r in rows if r.doc_id == 3) == ["a b", "c"]
+    assert [r.chunk_text for r in rows if r.doc_id == 2] == [""]
