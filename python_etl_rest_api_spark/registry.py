@@ -23,7 +23,10 @@ Entries not in the pinned list (future additions) keep registration
 order at the end until classified.
 """
 
-from . import catalog, catalog_agg, catalog_etl, catalog_ext, catalog_win  # noqa: F401
+from . import (  # noqa: F401
+    catalog, catalog_agg, catalog_etl, catalog_ext, catalog_scale,
+    catalog_win,
+)
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
@@ -50,9 +53,9 @@ _DEBT_FIRST = [
     "h1_daily_totals", "h6_sum_column", "i3_set_difference",
     "join_outer_coverage", "pivot_status_priority", "set_except_lapsed",
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
-    # -- new in r4 (never driver-verified; appended below as built) --
-    # (registration-order fallback in _ordered() also catches any
-    #  unlisted additions)
+    # -- new in r4 (never driver-verified; appended here as built) --
+    "sample_stratified_docs", "events_rolling_1h",
+    "join_bloom_prefilter", "text_unigram_rarity",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -1,0 +1,97 @@
+"""Round-4 scale-pattern operators (catalog_scale): bloom prefilter
+soundness, stratified sampling stratum rates, trailing range-frame
+windows, unigram rarity."""
+
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark import catalog_scale as cs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The defining bloom property: a key that IS in the build set can
+    never be filtered out - n_exact must equal the true semi-join count;
+    false positives are allowed (and reported)."""
+    row = cs.join_bloom_prefilter(spark, SF).collect()[0]
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    true_n = (orders.join(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"), "left_semi").count())
+    assert row.n_exact == true_n
+    assert row.n_bloom_pass == row.n_exact + row.n_false_pos
+    assert row.n_bloom_pass <= row.n_orders
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The filter must do SOMETHING: with 1024 bits and k=2 the pass set
+    must be well under the full probe side (else m is mis-sized)."""
+    row = cs.join_bloom_prefilter(spark, SF).collect()[0]
+    assert row.n_bloom_pass < row.n_orders
+
+
+def test_stratified_sample_rates(spark):
+    """Every surviving row's bucket respects its stratum threshold, and
+    the en stratum is sampled harder than the rest (96 < 160)."""
+    out = cs.sample_stratified_docs(spark, SF)
+    bad = out.filter(
+        (F.col("lang") == "en") & (F.col("bucket") >= 96)
+        | (F.col("lang") != "en") & (F.col("bucket") >= 224)).count()
+    assert bad == 0
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = {r.lang: r.n for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en keep-ratio must be below the others' (heavy downsample stratum)
+    if "en" in kept and any(l != "en" for l in kept):
+        en_ratio = kept["en"] / total["en"]
+        other = max(kept[l] / total[l] for l in kept if l != "en")
+        assert en_ratio < other
+
+
+def test_rolling_1h_window_semantics(spark):
+    """Events 0s, 30m, 90m apart for one user: the third event's 1-hour
+    trailing count sees only itself + the 30m-earlier one; RANGE peers
+    (simultaneous events) count each other."""
+    rows = [(1, 100, "2024-01-01 00:00:00", 1.0),
+            (2, 100, "2024-01-01 00:30:00", 5.0),
+            (3, 100, "2024-01-01 01:30:00", 2.0),
+            (4, 100, "2024-01-01 01:30:00", 3.0),  # simultaneous peer
+            (5, 200, "2024-01-01 00:10:00", 9.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts string, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    orig = cs._events
+    cs._events = lambda s, d: df
+    try:
+        out = {r.event_id: r for r in
+               cs.events_rolling_1h(spark, "unused").collect()}
+    finally:
+        cs._events = orig
+    assert out[1].n_1h == 1 and out[1].max_value_1h == 1.0
+    assert out[2].n_1h == 2 and out[2].max_value_1h == 5.0
+    # 00:30 is exactly 3600s before 01:30 -> outside the 3599999999us frame
+    assert out[3].n_1h == 2 and out[3].max_value_1h == 3.0
+    assert out[4].n_1h == 2  # peers include each other under RANGE
+    assert out[5].n_1h == 1
+
+
+def test_unigram_rarity_orders_docs(spark):
+    """A doc of corpus-common tokens scores higher commonness than a doc
+    of hapaxes; integer columns are exact."""
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "zyx qwv jkl"), (3, "the zyx the")],
+        "doc_id long, text string")
+    orig = cs._t
+    cs._t = lambda s, d, n: docs
+    try:
+        out = {r.doc_id: r for r in
+               cs.text_unigram_rarity(spark, "unused").collect()}
+    finally:
+        cs._t = orig
+    # corpus: the x5, zyx x2, qwv x1, jkl x1 -> total 9
+    assert out[1].n_tokens == 3 and out[1].sum_tok_freq == 15
+    assert out[2].sum_tok_freq == 4
+    assert out[1].commonness > out[3].commonness > out[2].commonness
