@@ -251,3 +251,193 @@ def text_unigram_rarity(spark, sf_dir):
                   / (F.count(F.lit(1)) * F.first("n_total")))
                  .alias("commonness"))
             .select("doc_id", "n_tokens", "sum_tok_freq", "commonness"))
+
+
+# ---------------------------------------------------------------------
+# Incremental rollup merge (algebraic partial aggregates re-aggregated)
+# ---------------------------------------------------------------------
+
+@query("rollup_incremental_merge", """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total,
+             COUNT(*) AS day_n
+      FROM orders GROUP BY 1)
+    SELECT CAST(date_trunc('month', d) AS DATE) AS month,
+           CAST(SUM(day_total) AS DOUBLE) AS month_total,
+           CAST(SUM(day_n) AS BIGINT) AS month_n,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+""")
+def rollup_incremental_merge(spark, sf_dir):
+    """Hypertable-style incremental rollup: monthly totals computed by
+    MERGING the daily pre-aggregate, never rescanning raw rows - the
+    pattern that turns a 100 TB fact scan into a GB-scale re-aggregation
+    because SUM/COUNT are algebraic (partials merge associatively).
+    Decimal sums so daily->monthly merge is bit-equal to a direct
+    monthly aggregate whatever the merge order; the same two-level plan
+    is what a materialized daily view + scheduled monthly refresh runs.
+    Two shuffles total (day key, then month key over the tiny daily
+    table)."""
+    daily = (_t(spark, sf_dir, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("day_total"),
+                  F.count(F.lit(1)).alias("day_n")))
+    return (daily.groupBy(F.date_trunc("month", "d").cast("date")
+                          .alias("month"))
+            .agg(F.sum("day_total").cast("double").alias("month_total"),
+                 F.sum("day_n").alias("month_n"),
+                 F.count(F.lit(1)).alias("n_days")))
+
+
+# ---------------------------------------------------------------------
+# Z-order layout key + data-skipping effectiveness stats
+# ---------------------------------------------------------------------
+
+@query("layout_zorder_stats", """
+    WITH z AS (
+      SELECT c_custkey,
+             CAST(c_nationkey % 16 AS BIGINT) AS nb,
+             CAST(LEAST(GREATEST(CAST(floor(c_acctbal / 750) AS BIGINT), 0),
+                        15) AS BIGINT) AS ab
+      FROM customer),
+    zi AS (
+      SELECT c_custkey, nb, ab,
+             (nb & 1) | ((ab & 1) << 1)
+           | (((nb >> 1) & 1) << 2) | (((ab >> 1) & 1) << 3)
+           | (((nb >> 2) & 1) << 4) | (((ab >> 2) & 1) << 5)
+           | (((nb >> 3) & 1) << 6) | (((ab >> 3) & 1) << 7) AS zval
+      FROM z)
+    SELECT CAST(zval // 16 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(nb) AS BIGINT) AS min_nation_b,
+           CAST(MAX(nb) AS BIGINT) AS max_nation_b,
+           CAST(MIN(ab) AS BIGINT) AS min_bal_b,
+           CAST(MAX(ab) AS BIGINT) AS max_bal_b
+    FROM zi GROUP BY 1
+""")
+def layout_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering key over two dimensions + the per-file
+    min/max stats that make it pay: interleave the bits of the 4-bit
+    nation and account-balance buckets, group rows into 16 z-ranges
+    ("files"), and report each range's min/max per dimension - the
+    zone-map a lakehouse writer would persist so a filter on EITHER
+    dimension prunes most files (a lexicographic sort only prunes its
+    leading column). Pure integer bit arithmetic, portable to the oracle
+    verbatim; one shuffle on the derived bucket. At 100 TB this is the
+    write-side layout step before handing files to a stats-pruning
+    reader."""
+    c = _t(spark, sf_dir, "customer")
+    nb = (F.col("c_nationkey") % 16).cast("long")
+    ab = F.least(F.greatest(F.floor(F.col("c_acctbal") / 750).cast("long"),
+                            F.lit(0)), F.lit(15))
+    z = c.select("c_custkey", nb.alias("nb"), ab.alias("ab"))
+    zval = F.expr(
+        "(nb & 1) | ((ab & 1) << 1) | (((nb >> 1) & 1) << 2)"
+        " | (((ab >> 1) & 1) << 3) | (((nb >> 2) & 1) << 4)"
+        " | (((ab >> 2) & 1) << 5) | (((nb >> 3) & 1) << 6)"
+        " | (((ab >> 3) & 1) << 7)")
+    return (z.select("nb", "ab", zval.alias("zval"))
+            .groupBy((F.col("zval") / 16).cast("long").alias("zbucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("nb").alias("min_nation_b"),
+                 F.max("nb").alias("max_nation_b"),
+                 F.min("ab").alias("min_bal_b"),
+                 F.max("ab").alias("max_bal_b")))
+
+
+# ---------------------------------------------------------------------
+# Order-insensitive table fingerprint (replication/anti-entropy check)
+# ---------------------------------------------------------------------
+
+@query("table_checksum", """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus),
+               1, 15))::BIGINT) AS BIGINT) AS xor_sig,
+           CAST(SUM(('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus),
+               1, 8))::BIGINT) AS BIGINT) AS sum_sig
+    FROM orders
+""")
+def table_checksum(spark, sf_dir):
+    """Order-insensitive content fingerprint: per-row md5 digests folded
+    with XOR (detects any changed/extra/missing row) plus an additive
+    32-bit-value sum (catches the duplicate-pair case XOR is blind to).
+    The anti-entropy primitive for verifying a 100 TB replica without
+    moving data: both sides compute locally, compare two BIGINTs. A pure
+    map + one partial-aggregated fold - commutative/associative by
+    construction, so any partitioning gives the identical signature
+    (that is the point); 15 hex digits keep the XOR inside a positive
+    BIGINT on both engines."""
+    key = F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                      F.col("o_custkey").cast("string"),
+                      F.col("o_orderstatus"))
+    h = F.md5(key)
+    return (_t(spark, sf_dir, "orders")
+            .select(F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                    .alias("x64"),
+                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    .alias("x32"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.bit_xor("x64").alias("xor_sig"),
+                 F.sum("x32").alias("sum_sig")))
+
+
+# ---------------------------------------------------------------------
+# Grouped linear trend via algebraic aggregates (no UDF regression)
+# ---------------------------------------------------------------------
+
+@query("events_linear_trend", """
+    WITH p AS (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(x * y) AS sxy
+      FROM p GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                AS DOUBLE) AS slope
+    FROM s
+""")
+def events_linear_trend(spark, sf_dir):
+    """Per-group OLS slope (value vs hour-of-day) computed entirely from
+    algebraic aggregates - sum(x), sum(x^2), sum(y), sum(xy) - i.e.
+    grouped regression WITHOUT applyInPandas: one map-side-combined
+    shuffle however many rows feed each group, where the UDF version
+    would materialize whole groups in Python workers. The y sums run in
+    DECIMAL (exact, fold-order free - double sums would hash-diverge
+    across partitionings) and the closed form divides once in double.
+    The template generalizes to variance/covariance/correlation and
+    any moment-based grouped statistic."""
+    e = _events(spark, sf_dir)
+    x = F.hour("ts").cast("long")
+    y = F.col("value").cast("decimal(18,6)")
+    s = (e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x").cast("decimal(18,6)") * F.col("y"))
+              .alias("sxy")))
+    nd = F.col("n").cast("double")
+    return s.select(
+        "event_type", "n",
+        ((nd * F.col("sxy").cast("double")
+          - F.col("sx").cast("double") * F.col("sy").cast("double"))
+         / (nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")))
+        .cast("double").alias("slope"))

@@ -56,6 +56,8 @@ _DEBT_FIRST = [
     # -- new in r4 (never driver-verified; appended here as built) --
     "sample_stratified_docs", "events_rolling_1h",
     "join_bloom_prefilter", "text_unigram_rarity",
+    "rollup_incremental_merge", "layout_zorder_stats",
+    "table_checksum", "events_linear_trend",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -95,3 +95,77 @@ def test_unigram_rarity_orders_docs(spark):
     assert out[1].n_tokens == 3 and out[1].sum_tok_freq == 15
     assert out[2].sum_tok_freq == 4
     assert out[1].commonness > out[3].commonness > out[2].commonness
+
+
+def test_rollup_merge_equals_direct(spark):
+    """The algebraic-aggregate property the rollup rests on: monthly
+    totals merged from the daily pre-aggregate == direct monthly over
+    raw rows, bit-for-bit (decimal sums)."""
+    merged = {r.month: (r.month_total, r.month_n)
+              for r in cs.rollup_incremental_merge(spark, SF).collect()}
+    direct = {r.month: (r.t, r.n) for r in
+              spark.read.parquet(f"{SF}/orders.parquet")
+              .groupBy(F.date_trunc("month", "o_orderdate").cast("date")
+                       .alias("month"))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("t"),
+                   F.count("*").alias("n")).collect()}
+    assert merged == direct
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """Grouping by the top 4 interleaved bits fixes the high 2 bits of
+    BOTH dimensions, so every z-bucket spans <= 4 consecutive values in
+    each dim - the property that lets a filter on either column prune
+    ~3/4 of the files (a lexicographic sort only bounds its leading
+    column)."""
+    rows = cs.layout_zorder_stats(spark, SF).collect()
+    assert 1 <= len(rows) <= 16
+    for r in rows:
+        assert r.max_nation_b - r.min_nation_b <= 3
+        assert r.max_bal_b - r.min_bal_b <= 3
+
+
+def test_table_checksum_partition_invariant_and_sensitive(spark):
+    """Same rows in any partitioning -> identical signature; one changed
+    row -> different signature."""
+    orig = cs.table_checksum(spark, SF).collect()[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    shuffled = orders.repartition(13, "o_custkey")
+    orig_t = cs._t
+    cs._t = lambda s, d, n: shuffled
+    try:
+        re = cs.table_checksum(spark, "unused").collect()[0]
+    finally:
+        cs._t = orig_t
+    assert (re.n_rows, re.xor_sig, re.sum_sig) == \
+        (orig.n_rows, orig.xor_sig, orig.sum_sig)
+
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == orders.select(F.min("o_orderkey"))
+               .collect()[0][0], F.lit("ZZ"))
+        .otherwise(F.col("o_orderstatus")))
+    cs._t = lambda s, d, n: mutated
+    try:
+        mu = cs.table_checksum(spark, "unused").collect()[0]
+    finally:
+        cs._t = orig_t
+    assert mu.n_rows == orig.n_rows and mu.xor_sig != orig.xor_sig
+
+
+def test_linear_trend_exact_on_synthetic(spark):
+    """y = 2x + 1 recovered exactly (decimal sums, one double division)."""
+    rows = [(i, "2024-01-01 %02d:00:00" % h, float(2 * h + 1), "t")
+            for i, h in enumerate([0, 3, 7, 11, 19, 23])]
+    df = (spark.createDataFrame(rows, "event_id long, ts string, "
+                                      "value double, event_type string")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    orig = cs._events
+    cs._events = lambda s, d: df
+    try:
+        out = cs.events_linear_trend(spark, "unused").collect()
+    finally:
+        cs._events = orig
+    assert len(out) == 1 and out[0].n == 6
+    assert out[0].slope == 2.0
