@@ -441,3 +441,119 @@ def events_linear_trend(spark, sf_dir):
          / (nd * F.col("sxx").cast("double")
             - F.col("sx").cast("double") * F.col("sx").cast("double")))
         .cast("double").alias("slope"))
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------
+
+@query("decontam_ngram_overlap", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN
+               list_distinct(list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4]))
+             ELSE [] END AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT e.doc_id, COUNT(*) AS n_shared
+      FROM ex e JOIN bench b ON e.s = b.s
+      WHERE e.doc_id % 50 <> 0
+      GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.doc_id % 50 <> 0
+""")
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram shingle with the held-out eval set (here: doc_id % 50 == 0
+    stands in for the benchmark corpus) - the contamination check every
+    serious LLM data pipeline runs before training, because eval text
+    leaking into train silently inflates scores. Plan: shingle both
+    sides (narrow posexplode maps), DISTINCT the benchmark shingles
+    (eval sets are tiny -> the join side broadcasts), inner-join + count
+    per train doc, left-join the flag back. At 100 TB the train side
+    streams map-only through a broadcast hash join - no shuffle of the
+    corpus; only the per-doc count aggregates. Exact-match shingles
+    (not hashed), so the oracle reproduces verbatim."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    n = F.size("t")
+    sh = toks.select(
+        "doc_id",
+        F.when(n >= 5, F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - 5),
+            lambda i: F.concat_ws(
+                " ", F.element_at("t", i + 1), F.element_at("t", i + 2),
+                F.element_at("t", i + 3), F.element_at("t", i + 4),
+                F.element_at("t", i + 5)))))
+        .otherwise(F.array().cast("array<string>")).alias("shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bench = (ex.filter(F.col("doc_id") % 50 == 0)
+             .select("s").distinct())
+    hits = (ex.filter(F.col("doc_id") % 50 != 0)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (toks.filter(F.col("doc_id") % 50 != 0)
+            .select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------
+# Intra-document repetition score (degenerate-text detector)
+# ---------------------------------------------------------------------
+
+@query("text_repetition_score", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [] END AS g
+      FROM toks)
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0 THEN
+             1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           ELSE 0.0 END AS repetition
+    FROM tri
+""")
+def text_repetition_score(spark, sf_dir):
+    """Degenerate-repetition detector: 1 - distinct/total trigram ratio
+    per document. Looping or template-stamped text (the classic web-crawl
+    failure mode that also destabilizes training) scores near 1; natural
+    prose near 0. All array expressions inside one narrow codegen
+    projection - zero shuffle, zero UDF; the integer counts divide once
+    in double (fold-order free, hash-stable)."""
+    d = _t(spark, sf_dir, "documents")
+    t = text.tokens("text")
+    n = F.size(t)
+    tri = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1),
+                              F.element_at(t, i + 2),
+                              F.element_at(t, i + 3)))) \
+        .otherwise(F.array().cast("array<string>"))
+    out = d.select("doc_id", tri.alias("g"))
+    ng = F.size("g")
+    nd = F.size(F.array_distinct("g"))
+    return out.select(
+        "doc_id", ng.cast("long").alias("n_trigrams"),
+        nd.cast("long").alias("n_distinct"),
+        F.when(ng > 0, F.lit(1.0) - nd.cast("double") / ng)
+        .otherwise(F.lit(0.0)).alias("repetition"))

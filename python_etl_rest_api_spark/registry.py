@@ -58,6 +58,7 @@ _DEBT_FIRST = [
     "join_bloom_prefilter", "text_unigram_rarity",
     "rollup_incremental_merge", "layout_zorder_stats",
     "table_checksum", "events_linear_trend",
+    "decontam_ngram_overlap", "text_repetition_score",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

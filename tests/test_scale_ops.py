@@ -169,3 +169,45 @@ def test_linear_trend_exact_on_synthetic(spark):
         cs._events = orig
     assert len(out) == 1 and out[0].n == 6
     assert out[0].slope == 2.0
+
+
+def test_decontam_flags_shared_5gram(spark):
+    """A train doc sharing a 5-gram with the benchmark set (doc_id%50==0)
+    is flagged; disjoint docs are not; bench docs are excluded."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),      # benchmark
+         (1, "x alpha beta gamma delta epsilon y"),       # contains bench 5-gram
+         (2, "one two three four five six seven"),        # clean
+         (3, "al be ga")],                                # too short
+        "doc_id long, text string")
+    orig = cs._t
+    cs._t = lambda s, d, n: docs
+    try:
+        out = {r.doc_id: r for r in
+               cs.decontam_ngram_overlap(spark, "unused").collect()}
+    finally:
+        cs._t = orig
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_shared == 1
+    assert not out[2].contaminated and out[2].n_shared == 0
+    assert not out[3].contaminated
+
+
+def test_repetition_score_separates_loops_from_prose(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham spam ham"),
+         (2, "the quick brown fox jumps over a lazy dog"),
+         (3, "a b")],                                     # < 3 tokens
+        "doc_id long, text string")
+    orig = cs._t
+    cs._t = lambda s, d, n: docs
+    try:
+        out = {r.doc_id: r for r in
+               cs.text_repetition_score(spark, "unused").collect()}
+    finally:
+        cs._t = orig
+    # doc1: 8 trigrams, only 2 distinct -> 0.75 repetition
+    assert out[1].n_trigrams == 8 and out[1].n_distinct == 2
+    assert abs(out[1].repetition - 0.75) < 1e-12
+    assert out[2].repetition == 0.0
+    assert out[3].n_trigrams == 0 and out[3].repetition == 0.0
