@@ -1,0 +1,541 @@
+"""Round-4 warehouse-analytics catalog entries: the join/agg shapes a
+production Spark warehouse runs daily — three more TPC-H-profile
+headliners (Q6 scan-pushdown, Q5 six-way star join, Q10 returned-value,
+Q18 semi-join-on-aggregate), slowly-changing-dimension (SCD2) history
+building, CDC snapshot diffing, DAU/WAU active-user rollups, an exact
+cross-engine correlation matrix, ANN recall@k evaluation, and corpus
+mixture/duplication dashboards for training-data curation.
+
+The reference (a 313-line pandas/FastAPI technical test,
+`etl/03_transform_and_load.py` + `api/main.py`) has none of these;
+they extend its groupby/join surface (SURVEY.md §2 H/I families) with
+the patterns the same user would need at 100 TB. Cross-engine
+exactness follows the repo recipe (catalog.py header): decimal casts
+for money sums, integer counts divided once in double, md5 for
+portable hashing, identical IEEE expression trees on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _events, _t, query
+from .catalog_ext import _COSINE_PAIR_SQL, _SRP_ORACLE_SQL
+from .operators import similarity
+from .session import widen_scan
+
+# ---------------------------------------------------------------------
+# TPC-H-profile headliners
+# ---------------------------------------------------------------------
+
+
+@query("q6_forecast_revenue", """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6-shaped forecast-revenue scan: the pure predicate-pushdown
+    showcase. All three predicates are plain comparisons on stored
+    columns, so every one reaches PushedFilters and parquet row-group
+    stats prune before decode; the aggregate is a single decimal sum
+    with map-side partials and a 1-row result. The discount bounds
+    compare doubles against double literals — both engines parse 0.05
+    to the identical IEEE double and read identical parquet bits, so
+    the filter is exact without a pushdown-blocking decimal cast."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-01-01 00:00:00")
+                  & (F.col("l_shipdate") < "1999-01-01 00:00:00")
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24))
+          .select("l_extendedprice", "l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return li.agg(
+        F.sum((price * disc).cast("decimal(18,4)")).cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+@query("q5_local_supplier_volume", """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+""")
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped local-supplier volume: the six-way star join.
+    Broadcast hints ONLY on region and nation (genuinely tiny at any
+    scale); supplier and customer are 1/10 and 1/1 of the customer
+    population — fact-scale at 100 TB, where a forced broadcast OOMs
+    the executors — so their joins stay declarative and AQE picks
+    broadcast at test scale / shuffle at cluster scale from measured
+    sizes. The ASIA restriction lands on supplier through the tiny
+    nation⋈region broadcast BEFORE the fact join, so the supplier side
+    the planner sees is already 1/5 of the table."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01 00:00:00")
+                 & (F.col("o_orderdate") < "1998-01-01 00:00:00"))
+         .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    # ASIA suppliers with their nation name via the tiny broadcast dims
+    sup = (s.join(F.broadcast(n.join(F.broadcast(r),
+                                     n.n_regionkey == r.r_regionkey)),
+                  s.s_nationkey == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(sup, li.l_suppkey == sup.s_suppkey)
+            .join(c, (o.o_custkey == c.c_custkey)
+                  & (F.col("s_nationkey") == c.c_nationkey))
+            .groupBy("n_name")
+            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
+                 .cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
+@query("q10_returned_value", """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS lost_revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_value(spark, sf_dir):
+    """TPC-H-Q10-shaped returned-item report: revenue lost to returns per
+    customer in one quarter, top 20. The quarter filter lands on orders
+    (selective, pushed), the returnflag filter on lineitem (pushed), the
+    join shuffles only the two pre-filtered facts. Only nation is
+    force-broadcast (tiny at any scale); customer is fact-scale at
+    100 TB so its join stays declarative for AQE to size — broadcast
+    at test scale, shuffle on a cluster. Top-20 is
+    TakeOrderedAndProject — no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1997-10-01 00:00:00")
+                 & (F.col("o_orderdate") < "1998-01-01 00:00:00"))
+         .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey) \
+            .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(cust, o.o_custkey == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
+                 .cast("double").alias("lost_revenue"))
+            .select("c_custkey", "c_name", "lost_revenue", "n_name",
+                    "c_acctbal")
+            .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+@query("q18_large_orders", """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shaped large-volume-customer report: semi-join the fact
+    against its own aggregate. No forced broadcasts: the qualifying-key
+    set (~0.3% of orders here) GROWS with the data, so a broadcast hint
+    that helps at test scale becomes a driver OOM at 100 TB — the semi
+    join stays declarative and AQE broadcasts it while it is measured
+    small, falling back to a shuffle semi-join co-partitioned with the
+    (l_orderkey) exchange the aggregate already created (exchange
+    reuse) once it is not. Customer likewise joins via AQE's choice."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty).alias("sq"))
+           .filter(F.col("sq") > 300).select("l_orderkey"))
+    return (li.join(big, "l_orderkey", "left_semi")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.to_date("o_orderdate").alias("order_date"),
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+# ---------------------------------------------------------------------
+# SCD2 dimension history (gaps-and-islands)
+# ---------------------------------------------------------------------
+
+
+@query("scd2_status_history", """
+    WITH s AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    g AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate,
+             SUM(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM s)
+    SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+           o_orderstatus AS status,
+           CAST(MIN(o_orderdate) AS DATE) AS valid_from,
+           CAST(MAX(o_orderdate) AS DATE) AS valid_to,
+           COUNT(*) AS n_orders
+    FROM g GROUP BY o_custkey, version, o_orderstatus
+""")
+def scd2_status_history(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    customer's order-status timeline into contiguous validity intervals
+    (gaps-and-islands: lag-change flag → running-sum version id →
+    per-version min/max). This is how a 100 TB warehouse derives SCD2
+    dims from an append-only event/fact stream: one (custkey) shuffle
+    that BOTH window functions and the final groupBy reuse — Catalyst
+    plans a single exchange for all three. Ties broken by orderkey so
+    versioning is deterministic under any partitioning."""
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                    "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w_seq).isNull()
+        | (F.lag("o_orderstatus").over(w_seq) != F.col("o_orderstatus")),
+        1).otherwise(0)
+    return (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderstatus", "o_orderdate",
+                    "o_orderkey")
+            .withColumn("version",
+                        F.sum(chg).over(
+                            w_seq.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+            .groupBy(F.col("o_custkey").alias("custkey"),
+                     F.col("version").cast("long").alias("version"),
+                     F.col("o_orderstatus").alias("status"))
+            .agg(F.to_date(F.min("o_orderdate")).alias("valid_from"),
+                 F.to_date(F.max("o_orderdate")).alias("valid_to"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+# ---------------------------------------------------------------------
+# CDC snapshot diff
+# ---------------------------------------------------------------------
+
+
+@query("cdc_snapshot_diff", """
+    WITH snap_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'),
+    snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00')
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+    FROM snap_old o
+    FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+""")
+def cdc_snapshot_diff(spark, sf_dir):
+    """Change-data-capture by snapshot diffing: classify every key as
+    added / removed / changed between two table snapshots (here: an
+    earlier orders snapshot vs a later one where rows before the
+    retention window aged out, new rows arrived, and pre-1997 open
+    orders were finalized to 'F'). One full outer join on the key with
+    null-side classification — the canonical pattern for deriving a
+    changelog from periodic full dumps when the source has no binlog.
+    At 100 TB both snapshots shuffle once on the key; unchanged rows
+    (the overwhelming majority) are dropped before any further
+    processing, so the changelog that flows downstream is tiny."""
+    o = _t(spark, sf_dir, "orders")
+    snap_old = (o.filter(F.col("o_orderdate") < "2001-01-01 00:00:00")
+                .select(F.col("o_orderkey").alias("old_key"),
+                        F.col("o_orderstatus").alias("old_status"),
+                        F.col("o_totalprice").alias("old_price")))
+    snap_new = (o.filter(F.col("o_orderdate") >= "1995-07-01 00:00:00")
+                .select(F.col("o_orderkey").alias("new_key"),
+                        F.when(F.col("o_orderdate") < "1997-01-01 00:00:00",
+                               "F").otherwise(F.col("o_orderstatus"))
+                        .alias("new_status"),
+                        F.col("o_totalprice").alias("new_price")))
+    j = snap_old.join(snap_new,
+                      snap_old.old_key == snap_new.new_key, "full_outer")
+    return (j.filter(F.col("old_key").isNull()
+                     | F.col("new_key").isNull()
+                     | (F.col("old_status") != F.col("new_status"))
+                     | (F.col("old_price") != F.col("new_price")))
+            .select(F.coalesce("old_key", "new_key").alias("orderkey"),
+                    F.when(F.col("old_key").isNull(), "added")
+                    .when(F.col("new_key").isNull(), "removed")
+                    .otherwise("changed").alias("change_type"),
+                    "old_status", "new_status"))
+
+
+# ---------------------------------------------------------------------
+# DAU / WAU active-user rollup
+# ---------------------------------------------------------------------
+
+
+@query("events_dau_wau", """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    expanded AS (
+      SELECT user_id, d + CAST(g.i AS INTEGER) AS wd
+      FROM ud, (SELECT unnest(range(0, 7)) AS i) g),
+    wau AS (
+      SELECT wd, COUNT(DISTINCT user_id) AS wau FROM expanded GROUP BY wd),
+    dau AS (
+      SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d)
+    SELECT dau.d AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON wau.wd = dau.d
+""")
+def events_dau_wau(spark, sf_dir):
+    """Daily + trailing-7-day active users. The WAU side uses the
+    scalable covering-window idiom: each (user, day) fact explodes into
+    the ≤7 window-end days it contributes to, then a plain per-day
+    distinct count — O(7n) narrow rows instead of a per-day
+    7-day-range self-join (O(n²) at scale) or a sliding distinct
+    window (not partial-aggregatable). The initial DISTINCT collapses
+    events to user-days BEFORE the 7× explode, so the multiplied
+    volume is bounded by users×days, not raw events."""
+    ud = (_events(spark, sf_dir)
+          .select(F.to_date("ts").alias("d"), "user_id").distinct())
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (ud.select("user_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+                     "d")
+           .select("user_id", F.date_add("d", F.col("i")).alias("wd"))
+           .groupBy("wd").agg(F.countDistinct("user_id").alias("wau")))
+    return (dau.join(wau, dau.d == wau.wd)
+            .select(F.col("d").alias("day"), "dau", "wau"))
+
+
+# ---------------------------------------------------------------------
+# Exact cross-engine correlation matrix
+# ---------------------------------------------------------------------
+
+_CORR_PAIRS = [("l_quantity", "l_extendedprice"),
+               ("l_quantity", "l_discount"),
+               ("l_extendedprice", "l_discount"),
+               ("l_extendedprice", "l_tax")]
+
+
+def _corr_sql_block(x: str, y: str) -> str:
+    """Pearson r from EXACT decimal sums, combined in double with a fixed
+    expression tree (identical in the Spark build below)."""
+    dx = f"CAST({x} AS DECIMAL(18,2))"
+    dy = f"CAST({y} AS DECIMAL(18,2))"
+    return f"""
+      SELECT '{x}' AS x_col, '{y}' AS y_col,
+             (CAST(COUNT(*) AS DOUBLE)
+               * CAST(SUM(CAST({dx} * {dy} AS DECIMAL(38,4))) AS DOUBLE)
+              - CAST(SUM({dx}) AS DOUBLE) * CAST(SUM({dy}) AS DOUBLE))
+             / (sqrt(CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST({dx} * {dx} AS DECIMAL(38,4))) AS DOUBLE)
+                  - CAST(SUM({dx}) AS DOUBLE) * CAST(SUM({dx}) AS DOUBLE))
+                * sqrt(CAST(COUNT(*) AS DOUBLE)
+                  * CAST(SUM(CAST({dy} * {dy} AS DECIMAL(38,4))) AS DOUBLE)
+                  - CAST(SUM({dy}) AS DOUBLE) * CAST(SUM({dy}) AS DOUBLE)))
+             AS r
+      FROM lineitem"""
+
+
+@query("stats_corr_pairs",
+       " UNION ALL ".join(_corr_sql_block(x, y) for x, y in _CORR_PAIRS))
+def stats_corr_pairs(spark, sf_dir):
+    """Pairwise Pearson correlation over lineitem measures, exact across
+    engines: the five sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy)
+    accumulate as DECIMAL (associative, order-independent — double sums
+    would hash-mismatch under different partition fold orders), then one
+    double-precision combine per pair with the IDENTICAL expression tree
+    on both sides (sqrt is IEEE-754 correctly-rounded, so determinism
+    survives it). All pairs compute in ONE scan pass — a single
+    map-side-partial aggregate, no shuffle of anything wider than the
+    12-number state. This, not F.corr, is the cross-engine-reproducible
+    way; F.corr's streaming covariance update is fold-order-dependent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        *{c for pair in _CORR_PAIRS for c in pair})
+    aggs = []
+    for x, y in _CORR_PAIRS:
+        dx = F.col(x).cast("decimal(18,2)")
+        dy = F.col(y).cast("decimal(18,2)")
+        tag = f"{x}__{y}"
+        aggs += [
+            F.sum(dx).alias(f"sx_{tag}"), F.sum(dy).alias(f"sy_{tag}"),
+            F.sum((dx * dx).cast("decimal(38,4)")).alias(f"sxx_{tag}"),
+            F.sum((dy * dy).cast("decimal(38,4)")).alias(f"syy_{tag}"),
+            F.sum((dx * dy).cast("decimal(38,4)")).alias(f"sxy_{tag}"),
+        ]
+    stats = li.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    rows = []
+    for x, y in _CORR_PAIRS:
+        tag = f"{x}__{y}"
+        n = F.col("n").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
+                                   * F.sqrt(n * syy - sy * sy))
+        rows.append(F.struct(F.lit(x).alias("x_col"),
+                             F.lit(y).alias("y_col"), r.alias("r")))
+    return (stats.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.x_col", "p.y_col", "p.r"))
+
+
+# ---------------------------------------------------------------------
+# ANN quality: recall@k of the SRP index vs exact ground truth
+# ---------------------------------------------------------------------
+
+
+@query("ann_recall_at_k", f"""
+    WITH brute AS ({_COSINE_PAIR_SQL}),
+         ann AS ({_SRP_ORACLE_SQL})
+    SELECT b.qid, COUNT(a.vec_id) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / 10 AS recall_at_10
+    FROM brute b
+    LEFT JOIN ann a ON a.qid = b.qid AND a.vec_id = b.vec_id
+    GROUP BY b.qid
+""")
+def ann_recall_at_k(spark, sf_dir):
+    """Recall@10 of the SRP-LSH index against brute-force ground truth —
+    the metric that decides whether an ANN index is shippable. Composes
+    the two verified top-k operators and joins their result sets per
+    query; at scale the ground truth runs on a sampled query set (as
+    here: the bounded query ids) while the index serves the full load,
+    which is exactly how production recall monitoring works. Both
+    branches and the join are value-hash-reproduced in SQL by reusing
+    the two entries' own oracle texts as CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    brute = similarity.topk_bruteforce(emb, queries, k=10) \
+        .select("qid", "vec_id")
+    ann = similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6) \
+        .select(F.col("qid").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    return (brute.join(ann, (brute.qid == ann.a_qid)
+                       & (brute.vec_id == ann.a_vid), "left")
+            .groupBy("qid")
+            .agg(F.count("a_vid").alias("n_hits"),
+                 (F.count("a_vid").cast("double") / 10)
+                 .alias("recall_at_10")))
+
+
+# ---------------------------------------------------------------------
+# Corpus dashboards: mixture share, per-source duplication
+# ---------------------------------------------------------------------
+
+
+@query("docs_source_mix", """
+    WITH s AS (
+      SELECT source, lang,
+             CAST(SUM(length(text) // 4) AS BIGINT) AS est_tokens,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY source, lang)
+    SELECT source, lang, n_docs, est_tokens,
+           CAST(est_tokens AS DOUBLE) / SUM(est_tokens) OVER () AS token_share
+    FROM s
+""")
+def docs_source_mix(spark, sf_dir):
+    """Training-mixture table: per (source, language) document and
+    estimated-token counts with each cell's share of the corpus — the
+    input to mixture-weight tuning before sampling. Integer token
+    estimates sum exactly; the share divides once in double over a
+    window whose input is the already-aggregated (tiny) cell table, so
+    the global-total window costs nothing regardless of corpus size."""
+    cells = (_t(spark, sf_dir, "documents")
+             .groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.floor(F.length("text") / 4)).cast("long")
+                  .alias("est_tokens")))
+    total = Window.partitionBy()
+    return cells.select(
+        "source", "lang", "n_docs", "est_tokens",
+        (F.col("est_tokens").cast("double")
+         / F.sum("est_tokens").over(total)).alias("token_share"))
+
+
+@query("dedup_ratio_by_source", """
+    WITH c AS (
+      SELECT source, md5(text) AS fp, COUNT(*) AS n
+      FROM documents GROUP BY source, md5(text))
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_ratio
+    FROM c GROUP BY source
+""")
+def dedup_ratio_by_source(spark, sf_dir):
+    """Per-source exact-duplication dashboard: how much of each source
+    is redundant bytes (the first number a curation run reports per
+    crawl/feed). Shuffles only (source, 32-byte md5) pairs; the
+    double division happens once per source on the aggregated counts."""
+    return (_t(spark, sf_dir, "documents")
+            .groupBy("source", F.md5("text").alias("fp"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").cast("long").alias("n_docs"),
+                 (F.sum("n") - F.count(F.lit(1))).cast("long")
+                 .alias("n_dup_docs"),
+                 ((F.sum("n") - F.count(F.lit(1))).cast("double")
+                  / F.sum("n")).alias("dup_ratio")))

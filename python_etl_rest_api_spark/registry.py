@@ -25,7 +25,7 @@ order at the end until classified.
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_etl, catalog_ext, catalog_scale,
-    catalog_win,
+    catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -59,6 +59,10 @@ _DEBT_FIRST = [
     "rollup_incremental_merge", "layout_zorder_stats",
     "table_checksum", "events_linear_trend",
     "decontam_ngram_overlap", "text_repetition_score",
+    "q6_forecast_revenue", "q5_local_supplier_volume",
+    "q10_returned_value", "q18_large_orders", "scd2_status_history",
+    "cdc_snapshot_diff", "events_dau_wau", "stats_corr_pairs",
+    "ann_recall_at_k", "docs_source_mix", "dedup_ratio_by_source",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
