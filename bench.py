@@ -43,6 +43,9 @@ HEADLINE = [
     "h1_daily_totals",
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "etl_clean_scaled",
     "dedup_exact",
     "dedup_minhash_lsh",
