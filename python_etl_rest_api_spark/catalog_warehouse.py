@@ -539,3 +539,200 @@ def dedup_ratio_by_source(spark, sf_dir):
                  .alias("n_dup_docs"),
                  ((F.sum("n") - F.count(F.lit(1))).cast("double")
                   / F.sum("n")).alias("dup_ratio")))
+
+
+# ---------------------------------------------------------------------
+# TPC-H Q7/Q14 profiles: bilateral trade volume, promo revenue share
+# ---------------------------------------------------------------------
+
+
+@query("q7_volume_shipping", """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H-Q7-shaped bilateral shipping volume: trade between two
+    nations by direction and year. The nation pair predicate reaches
+    supplier and customer THROUGH the tiny broadcast nation dim before
+    either touches a fact table, shrinking both join inputs ~12x
+    (2 of 25 nations); supplier rides a broadcast; the orders⋈customer
+    and lineitem⋈orders joins stay declarative for AQE. The OR-of-pairs
+    condition is evaluated post-join on two low-cardinality name
+    columns — cheap, codegen'd, no cartesian."""
+    n = _t(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(pair.select(
+             F.col("n_nationkey").alias("snk"),
+             F.col("n_name").alias("supp_nation"))),
+             F.col("s_nationkey") == F.col("snk"))
+         .select("s_suppkey", "supp_nation"))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(pair.select(
+             F.col("n_nationkey").alias("cnk"),
+             F.col("n_name").alias("cust_nation"))),
+             F.col("c_nationkey") == F.col("cnk"))
+         .select("c_custkey", "cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .filter(((F.col("supp_nation") == "NATION_1")
+                     & (F.col("cust_nation") == "NATION_2"))
+                    | ((F.col("supp_nation") == "NATION_2")
+                       & (F.col("cust_nation") == "NATION_1")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
+                 .cast("double").alias("volume")))
+
+
+@query("q14_promo_revenue_share", """
+    SELECT CAST(strftime(l.l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                 AS DOUBLE) AS DOUBLE) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY strftime(l.l_shipdate, '%Y-%m')
+""")
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H-Q14-shaped promo revenue share by ship month: broadcast the
+    part dim (a true dimension - orders of magnitude under the fact),
+    conditional decimal aggregation, one double division per group at
+    the end. The date filter pushes to the lineitem scan; part is
+    column-pruned to (p_partkey, p_type) before the broadcast."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1998-01-01 00:00:00")
+                  & (F.col("l_shipdate") < "1999-01-01 00:00:00"))
+          .select("l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"))
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (price * (F.lit(1) - disc)).cast("decimal(18,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev) \
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                     .alias("ship_month"))
+            .agg((F.lit(100.0) * F.sum(promo).cast("double")
+                  / F.sum(rev).cast("double")).cast("double")
+                 .alias("promo_share_pct")))
+
+
+# ---------------------------------------------------------------------
+# Customer value deciles (global ntile over the reduced dim)
+# ---------------------------------------------------------------------
+
+
+@query("ntile_customer_deciles", """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey AS custkey, total_spend,
+           CAST(NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey)
+                AS INTEGER) AS decile
+    FROM spend
+""")
+def ntile_customer_deciles(spark, sf_dir):
+    """Customer-value deciles: aggregate fact→dim first (orders collapse
+    to one row per customer — the 1000x reduction), THEN a global
+    NTILE over the reduced table. The unpartitioned window is a
+    deliberate, documented trade: it runs on the aggregate (customers,
+    not orders), which fits one partition into the ~100M-customer
+    range; beyond that the same decile assignment comes from Spark's
+    range-partitioned sort + partition-offset ranks (two-pass), which
+    this entry's groupBy→window plan upgrades to without semantic
+    change. Ties broken by custkey so the decile cut is deterministic."""
+    spend = (_t(spark, sf_dir, "orders")
+             .groupBy(F.col("o_custkey").alias("custkey"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .cast("double").alias("total_spend")))
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
+    return spend.select("custkey", "total_spend",
+                        F.ntile(10).over(w).cast("int").alias("decile"))
+
+
+# ---------------------------------------------------------------------
+# Deterministic per-group top-N sampling
+# ---------------------------------------------------------------------
+
+
+@query("sample_per_group_topn", """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 50
+""")
+def sample_per_group_topn(spark, sf_dir):
+    """Per-group cap sampling: keep at most N=50 docs per language,
+    chosen by content-hash order — a deterministic 'random' sample that
+    is stable across runs, engines, and partitionings (rand() is none
+    of those). The partitioned window scales: each language sorts
+    independently, and at 100 TB the rank computation is a single
+    (lang) shuffle of (doc_id, 16-byte prefix) pairs, never bodies.
+    This caps dominant groups; sample_stratified_docs rate-samples -
+    the two compose into cap-then-rate curation."""
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 50).select("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------
+# Skew diagnosis: heavy-key profile
+# ---------------------------------------------------------------------
+
+
+@query("skew_key_profile", """
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id)
+    SELECT user_id, n_rows,
+           CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER () AS row_share
+    FROM k ORDER BY n_rows DESC, user_id LIMIT 20
+""")
+def skew_key_profile(spark, sf_dir):
+    """The operator you run BEFORE deciding to salt: top-20 heaviest
+    join/agg keys with their share of all rows. Map-side-combining
+    count per key, then share + top-k on the aggregated (small) key
+    table — the window total and TakeOrderedAndProject both cost
+    nothing next to the scan. Feeding skew.salted_agg's threshold from
+    this profile (share > ~1/shuffle-partitions means one task drowns)
+    is the documented 100 TB workflow."""
+    k = (_events(spark, sf_dir)
+         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows")))
+    total = Window.partitionBy()
+    return (k.select("user_id", "n_rows",
+                     (F.col("n_rows").cast("double")
+                      / F.sum("n_rows").over(total)).alias("row_share"))
+            .orderBy(F.col("n_rows").desc(), F.col("user_id"))
+            .limit(20))

@@ -63,6 +63,9 @@ _DEBT_FIRST = [
     "q10_returned_value", "q18_large_orders", "scd2_status_history",
     "cdc_snapshot_diff", "events_dau_wau", "stats_corr_pairs",
     "ann_recall_at_k", "docs_source_mix", "dedup_ratio_by_source",
+    "q7_volume_shipping", "q14_promo_revenue_share",
+    "ntile_customer_deciles", "sample_per_group_topn",
+    "skew_key_profile",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -134,3 +134,59 @@ def test_dup_ratio_bounds(spark):
     for r in rows:
         assert 0.0 <= r.dup_ratio < 1.0
         assert r.n_dup_docs <= r.n_docs
+
+
+def test_q7_directions_and_years(spark):
+    # sf0.001 is too sparse for this specific nation pair; sf0.01 (the
+    # oracle gate's scale) always has bilateral trade
+    rows = cw.q7_volume_shipping(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    dirs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert dirs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(r.volume > 0 and 1995 <= r.l_year <= 2001 for r in rows)
+
+
+def test_q14_share_bounded_and_part_broadcast(spark):
+    df = cw.q14_promo_revenue_share(spark, SF_DIR)
+    assert "BroadcastHashJoin" in explain.physical_plan(df)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.promo_share_pct <= 100.0
+        assert len(r.ship_month) == 7  # yyyy-MM
+
+
+def test_ntile_deciles_are_balanced_and_ordered(spark):
+    rows = cw.ntile_customer_deciles(spark, SF_DIR).collect()
+    n = len(rows)
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.total_spend)
+    assert set(by_decile) == set(range(1, 11))
+    sizes = [len(by_decile[d]) for d in range(1, 11)]
+    assert max(sizes) - min(sizes) <= 1  # ntile balance property
+    assert sum(sizes) == n
+    # deciles respect the spend ordering: min of decile d >= max of d+1
+    for d in range(1, 10):
+        assert min(by_decile[d]) >= max(by_decile[d + 1])
+
+
+def test_per_group_topn_caps_each_language(spark):
+    rows = cw.sample_per_group_topn(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    assert by_lang and all(n <= 50 for n in by_lang.values())
+    # deterministic across invocations (content-hash order, no rand())
+    again = cw.sample_per_group_topn(spark, SF_DIR).collect()
+    assert sorted((r.doc_id, r.lang) for r in rows) == \
+        sorted((r.doc_id, r.lang) for r in again)
+
+
+def test_skew_profile_shares(spark):
+    rows = cw.skew_key_profile(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(0.0 < r.row_share <= 1.0 for r in rows)
+    assert sum(r.row_share for r in rows) <= 1.0 + 1e-9
