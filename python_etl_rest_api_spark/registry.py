@@ -25,7 +25,7 @@ order at the end until classified.
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_etl, catalog_ext, catalog_scale,
-    catalog_warehouse, catalog_win,
+    catalog_tpch, catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -66,6 +66,12 @@ _DEBT_FIRST = [
     "q7_volume_shipping", "q14_promo_revenue_share",
     "ntile_customer_deciles", "sample_per_group_topn",
     "skew_key_profile",
+    "q2_min_cost_supplier", "q4_priority_count", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q12_tax_priority",
+    "q13_order_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_qty_revenue",
+    "q19_disjunctive_revenue", "q20_promo_suppliers",
+    "q21_sole_blamed_supplier", "q22_dormant_customers",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
