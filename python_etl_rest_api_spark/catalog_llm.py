@@ -1,0 +1,245 @@
+"""Round-4 LLM-training-data operators, second pack: corpus n-gram
+heavy hitters, temperature-scaled domain mixing weights, log2 document
+length histograms, and duplicate-aware sampling weights — the
+dashboard/curation queries a 100 TB pre-training pipeline runs between
+dedup and batch packing.
+
+The reference (a 313-line pandas/FastAPI technical test) has no corpus
+surface at all; these extend the documents-table family
+(catalog_ext/catalog_scale) following the repo's cross-engine
+exactness recipe: integer counts divided once in double, sqrt (IEEE
+correctly-rounded, unlike ln/pow whose libm rounding diverges between
+engines) for the temperature transform, sequential array folds when a
+small float sum must be order-pinned, md5 for portable hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import catalog_ext  # noqa: F401 — registers the components oracle we wrap
+from .catalog import _t, query
+from .operators import dedup
+
+
+# ---------------------------------------------------------------------
+# Corpus bigram heavy hitters (document frequency, not token frequency)
+# ---------------------------------------------------------------------
+
+@query("ngram_bigram_hitters", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2 THEN
+               list_distinct(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1]))
+             ELSE [] END AS bigrams
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+    cnt AS (SELECT bigram, COUNT(*) AS doc_freq FROM ex GROUP BY bigram),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT bigram, doc_freq,
+           CAST(doc_freq AS DOUBLE) / (SELECT n_docs FROM tot)
+             AS doc_share
+    FROM cnt
+    ORDER BY doc_freq DESC, bigram LIMIT 30
+""")
+def ngram_bigram_hitters(spark, sf_dir):
+    """Corpus-wide top-30 bigrams by DOCUMENT frequency — the
+    boilerplate detector (a bigram in 40% of documents is template
+    text, not content). Distinct-per-doc before counting is what makes
+    it doc frequency: text_top_terms counts token occurrences, this
+    counts documents touched. Plan: one narrow projection builds each
+    doc's distinct bigram set (transform over an index sequence — no
+    UDF, no shuffle), explode, ONE map-side-combined count shuffle over
+    the bigram vocabulary, TakeOrderedAndProject for the top-30 (no
+    global sort). At 100 TB the vocabulary aggregate is the only big
+    exchange and it moves (bigram, partial count) pairs only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)))),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("doc_freq"))
+            .crossJoin(F.broadcast(tot))
+            .select("bigram", "doc_freq",
+                    (F.col("doc_freq").cast("double")
+                     / F.col("n_docs")).alias("doc_share"))
+            .orderBy(F.col("doc_freq").desc(), F.col("bigram"))
+            .limit(30))
+
+
+# ---------------------------------------------------------------------
+# Temperature-scaled domain mixing weights
+# ---------------------------------------------------------------------
+
+@query("mix_temperature_weights", """
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS total FROM per_src),
+    scaled AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE)
+               / (SELECT total FROM tot) AS raw_share,
+             sqrt(CAST(n_tokens AS DOUBLE)
+                  / (SELECT total FROM tot)) AS sq
+      FROM per_src),
+    denom AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sq ORDER BY source)),
+               (acc, x) -> acc + x) AS z
+      FROM scaled)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           raw_share,
+           sq / (SELECT z FROM denom) AS temp_weight,
+           (sq / (SELECT z FROM denom)) / raw_share AS boost
+    FROM scaled ORDER BY source
+""")
+def mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing (the multilingual/multi-domain
+    sampling recipe: w_s ∝ p_s^α): per-source token shares raised to
+    α = 0.5 and renormalized, plus the boost factor each domain gets
+    over proportional sampling (>1 = upsampled tail domain). α is
+    POLICY-pinned to 0.5 because sqrt is IEEE-754 correctly-rounded on
+    both engines while pow/exp/ln rounding diverges between libms —
+    the repo's exactness recipe extended to nonlinear transforms. The
+    normalizer folds the ~|sources| sqrt terms in a SORTED sequential
+    reduce (order-pinned like the cosine oracles) instead of a float
+    SUM whose fold order neither engine specifies. Plan: one shuffle
+    for the per-source aggregate (map-side combined), the rest is a
+    broadcast of |sources| rows."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = (d.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(F.split("text", " "))).alias("n_tokens")))
+    tot = per_src.agg(F.sum("n_tokens").alias("total"))
+    scaled = (per_src.crossJoin(F.broadcast(tot))
+              .select("source", "n_docs", "n_tokens",
+                      (F.col("n_tokens").cast("double") / F.col("total"))
+                      .alias("raw_share"))
+              .withColumn("sq", F.sqrt("raw_share")))
+    denom = (scaled
+             .agg(F.array_sort(F.collect_list(F.struct("source", "sq")))
+                  .alias("pairs"))
+             .select(F.aggregate("pairs", F.lit(0.0),
+                                 lambda acc, p: acc + p["sq"]).alias("z")))
+    return (scaled.crossJoin(F.broadcast(denom))
+            .select("source", "n_docs", "n_tokens", "raw_share",
+                    (F.col("sq") / F.col("z")).alias("temp_weight"),
+                    ((F.col("sq") / F.col("z")) / F.col("raw_share"))
+                    .alias("boost"))
+            .orderBy("source"))
+
+
+# ---------------------------------------------------------------------
+# Log2 document-length histogram
+# ---------------------------------------------------------------------
+
+@query("text_length_histogram", """
+    WITH lens AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT CAST(length(bin(n_tokens)) AS INTEGER) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM lens GROUP BY log2_bucket ORDER BY log2_bucket
+""")
+def text_length_histogram(spark, sf_dir):
+    """Power-of-two document length histogram (bucket b holds docs with
+    2^(b-1) <= tokens < 2^b) — the curriculum/packing planner's view
+    of the corpus. The bucket index is length(bin(n)) = floor(log2)+1
+    computed on the INTEGER's binary representation, not floor(ln/ln2)
+    on a double (which misbuckets exact powers of two when the libm ln
+    lands a hair under). Pure two-stage aggregate: narrow map for
+    token counts, one tiny shuffle over ~60 buckets."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(F.size(F.split("text", " ")).alias("n_tokens"))
+    return (lens
+            .groupBy(F.length(F.bin(F.col("n_tokens").cast("long")))
+                     .cast("int").alias("log2_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("n_tokens").cast("long").alias("min_tokens"),
+                 F.max("n_tokens").cast("long").alias("max_tokens"),
+                 F.sum("n_tokens").cast("long").alias("sum_tokens"))
+            .orderBy("log2_bucket"))
+
+
+# ---------------------------------------------------------------------
+# Duplicate-aware sampling weights (cluster size -> 1/n weight)
+# ---------------------------------------------------------------------
+
+_COMPONENTS_SQL_BODY = None  # populated lazily from the registered oracle
+
+
+def _components_oracle() -> str:
+    from .catalog import ORACLES
+    return ORACLES["dedup_cluster_components"]
+
+
+@query("dedup_cluster_weights", None)
+def dedup_cluster_weights(spark, sf_dir):
+    """Duplicate-aware sampling weights: every document joined to its
+    near-dup cluster (connected components over the verified MinHash
+    pair graph; singletons = their own cluster), weighted 1/cluster_size
+    so each DISTINCT piece of content contributes equal expected mass
+    to a training epoch — soft dedup, the alternative to dropping
+    duplicates outright. Composes two verified operators (minhash LSH
+    pairs -> iterative components) with a left join back to the full
+    corpus: docs in no pair keep their own id as component (coalesce),
+    so total weight == number of distinct contents. The 1/n division
+    is one exact double op; cluster sizes are integer counts. At
+    100 TB: the pair graph is tiny next to the corpus (only near-dup
+    candidates), the components loop iterates over edges only, and the
+    final join is an equi-join on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dups(
+        docs, num_hashes=8, bands=4, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    joined = (docs.select("doc_id", "source")
+              .join(comp, docs.doc_id == comp.vertex, "left")
+              .select("doc_id", "source",
+                      F.coalesce("component_id", "doc_id")
+                      .alias("component_id")))
+    sizes = joined.groupBy("component_id") \
+                  .agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (joined.join(sizes, "component_id")
+            .select("doc_id", "source", "component_id", "cluster_size",
+                    (F.lit(1.0) / F.col("cluster_size"))
+                    .alias("sample_weight"))
+            .orderBy("doc_id"))
+
+
+def _register_cluster_weights_oracle():
+    """The oracle wraps the already-registered recursive-CTE components
+    oracle as a subquery — one source of truth for the closure SQL."""
+    from .catalog import ORACLES
+    ORACLES["dedup_cluster_weights"] = f"""
+    WITH comp AS (SELECT * FROM ({_components_oracle()}) t),
+    assigned AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex),
+    sizes AS (
+      SELECT component_id, COUNT(*) AS cluster_size
+      FROM assigned GROUP BY component_id)
+    SELECT a.doc_id, a.source, a.component_id, s.cluster_size,
+           CAST(1.0 AS DOUBLE) / s.cluster_size AS sample_weight
+    FROM assigned a JOIN sizes s USING (component_id)
+    ORDER BY a.doc_id
+    """
+
+
+_register_cluster_weights_oracle()

@@ -24,8 +24,8 @@ order at the end until classified.
 """
 
 from . import (  # noqa: F401
-    catalog, catalog_agg, catalog_etl, catalog_ext, catalog_scale,
-    catalog_tpch, catalog_warehouse, catalog_win,
+    catalog, catalog_agg, catalog_etl, catalog_ext, catalog_llm,
+    catalog_scale, catalog_tpch, catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -72,6 +72,8 @@ _DEBT_FIRST = [
     "q16_part_supplier_counts", "q17_small_qty_revenue",
     "q19_disjunctive_revenue", "q20_promo_suppliers",
     "q21_sole_blamed_supplier", "q22_dormant_customers",
+    "ngram_bigram_hitters", "mix_temperature_weights",
+    "text_length_histogram", "dedup_cluster_weights",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
