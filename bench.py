@@ -45,7 +45,9 @@ HEADLINE = [
     "q3_top_revenue",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q9_product_profit",
     "q18_large_orders",
+    "q21_sole_blamed_supplier",
     "etl_clean_scaled",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -654,6 +654,26 @@ def stream_tumbling_hourly(spark, sf_dir):
     return tumbling_agg(_events(spark, sf_dir))
 
 
+@query("stream_trending_topk", """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events,
+           CAST(row_number() OVER (PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS INTEGER) AS rk
+    FROM counts
+    QUALIFY rk <= 3
+""")
+def stream_trending_topk(spark, sf_dir):
+    """Trending top-3 event types per hour - the batch twin of
+    streaming/windows.py::trending_topk (same transform; the streaming
+    side computes the watermarked counts and finalizes rank per closed
+    window in foreachBatch)."""
+    from .streaming.windows import trending_topk
+    return trending_topk(_events(spark, sf_dir))
+
+
 @query("stream_sessionize", """
     WITH g AS (
       SELECT user_id, ts, event_id,

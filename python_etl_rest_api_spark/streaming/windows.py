@@ -72,6 +72,46 @@ def session_agg_stream(events: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "n_events"))
 
 
+def trending_topk(events: DataFrame, bucket: str = "hour",
+                  k: int = 3) -> DataFrame:
+    """Trending event types: per tumbling window, the top-k types by
+    count with their rank — the live-dashboard query. Rank ties break
+    on event_type (deterministic). The window function runs over the
+    PRE-AGGREGATED (window, type) counts, never raw events: at 100 TB
+    the only big exchange is the map-side-combined count; the rank
+    partition is |event_types| rows per hour."""
+    from pyspark.sql import Window
+    counts = (events
+              .groupBy(F.date_trunc(bucket, F.col("ts"))
+                       .alias("window_start"),
+                       F.col("event_type"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type"))
+    return (counts
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("window_start", "event_type", "n_events",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+def trending_topk_stream(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming half of the trending pipeline: the watermarked windowed
+    counts (the stateful part). Rank is NOT expressible in streaming
+    append mode (a window's top-k is only final when the watermark
+    closes it) — the finalize runs per emitted window in foreachBatch /
+    on the sink table, exactly rank-over-closed-windows (see
+    tests/test_streaming.py::test_trending_stream_matches_batch)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events"))
+
+
 def dedup_ingest_stream(events: DataFrame,
                         keys: list[str] | None = None,
                         watermark: str = "2 hours") -> DataFrame:

@@ -17,6 +17,8 @@ from python_etl_rest_api_spark.streaming.windows import (
     run_stream_on_batch,
     session_agg_stream,
     sliding_agg_stream,
+    trending_topk,
+    trending_topk_stream,
     tumbling_agg,
     tumbling_agg_stream,
 )
@@ -91,3 +93,26 @@ def test_session_stream_runs(spark, tmp_path):
         assert n <= src[u]
     # most events are in closed sessions (watermark tail bounded)
     assert sum(per_user.values()) >= 0.8 * sum(src.values())
+
+
+def test_trending_stream_matches_batch(spark, tmp_path):
+    """Streamed windowed counts + per-window rank finalize must agree
+    with the batch trending_topk on every closed (emitted) window."""
+    from pyspark.sql import Window
+
+    out = str(tmp_path / "trend")
+    run_stream_on_batch(spark, EVENTS, trending_topk_stream, out)
+    counts = spark.read.parquet(out)
+    # the foreachBatch/sink-side finalize: rank over CLOSED windows
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type"))
+    got = (counts.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 3))
+    batch = trending_topk(_events(spark, SF_DIR))
+    g = {(r.window_start, r.rk): (r.event_type, r.n_events)
+         for r in got.collect()}
+    b = {(r.window_start, r.rk): (r.event_type, r.n_events)
+         for r in batch.collect()}
+    assert g, "stream must emit at least one closed window"
+    for key, val in g.items():
+        assert b[key] == val, key
