@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from . import catalog_ext  # noqa: F401 — registers the components oracle we wrap
 from .catalog import _t, query
-from .operators import dedup
+from .operators import dedup, similarity
 
 
 # ---------------------------------------------------------------------
@@ -243,3 +243,86 @@ def _register_cluster_weights_oracle():
 
 
 _register_cluster_weights_oracle()
+
+
+# ---------------------------------------------------------------------
+# MMR diversified top-k (greedy re-rank, chained-argmax oracle)
+# ---------------------------------------------------------------------
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB sequential-fold cosine between two list columns — the
+    same left-to-right double fold as operators/similarity.py::cosine."""
+    def _dot(x, y):
+        return (f"list_reduce(list_transform(range(1, len({x}) + 1), "
+                f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), "
+                f"(x, y) -> x + y)")
+    return (f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))")
+
+
+def _mmr_oracle(pool: int = 12, k: int = 5) -> str:
+    """Chained-argmax MMR: the greedy loop unrolled into k CTE stages,
+    each a plain ORDER BY ... LIMIT 1 over the remaining pool — exact,
+    non-recursive, and the identical IEEE expression tree as the
+    driver-side greedy (note (1.0 - 0.7), NOT a 0.3 literal: the
+    subtraction yields 0.30000000000000004 and the oracle must carry
+    the same double)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_minus = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    parts = [f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, {_cos_sql('q.qv', 'e.embedding')} AS rel
+      FROM q, embeddings e WHERE e.vec_id != 0
+      ORDER BY rel DESC, e.vec_id LIMIT {pool}),
+    cv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           JOIN cand c ON e.vec_id = c.vec_id),
+    ps AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_sql('a.embedding', 'b.embedding')} AS sim
+      FROM cv a, cv b WHERE a.vec_id != b.vec_id),
+    sel1 AS (SELECT 1 AS rank, vec_id, rel, {lam} * rel AS mmr_score
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1)"""]
+    prev_sels = ["sel1"]
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM {s}" for s in prev_sels)
+        parts.append(f""",
+    sc{i} AS (
+      SELECT c.vec_id, c.rel,
+             {lam} * c.rel - {one_minus} * MAX(p.sim) AS mmr_score
+      FROM cand c JOIN ps p ON p.id_a = c.vec_id
+      WHERE p.id_b IN ({prev_union})
+        AND c.vec_id NOT IN ({prev_union})
+      GROUP BY c.vec_id, c.rel),
+    sel{i} AS (SELECT {i} AS rank, vec_id, rel, mmr_score FROM sc{i}
+               ORDER BY mmr_score DESC, vec_id LIMIT 1)""")
+        prev_sels.append(f"sel{i}")
+    final_union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in prev_sels)
+    parts.append(f"""
+    SELECT rank, vec_id, rel AS relevance, mmr_score
+    FROM ({final_union}) ORDER BY rank""")
+    return "".join(parts)
+
+
+@query("sim_mmr_rerank", _mmr_oracle())
+def sim_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-5 for query vector 0
+    (lambda = 0.7 over a 12-candidate pool): the retrieval re-ranker
+    that trades raw relevance for coverage — the missing piece between
+    ANN candidate generation and a context window. Distributed
+    candidate selection + pairwise sims; pool-bounded greedy on the
+    driver (operators/similarity.py::mmr_rerank); the oracle unrolls
+    the same greedy into chained argmax CTEs and matches bit-for-bit."""
+    from pyspark.sql import types as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    rows = similarity.mmr_rerank(emb, q, pool=12, k=5, lam=0.7)
+    schema = T.StructType([
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("relevance", T.DoubleType(), False),
+        T.StructField("mmr_score", T.DoubleType(), False)])
+    return spark.createDataFrame(rows, schema)

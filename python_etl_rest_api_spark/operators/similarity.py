@@ -297,3 +297,62 @@ def topk_ann_srp(corpus: DataFrame, queries: DataFrame, dim: int,
                                             F.col(id_col).asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pairwise_cosine(vecs: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Directed pairwise cosine matrix over a SMALL frame (candidate
+    pools, codebooks): all (a, b), a != b, expression-fold in double.
+    Quadratic by construction — callers must pass a bounded pool."""
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("va"), F.col("vb")).alias("sim")))
+
+
+def mmr_rerank(corpus: DataFrame, query: DataFrame, pool: int = 12,
+               k: int = 5, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> list[tuple[int, int, float, float]]:
+    """Maximal-marginal-relevance re-rank: greedy top-k balancing
+    relevance to the query against redundancy with already-selected
+    results — score(d) = lam*rel(d) - (1-lam)*max_{s in S} sim(d, s).
+
+    Distribution of work follows the data sizes: candidate-pool
+    selection (top-``pool`` by cosine) and the pool's pairwise sim
+    matrix are DISTRIBUTED (the corpus-sized work); the greedy loop
+    runs on the driver over the collected pool*(pool-1) sims — bounded
+    by the pool parameter exactly like TakeOrderedAndProject's driver
+    merge, never corpus-sized. Ties break on candidate id; float ops
+    are plain IEEE double (0.7*rel - 0.3*maxsim), bit-identical to the
+    SQL oracle's expression.
+
+    Returns [(rank, id, relevance, mmr_score)] with rank 1..k.
+    """
+    cand = topk_bruteforce(corpus, query, k=pool,
+                           id_col=id_col, vec_col=vec_col)
+    cand_vecs = corpus.join(cand.select(id_col), id_col, "left_semi")
+    sims = {(r.id_a, r.id_b): r.sim
+            for r in pairwise_cosine(cand_vecs, id_col, vec_col).collect()}
+    rel = {r[id_col]: r.sim for r in cand.collect()}
+
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    while len(selected) < min(k, len(rel)):
+        best = None
+        for d, r in rel.items():
+            if d in chosen:
+                continue
+            if chosen:
+                maxsim = max(sims[(d, s)] for s in chosen)
+                score = lam * r - (1.0 - lam) * maxsim
+            else:
+                score = lam * r
+            # argmax with deterministic id tiebreak
+            if best is None or score > best[1] or \
+                    (score == best[1] and d < best[0]):
+                best = (d, score)
+        chosen.append(best[0])
+        selected.append((len(selected) + 1, best[0], rel[best[0]], best[1]))
+    return selected

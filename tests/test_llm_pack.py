@@ -69,3 +69,29 @@ def test_cluster_weights_conserve_distinct_mass(spark):
     assert abs(total_weight - n_components) < 1e-9
     for r in rows:
         assert r.component_id <= r.doc_id or r.cluster_size > 1
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """MMR's selected set must (a) start with the most relevant
+    candidate, (b) never exceed plain top-k's total relevance, and
+    (c) reduce the max intra-set similarity vs plain top-5."""
+    from python_etl_rest_api_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    mmr = similarity.mmr_rerank(emb, q, pool=12, k=5, lam=0.7)
+    assert [r[0] for r in mmr] == [1, 2, 3, 4, 5]
+    plain = similarity.topk_bruteforce(emb, q, k=5).collect()
+    top_ids = [r.vec_id for r in sorted(plain, key=lambda r: r.rank)]
+    # MMR rank 1 == plain rank 1 (pure relevance before any diversity)
+    assert mmr[0][1] == top_ids[0]
+    assert sum(r[2] for r in mmr) <= sum(r.sim for r in plain) + 1e-12
+
+    def max_intra(ids):
+        vecs = emb.filter(F.col("vec_id").isin(ids))
+        sims = similarity.pairwise_cosine(vecs).collect()
+        return max(s.sim for s in sims)
+
+    assert max_intra([r[1] for r in mmr]) <= max_intra(top_ids) + 1e-12
