@@ -326,3 +326,55 @@ def sim_mmr_rerank(spark, sf_dir):
         T.StructField("relevance", T.DoubleType(), False),
         T.StructField("mmr_score", T.DoubleType(), False)])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------
+# Keyword-in-context (KWIC) concordance
+# ---------------------------------------------------------------------
+
+@query("text_kwic_window", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    hits AS (
+      SELECT doc_id, t, list_position(t, 'window') AS pos FROM toks
+      WHERE list_position(t, 'window') >= 1)
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           COALESCE(array_to_string(
+             list_slice(t, CASE WHEN pos - 3 > 1 THEN pos - 3 ELSE 1 END,
+                        pos - 1), ' '), '') AS left_ctx,
+           COALESCE(array_to_string(
+             list_slice(t, pos + 1,
+                        CASE WHEN pos + 3 < len(t) THEN pos + 3
+                             ELSE len(t) END), ' '), '') AS right_ctx
+    FROM hits ORDER BY doc_id
+""")
+def text_kwic_window(spark, sf_dir):
+    """Keyword-in-context concordance for the term 'window': first
+    occurrence position plus three tokens of left/right context per
+    matching document — the corpus-QA query behind term audits and
+    tokenizer debugging. Pure narrow projection (array_position +
+    slice + concat_ws, all codegen'd): zero shuffle beyond the final
+    presentation sort; at 100 TB this is a map-only scan whose output
+    is |matching docs|. Both engines are 1-indexed with identical
+    empty-slice semantics at the document edges."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = (d.select("doc_id", toks.alias("t"),
+                       F.array_position(toks, "window").alias("pos64"))
+              .filter(F.col("pos64") > 0)
+              .select("doc_id", "t", F.col("pos64").cast("int").alias("pos")))
+    pos = F.col("pos")
+    n = F.size("t")
+    left_start = F.greatest(pos - 3, F.lit(1))
+    left_len = pos - left_start
+    right_end = F.least(pos + 3, n)
+    return (staged.select(
+        "doc_id", "pos",
+        F.concat_ws(" ", F.slice("t", left_start, left_len))
+        .alias("left_ctx"),
+        F.concat_ws(" ", F.when(
+            right_end - pos > 0,
+            F.slice("t", pos + 1, right_end - pos))
+            .otherwise(F.array().cast("array<string>")))
+        .alias("right_ctx"))
+        .orderBy("doc_id"))

