@@ -821,6 +821,38 @@ def multimodal_wav_decode(spark, sf_dir):
     return decode_wav_features(synthesize_wav_media(spark, n=48))
 
 
+@query("multimodal_bmp_decode", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h FROM m),
+    px AS (SELECT i, w, h, x, y,
+                  (i*7 + x*3 + y*5) % 256 AS b,
+                  (i*7 + x*3 + y*5 + 11) % 256 AS g,
+                  (i*7 + x*3 + y*5 + 22) % 256 AS r
+           FROM dims, range(0, 12) t1(x), range(0, 8) t2(y)
+           WHERE x < w AND y < h)
+    SELECT i AS media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(b) AS BIGINT) AS sum_blue,
+           CAST(SUM(g) AS BIGINT) AS sum_green,
+           CAST(SUM(r) AS BIGINT) AS sum_red,
+           CAST(MAX(b + g + r) AS BIGINT) AS peak_rgb
+    FROM px GROUP BY i, w, h
+""")
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL image codec path (stdlib-only, mirrors multimodal_wav_decode):
+    genuine 24-bpp uncompressed BMP payloads encoded with ``struct``,
+    decoded back in Arrow batches - magic/DIB header parse, bottom-up
+    stride walk with 4-byte row padding, exact integer channel sums all
+    read from the byte stream. Pixels are a closed form of (i, x, y), so
+    DuckDB reproduces the decoded output exactly and the driver
+    value-hashes a true encode->Spark->decode image round trip. PNG/JPEG
+    (library codecs unavailable here) remain on the stub path."""
+    from .operators.multimodal import decode_bmp_features, synthesize_bmp_media
+    tune(spark)
+    return decode_bmp_features(synthesize_bmp_media(spark, n=48))
+
+
 # ---------------------------------------------------------------------
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------

@@ -8,9 +8,14 @@ mapInPandas transforms, batch shapes - is real and tested. Codec status:
   decoded with the stdlib ``wave`` + ``struct`` modules - header parse,
   frame read, amplitude features, all from the actual byte stream
   (synthesize_wav_media / decode_wav_features).
-- image/video decode is STUBBED deterministically (no Pillow/pyav in this
-  container). Swap ``_decode_stub`` for the real call and nothing else
-  changes.
+- IMAGE is REAL for BMP: payloads are genuine 24-bpp uncompressed BMP
+  files (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up padded pixel
+  rows) encoded and decoded with ``struct`` alone - magic/offset/DIB
+  parse, row-stride walk with 4-byte padding, per-channel pixel sums
+  (synthesize_bmp_media / decode_bmp_features). Formats that need a
+  codec library (PNG/JPEG/video) remain behind ``_decode_stub``
+  (no Pillow/pyav in this container); swap the stub for the real call
+  and the schema/batching/partitioning stays identical.
 
 Scale notes: binary payloads dominate partition size - size
 spark.sql.files.maxPartitionBytes so a partition's decoded batch fits
@@ -165,6 +170,100 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, WAV_FEATURE_SCHEMA)
+
+
+BMP_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_pixels", T.LongType(), True),
+    T.StructField("sum_blue", T.LongType(), True),
+    T.StructField("sum_green", T.LongType(), True),
+    T.StructField("sum_red", T.LongType(), True),
+    T.StructField("peak_rgb", T.LongType(), True),
+])
+
+
+def _encode_bmp(w: int, h: int, pix) -> bytes:
+    """Encode a real 24-bpp uncompressed BMP: 14-byte BITMAPFILEHEADER,
+    40-byte BITMAPINFOHEADER, bottom-up rows padded to 4-byte stride.
+    ``pix(x, y) -> (b, g, r)`` supplies the pixels (BMP stores BGR)."""
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):       # BMP rows run bottom-up
+        for x in range(w):
+            rows += bytes(pix(x, y))
+        rows += b"\x00" * (row_size - w * 3)
+    return header + dib + bytes(rows)
+
+
+def synthesize_bmp_media(spark, n: int = 48) -> DataFrame:
+    """Real BMP payloads: image i is (8 + i%5) x (6 + i%3) with pixel
+    (x, y) channels b/g/r = (i*7 + x*3 + y*5 + {0,11,22}) % 256 - a
+    closed form of (i, x, y), so decoded channel sums have an exact
+    integer SQL oracle."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 3
+        payload = _encode_bmp(
+            w, h,
+            lambda x, y, i=i: ((i * 7 + x * 3 + y * 5) % 256,
+                               (i * 7 + x * 3 + y * 5 + 11) % 256,
+                               (i * 7 + x * 3 + y * 5 + 22) % 256))
+        rows.append((i, "image", "image/bmp", payload, (w, h, None)))
+    # coalesce: see synthesize_media - one Python worker per partition.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def _decode_bmp(payload: bytes) -> tuple:
+    """Parse a 24-bpp uncompressed BMP from its bytes alone: magic,
+    pixel-array offset, DIB dimensions, then a stride walk over padded
+    rows (handles top-down negative-height images too). Returns
+    (width, height, n_pixels, sum_b, sum_g, sum_r, peak_rgb)."""
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    sb = sg = sr = 0
+    peak = 0
+    for row in range(height):
+        base = off + row * row_size
+        px = payload[base:base + w * 3]
+        sb += sum(px[0::3])
+        sg += sum(px[1::3])
+        sr += sum(px[2::3])
+        for x in range(w):
+            lum = px[3 * x] + px[3 * x + 1] + px[3 * x + 2]
+            if lum > peak:
+                peak = lum
+    return (w, height, w * height, sb, sg, sr, peak)
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image decode in Arrow batches: every output value derives
+    from the BMP byte stream (header fields + pixel walk), nothing is
+    trusted from the metadata struct - same discipline as the WAV path."""
+    cols = [f.name for f in BMP_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid,) + (None,) * 7)
+                    continue
+                recs.append((mid,) + _decode_bmp(bytes(payload)))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, BMP_FEATURE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

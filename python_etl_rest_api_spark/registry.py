@@ -75,7 +75,7 @@ _DEBT_FIRST = [
     "ngram_bigram_hitters", "mix_temperature_weights",
     "text_length_histogram", "dedup_cluster_weights",
     "stream_trending_topk", "sim_mmr_rerank",
-    "basket_part_pairs", "text_kwic_window",
+    "basket_part_pairs", "text_kwic_window", "multimodal_bmp_decode",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -79,3 +79,38 @@ def test_wav_decode_real_roundtrip(spark):
         samples = [(((i * 31 + j * 7) % 256) - 128) * 256 for j in range(nf)]
         assert r["peak_amplitude"] == max(abs(s) for s in samples)
         assert r["total_abs_amplitude"] == sum(abs(s) for s in samples)
+
+
+def test_bmp_decode_real_roundtrip(spark):
+    """The REAL image codec path: struct-encoded 24-bpp BMP payloads,
+    the mapInPandas decoder parses header + padded pixel rows back from
+    the bytes and its sums match the closed-form synthesis formula."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(spark, n=10).cache()
+    payload = bytes(media.filter("media_id = 4").collect()[0]["payload"])
+    # genuine BMP: magic, 54-byte pixel offset, 24 bpp, row stride padded
+    assert payload[:2] == b"BM"
+    import struct as structmod
+    off = structmod.unpack_from("<I", payload, 10)[0]
+    w, h = structmod.unpack_from("<ii", payload, 18)
+    bpp = structmod.unpack_from("<H", payload, 28)[0]
+    assert (off, bpp) == (54, 24)
+    assert (w, h) == (8 + 4 % 5, 6 + 4 % 3)
+    assert len(payload) == 54 + ((w * 3 + 3) & ~3) * h
+
+    rows = {r["media_id"]: r for r in decode_bmp_features(media).collect()}
+    assert len(rows) == 10
+    for i, r in rows.items():
+        w, h = 8 + i % 5, 6 + i % 3
+        px = [(i * 7 + x * 3 + y * 5) % 256
+              for x in range(w) for y in range(h)]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["sum_blue"] == sum(px)
+        assert r["sum_green"] == sum((v + 11) % 256 for v in px)
+        assert r["sum_red"] == sum((v + 22) % 256 for v in px)
+        assert r["peak_rgb"] == max(
+            v + (v + 11) % 256 + (v + 22) % 256 for v in px)
