@@ -1,0 +1,278 @@
+"""Round-4 corpus-hygiene catalog entries: the second wave of
+training-data-pipeline operators beyond the reference surface -
+keep-first repeated-span removal (the C4/RefinedWeb line-dedup recipe),
+asymmetric containment near-dup (quote inclusion that Jaccard misses),
+rank-based robust outliers (exact median/MAD, no interpolation
+divergence between engines), integer-exact systematic PPS sampling,
+and a JSON key-schema profile for drift detection.
+
+All follow the repo's cross-engine exactness recipe (SURVEY.md §7.3):
+md5 for portable hashing, integer arithmetic until a single final
+double division, order statistics by explicit rank instead of
+interpolating percentile functions whose rounding differs per engine.
+The reference (a 313-line pandas/FastAPI technical test,
+etl/02_dataclean.py + api/main.py) has none of these; they extend the
+engine toward the 100 TB curation workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _events, _t, query
+from .operators import dedup
+
+
+# ---------------------------------------------------------------------
+# Repeated-span removal (corpus-level keep-first line dedup)
+# ---------------------------------------------------------------------
+
+@query("dedup_repeated_spans", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    sp AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(tk[i*16+1 : i*16+16], ' ') AS span,
+             1 + (len(tk)-1) // 16 AS n_spans
+      FROM t, LATERAL unnest(range(0, 1 + (len(tk)-1) // 16)) AS u(i)
+    ),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM sp)
+    SELECT doc_id,
+           CAST(MAX(n_spans) AS BIGINT) AS n_spans,
+           COUNT(*) AS n_spans_kept,
+           string_agg(span, ' ' ORDER BY span_idx) AS text_dedup
+    FROM r WHERE rn = 1 GROUP BY doc_id
+""")
+def dedup_repeated_spans(spark, sf_dir):
+    """C4-style repeated-span removal with keep-first semantics and text
+    reconstruction: cut every document into non-overlapping 16-token
+    spans, drop any span whose content already occurred earlier in the
+    corpus (ordered by (doc_id, span_idx)), and re-join the survivors.
+    Finer-grained than whole-document dedup: boilerplate shared across
+    otherwise-distinct documents is removed from all but its first
+    carrier. One shuffle ranks spans by their md5 digest; the rebuild
+    groupBy is the second. DuckDB reproduces the whole pipeline (spans,
+    global keep-first window, ordered re-join), so the reconstructed
+    TEXT is value-hashed, not just counts."""
+    return dedup.repeated_span_dedup(
+        _t(spark, sf_dir, "documents"), span_tokens=16)
+
+
+# ---------------------------------------------------------------------
+# Asymmetric containment near-dup (quote inclusion)
+# ---------------------------------------------------------------------
+
+@query("dedup_containment", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [] END AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    rare AS (
+      SELECT s FROM ex GROUP BY s
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= 10
+    ),
+    rposts AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM rposts l JOIN rposts r
+        ON l.s = r.s AND l.doc_id < r.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN len(a.shingles) > 0 THEN
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(a.shingles) ELSE 0.0 END AS containment_a_in_b,
+             CASE WHEN len(b.shingles) > 0 THEN
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(b.shingles) ELSE 0.0 END AS containment_b_in_a
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    )
+    SELECT * FROM scored
+    WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs: C(A in B) =
+    |S(A) & S(B)| / |S(A)| over distinct 3-gram shingles. Catches the
+    quote-inclusion case Jaccard misses (short doc embedded in a long
+    one: low symmetric similarity, ~1.0 containment) - both matter when
+    deduplicating training corpora. Candidates come from a rare-shingle
+    inverted index (df in [2, 10]) rather than minhash bands, which
+    systematically miss containment (see containment_pairs docstring);
+    the exact set arithmetic runs only on posting-mates, cost bounded
+    by sum(df^2) over rare shingles. DuckDB value-hashes the posting
+    join + both containment directions end to end."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, max_df=10, threshold=0.8)
+
+
+# ---------------------------------------------------------------------
+# Robust outliers: exact rank-based median + MAD
+# ---------------------------------------------------------------------
+
+@query("events_mad_outliers", """
+    WITH v AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, AVG(value) AS med
+      FROM v WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, abs(v.value - m.med) AS dev, m.med,
+             row_number() OVER (PARTITION BY v.event_type
+                                ORDER BY abs(v.value - m.med)) AS rn,
+             COUNT(*) OVER (PARTITION BY v.event_type) AS n
+      FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, AVG(dev) AS mad, MAX(med) AS med
+      FROM d WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           MAX(m.med) AS med,
+           MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+""")
+def events_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier counts via exact MEDIAN and MAD computed
+    as explicit order statistics: rank rows per group, average the
+    middle one or two values. Interpolating percentile functions
+    (Spark `percentile`, DuckDB `quantile_cont`) evaluate different
+    expressions for the even-count midpoint and can differ in the last
+    ulp - explicit ranks make both engines run literally (lo + hi) / 2.
+    |x - med| > 3*MAD flags outliers without the mean/stddev blowup a
+    heavy tail causes (compare events_hourly_anomalies' 2-sigma flags).
+    Two rank windows partitioned by event_type (parallel across types;
+    at 100 TB a per-type sort of doubles), one broadcast join back of
+    the |types|-row stats table."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    byv = Window.partitionBy("event_type").orderBy("value")
+    cnt = Window.partitionBy("event_type")
+    v = e.select("event_type", "value",
+                 F.row_number().over(byv).alias("rn"),
+                 F.count(F.lit(1)).over(cnt).alias("n"))
+    med = (v.filter((F.col("rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("rn") == F.expr("(n + 2) div 2")))
+           .groupBy("event_type").agg(F.avg("value").alias("med")))
+    d = (e.join(F.broadcast(med), "event_type")
+         .select("event_type", "med",
+                 F.abs(F.col("value") - F.col("med")).alias("dev"))
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("event_type").orderBy("dev")))
+         .withColumn("n", F.count(F.lit(1)).over(cnt)))
+    mad = (d.filter((F.col("rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("rn") == F.expr("(n + 2) div 2")))
+           .groupBy("event_type").agg(F.avg("dev").alias("mad"),
+                                      F.max("med").alias("med")))
+    return (e.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("med").alias("med"),
+                 F.max("mad").alias("mad"),
+                 F.sum(F.when(F.abs(F.col("value") - F.col("med"))
+                              > 3 * F.col("mad"), 1).otherwise(0))
+                 .cast("long").alias("n_outliers")))
+
+
+# ---------------------------------------------------------------------
+# Systematic PPS sampling (integer-exact weighted sampling)
+# ---------------------------------------------------------------------
+
+SYSTEMATIC_K = 100
+
+
+@query("sample_weighted_systematic", """
+    WITH w AS (
+      SELECT doc_id, n_chars AS weight,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER () AS total
+      FROM documents
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(cum AS BIGINT) AS cum_weight,
+           CAST(cum // (total // 100) AS BIGINT) AS sample_idx
+    FROM w
+    WHERE cum // (total // 100) > (cum - weight) // (total // 100)
+      AND cum // (total // 100) <= 100
+""")
+def sample_weighted_systematic(spark, sf_dir):
+    """Systematic probability-proportional-to-size sampling: walk the
+    doc_id-ordered cumulative weight line (weight = n_chars) and take
+    the document under each multiple of total/K. Selection probability
+    is proportional to weight, coverage is guaranteed across the whole
+    corpus (unlike Bernoulli draws), and EVERY operation is integer
+    (running sum, floor division, crossing test) - exactly reproducible
+    on any engine, no pow/log of the exponential-keys method (A-ES)
+    whose libm rounding differs per platform. The running sum is a
+    prefix scan: expressed here as an unpartitioned window (same
+    precedent as text_pack_sequences - Spark executes it single
+    partition); at 100 TB replace with the two-pass pattern
+    (per-partition subtotals -> broadcast offsets -> local scan) -
+    the crossing test is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    run = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy()
+    w = docs.select(
+        "doc_id", F.col("n_chars").alias("weight"),
+        F.sum("n_chars").over(run).alias("cum"),
+        F.sum("n_chars").over(full).alias("total"))
+    idx = F.expr(f"cum div (total div {SYSTEMATIC_K})")
+    prev_idx = F.expr(
+        f"(cum - weight) div (total div {SYSTEMATIC_K})")
+    return (w.filter((idx > prev_idx) & (idx <= SYSTEMATIC_K))
+            .select("doc_id", F.col("weight").cast("long").alias("weight"),
+                    F.col("cum").cast("long").alias("cum_weight"),
+                    idx.cast("long").alias("sample_idx")))
+
+
+# ---------------------------------------------------------------------
+# JSON key-schema profile (drift detection over semi-structured props)
+# ---------------------------------------------------------------------
+
+@query("events_json_key_profile", """
+    WITH k AS (
+      SELECT event_type, unnest(json_keys(props)) AS key
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type, key, COUNT(*) AS n
+    FROM k GROUP BY event_type, key
+""")
+def events_json_key_profile(spark, sf_dir):
+    """Schema profile of a semi-structured JSON column: per event type,
+    which keys appear and how often - the drift detector that catches a
+    producer adding/dropping fields before a downstream extract breaks
+    (the companion to events_json_extract, which pulls known keys).
+    json_object_keys runs JVM-side (no UDF); one narrow explode then a
+    map-side-combined count aggregate. At 100 TB the result is
+    |types| x |keys| rows - tiny regardless of input size."""
+    e = _events(spark, sf_dir).filter(F.col("props").isNotNull())
+    return (e.select("event_type",
+                     F.explode(F.json_object_keys("props")).alias("key"))
+            .groupBy("event_type", "key")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -346,3 +346,100 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             f"(graph diameter exceeds it)")
     return labels.select(F.col("v").alias("vertex"),
                          F.col("label").alias("component_id"))
+
+
+def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        span_tokens: int = 16) -> DataFrame:
+    """Corpus-level repeated-span removal, keep-first (the C4/RefinedWeb
+    line-dedup recipe adapted to an unpunctuated corpus: the 'line' is a
+    fixed window of ``span_tokens`` consecutive tokens). Every document
+    is cut into non-overlapping spans; a span that already occurred
+    earlier in the corpus (ordered by (id, span_idx)) is dropped; the
+    surviving spans are re-joined into the deduplicated text. Returns
+    (id, n_spans, n_spans_kept, text_dedup) for documents keeping >= 1
+    span - fully-duplicated documents disappear, which IS the policy.
+
+    Scale shape: posexplode is narrow; the single shuffle is the
+    keep-first window, partitioned by the span's md5 DIGEST (fixed 32
+    bytes) - the span text rides along here for the rebuild, but at
+    100 TB you would rank on (digest, id, span_idx) alone and re-derive
+    the text in a second narrow pass, shuffling digests only. The
+    reconstruction groupBy re-shuffles by id (rows already carry only
+    kept spans)."""
+    from pyspark.sql import Window
+
+    spans = (df
+             .select(id_col, tokens(text_col).alias("_t"))
+             .select(id_col,
+                     F.expr(f"1 + (size(_t)-1) div {span_tokens}")
+                     .alias("n_spans"),
+                     F.posexplode(F.expr(
+                         f"transform(sequence(0, (size(_t)-1) div {span_tokens}),"
+                         f" i -> concat_ws(' ', slice(_t, i*{span_tokens}+1,"
+                         f" {span_tokens})))"))
+                     .alias("span_idx", "span")))
+    w = Window.partitionBy(F.md5("span")).orderBy(id_col, "span_idx")
+    kept = (spans.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.max("n_spans").cast("long").alias("n_spans"),
+                 F.count(F.lit(1)).alias("n_spans_kept"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("span_idx", "span"))),
+                     lambda s: s["span"])).alias("text_dedup")))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      max_df: int = 10,
+                      threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment C(A in B) =
+    |S(A) & S(B)| / |S(A)| on distinct n-gram shingle sets. Jaccard
+    misses quote-inclusion (a short doc embedded in a long one scores
+    low symmetric similarity but ~1.0 containment); training-data
+    pipelines dedup both.
+
+    Candidate generation is a rare-shingle inverted index (the prefix-
+    filtering family), NOT minhash bands: a Jaccard-tuned band join
+    systematically misses containment, because the container's extra
+    shingles steal the min-hashes (P[h_min(B) lands in A's subset] =
+    |A|/|B|, exactly the small number containment is supposed to catch).
+    Instead, two docs are candidates iff they share ANY shingle whose
+    corpus document-frequency is in [2, max_df] - deterministic recall
+    for every pair sharing a rare shingle, and the self-join cost is
+    bounded by sum(df^2) over rare shingles, never all pairs. Pairs
+    overlapping ONLY in boilerplate shingles (df > max_df) are skipped
+    by design: ubiquitous-shingle overlap is not a quote. Emits pairs
+    where either direction >= threshold, both directions reported;
+    integer set sizes divided once in double - portable across
+    engines."""
+    _release_prior_cache()
+    sh = _cache(shingled_docs(df, id_col, text_col, n)
+                .select(id_col, F.array_distinct("shingles").alias("sh")))
+    posts = sh.select(id_col, F.explode("sh").alias("s"))
+    rare = (posts.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+            .select("s"))
+    rposts = posts.join(rare, "s")
+    a = rposts.select(F.col("s"), F.col(id_col).alias("id_a"))
+    b = rposts.select(F.col("s"), F.col(id_col).alias("id_b"))
+    cand = (a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+             .select("id_a", "id_b",
+                     F.when(F.size("sh_a") > 0,
+                            inter.cast("double") / F.size("sh_a"))
+                     .otherwise(F.lit(0.0)).alias("containment_a_in_b"),
+                     F.when(F.size("sh_b") > 0,
+                            inter.cast("double") / F.size("sh_b"))
+                     .otherwise(F.lit(0.0)).alias("containment_b_in_a")))
+    return pairs.filter((F.col("containment_a_in_b") >= threshold)
+                        | (F.col("containment_b_in_a") >= threshold))

@@ -25,7 +25,8 @@ order at the end until classified.
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_etl, catalog_ext, catalog_llm,
-    catalog_scale, catalog_tpch, catalog_warehouse, catalog_win,
+    catalog_pipe, catalog_scale, catalog_tpch, catalog_warehouse,
+    catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -76,6 +77,8 @@ _DEBT_FIRST = [
     "text_length_histogram", "dedup_cluster_weights",
     "stream_trending_topk", "sim_mmr_rerank",
     "basket_part_pairs", "text_kwic_window", "multimodal_bmp_decode",
+    "dedup_repeated_spans", "dedup_containment", "events_mad_outliers",
+    "sample_weighted_systematic", "events_json_key_profile",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

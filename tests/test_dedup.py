@@ -112,3 +112,38 @@ def test_connected_components_raises_when_unconverged(spark):
     got = {r.vertex: r.component_id
            for r in connected_components(chain, max_iter=10).collect()}
     assert set(got.values()) == {0}
+
+
+def test_repeated_span_dedup_keep_first(spark):
+    """A span shared by two docs survives only in the earlier one; the
+    survivor text is reconstructed in original span order."""
+    words = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    shared = words("dup", 16)                  # one exact 16-token span
+    a = shared + " " + words("a", 16)          # doc 0: shared + unique
+    b = shared + " " + words("b", 16)          # doc 1: shared + unique
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.repeated_span_dedup(docs, span_tokens=16).collect()}
+    assert out[0]["n_spans"] == 2 and out[0]["n_spans_kept"] == 2
+    assert out[0]["text_dedup"] == a           # first carrier keeps all
+    assert out[1]["n_spans"] == 2 and out[1]["n_spans_kept"] == 1
+    assert out[1]["text_dedup"] == words("b", 16)  # shared span removed
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully embedded in a long one: low Jaccard (misses the
+    0.5 threshold) but containment ~1.0 in the short->long direction."""
+    short = " ".join(f"q{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(48))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long_)], "doc_id long, text string")
+    pairs = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (0, 1)
+    assert p["containment_a_in_b"] == 1.0      # every shingle of 0 is in 1
+    assert p["containment_b_in_a"] < 0.5       # but not vice versa
+    # and the symmetric Jaccard path would NOT pair them at 0.5
+    jac = dedup.minhash_near_dups(docs, threshold=0.5).collect()
+    assert jac == []
