@@ -276,3 +276,194 @@ def events_json_key_profile(spark, sf_dir):
                      F.explode(F.json_object_keys("props")).alias("key"))
             .groupBy("event_type", "key")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------
+# Time-series resample with gap fill (integer bucket grid)
+# ---------------------------------------------------------------------
+
+@query("events_resample_gapfill", """
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 // 900 * 900 AS bucket_s
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket_s, COUNT(*) AS n
+      FROM b GROUP BY event_type, bucket_s
+    ),
+    bounds AS (SELECT MIN(bucket_s) AS lo, MAX(bucket_s) AS hi FROM b),
+    grid AS (
+      SELECT t.event_type, g.bucket_s
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           LATERAL unnest(range(bounds.lo, bounds.hi + 1, 900))
+             AS g(bucket_s)
+    )
+    SELECT grid.event_type,
+           CAST(grid.bucket_s AS BIGINT) AS bucket_s,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_events
+    FROM grid LEFT JOIN counts
+      ON grid.event_type = counts.event_type
+     AND grid.bucket_s = counts.bucket_s
+""")
+def events_resample_gapfill(spark, sf_dir):
+    """Resample an event stream onto a regular 15-minute grid with
+    explicit zero rows for empty buckets - the gap-fill every
+    time-series chart/model needs (a groupBy alone silently drops empty
+    intervals, which reads as 'no data' instead of 'zero events').
+    Buckets are INTEGER epoch seconds (floor to 900 s) so the grid, the
+    join keys, and the zero-fill are engine-exact - no timestamp
+    arithmetic or timezone coercion in the comparison path. The dense
+    grid is generated, not scanned: one tiny global min/max aggregate,
+    sequence() per event type, then a left join of (types x buckets)
+    against the counts - at 100 TB the grid side is |types| * |buckets|
+    rows regardless of event volume, and the counts aggregate is
+    map-side combined."""
+    e = _events(spark, sf_dir)
+    b = e.select(
+        "event_type",
+        (F.unix_timestamp("ts").cast("long") / 900).cast("long")
+        .alias("_q"))
+    b = b.select("event_type", (F.col("_q") * 900).alias("bucket_s"))
+    counts = (b.groupBy("event_type", "bucket_s")
+              .agg(F.count(F.lit(1)).alias("n")))
+    bounds = b.agg(F.min("bucket_s").alias("lo"),
+                   F.max("bucket_s").alias("hi"))
+    types = e.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence("lo", "hi", F.lit(900)))
+                    .alias("bucket_s")))
+    return (grid.join(counts, ["event_type", "bucket_s"], "left")
+            .select("event_type",
+                    F.col("bucket_s").cast("long").alias("bucket_s"),
+                    F.coalesce("n", F.lit(0)).cast("long")
+                    .alias("n_events")))
+
+
+# ---------------------------------------------------------------------
+# Week-over-week revenue change (calendar-correct, decimal-exact)
+# ---------------------------------------------------------------------
+
+@query("orders_wow_change", """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_orderdate
+    )
+    SELECT c.d AS order_date,
+           CAST(c.rev AS DOUBLE) AS revenue,
+           CAST(p.rev AS DOUBLE) AS revenue_prev_week,
+           CAST((c.rev - p.rev) AS DOUBLE) / CAST(p.rev AS DOUBLE)
+             AS wow_change
+    FROM daily c JOIN daily p ON p.d = c.d - INTERVAL 7 DAY
+""")
+def orders_wow_change(spark, sf_dir):
+    """Week-over-week revenue change, calendar-correct: the comparison
+    joins on d - 7 DAYS, not lag(7) - a lag over row position silently
+    compares against the wrong day whenever any date is absent from the
+    data, the classic period-over-period bug. Daily revenue accumulates
+    in DECIMAL(18,2) (exact, fold-order-free) and converts to double
+    once for the single ratio division, so both engines compute
+    literally the same IEEE ops. The daily aggregate is one map-side
+    combined shuffle; the self-join runs on the ~|days| aggregate,
+    broadcast at any corpus scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("rev")))
+    c, p = daily.alias("c"), daily.alias("p")
+    return (c.join(F.broadcast(p),
+                   F.col("p.d") == F.date_sub(F.col("c.d"), 7))
+            .select(F.col("c.d").alias("order_date"),
+                    F.col("c.rev").cast("double").alias("revenue"),
+                    F.col("p.rev").cast("double")
+                    .alias("revenue_prev_week"),
+                    ((F.col("c.rev") - F.col("p.rev")).cast("double")
+                     / F.col("p.rev").cast("double")).alias("wow_change")))
+
+
+# ---------------------------------------------------------------------
+# Declarative data-quality rules summary (single scan per table)
+# ---------------------------------------------------------------------
+
+@query("dq_rules_summary", """
+    WITH li AS (
+      SELECT
+        SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                 THEN 1 ELSE 0 END) AS qty_nonpositive,
+        SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                 THEN 1 ELSE 0 END) AS discount_out_of_range,
+        SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS tax_negative,
+        SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+                 THEN 1 ELSE 0 END) AS price_nonpositive,
+        SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                 THEN 1 ELSE 0 END) AS returnflag_invalid
+      FROM lineitem
+    ),
+    o AS (
+      SELECT
+        SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                 THEN 1 ELSE 0 END) AS totalprice_nonpositive,
+        SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+          AS orderdate_null,
+        SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+          AS custkey_null
+      FROM orders
+    )
+    SELECT 'lineitem' AS tbl, r.rule, r.n_violations FROM li,
+    LATERAL (VALUES
+      ('qty_nonpositive', CAST(qty_nonpositive AS BIGINT)),
+      ('discount_out_of_range', CAST(discount_out_of_range AS BIGINT)),
+      ('tax_negative', CAST(tax_negative AS BIGINT)),
+      ('price_nonpositive', CAST(price_nonpositive AS BIGINT)),
+      ('returnflag_invalid', CAST(returnflag_invalid AS BIGINT))
+    ) AS r(rule, n_violations)
+    UNION ALL
+    SELECT 'orders' AS tbl, r.rule, r.n_violations FROM o,
+    LATERAL (VALUES
+      ('totalprice_nonpositive', CAST(totalprice_nonpositive AS BIGINT)),
+      ('orderdate_null', CAST(orderdate_null AS BIGINT)),
+      ('custkey_null', CAST(custkey_null AS BIGINT))
+    ) AS r(rule, n_violations)
+""")
+def dq_rules_summary(spark, sf_dir):
+    """Declarative data-quality suite (the dbt-tests/Great-Expectations
+    shape): N validation rules per table evaluated as stacked
+    conditional aggregates in ONE scan per table, then unpivoted to
+    (tbl, rule, n_violations) rows. The naive form - one COUNT query
+    per rule - scans the fact table N times; stacking makes rule count
+    free at 100 TB (same single pass, map-side combined). Rules are
+    conditional integer sums, so cross-engine exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li_rules = {
+        "qty_nonpositive":
+            F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0),
+        "discount_out_of_range":
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        "tax_negative": F.col("l_tax") < 0,
+        "price_nonpositive":
+            F.col("l_extendedprice").isNull()
+            | (F.col("l_extendedprice") <= 0),
+        "returnflag_invalid": ~F.col("l_returnflag").isin("A", "N", "R"),
+    }
+    o_rules = {
+        "totalprice_nonpositive":
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        "orderdate_null": F.col("o_orderdate").isNull(),
+        "custkey_null": F.col("o_custkey").isNull(),
+    }
+
+    def summarize(df, tbl, rules):
+        wide = df.agg(*[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in rules.items()])
+        stack = ", ".join(f"'{n}', {n}" for n in rules)
+        return wide.select(
+            F.lit(tbl).alias("tbl"),
+            F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"))
+
+    return summarize(li, "lineitem", li_rules).unionAll(
+        summarize(o, "orders", o_rules))

@@ -79,6 +79,7 @@ _DEBT_FIRST = [
     "basket_part_pairs", "text_kwic_window", "multimodal_bmp_decode",
     "dedup_repeated_spans", "dedup_containment", "events_mad_outliers",
     "sample_weighted_systematic", "events_json_key_profile",
+    "events_resample_gapfill", "orders_wow_change", "dq_rules_summary",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
