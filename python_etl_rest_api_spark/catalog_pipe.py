@@ -76,28 +76,33 @@ def dedup_repeated_spans(spark, sf_dir):
              ELSE [] END AS shingles
       FROM toks
     ),
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hp AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    hs AS (SELECT doc_id, list(DISTINCT h) AS hset FROM hp GROUP BY doc_id),
     rare AS (
-      SELECT s FROM ex GROUP BY s
+      SELECT h FROM hp GROUP BY h
       HAVING COUNT(*) >= 2 AND COUNT(*) <= 10
     ),
-    rposts AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+    rposts AS (SELECT hp.doc_id, hp.h FROM hp JOIN rare USING (h)),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM rposts l JOIN rposts r
-        ON l.s = r.s AND l.doc_id < r.doc_id
+        ON l.h = r.h AND l.doc_id < r.doc_id
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
-             CASE WHEN len(a.shingles) > 0 THEN
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(a.shingles) ELSE 0.0 END AS containment_a_in_b,
-             CASE WHEN len(b.shingles) > 0 THEN
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(b.shingles) ELSE 0.0 END AS containment_b_in_a
+             CASE WHEN len(a.hset) > 0 THEN
+               CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                 / len(a.hset) ELSE 0.0 END AS containment_a_in_b,
+             CASE WHEN len(b.hset) > 0 THEN
+               CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+                 / len(b.hset) ELSE 0.0 END AS containment_b_in_a
       FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b
+      JOIN hs a ON a.doc_id = c.id_a
+      JOIN hs b ON b.doc_id = c.id_b
     )
     SELECT * FROM scored
     WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
