@@ -51,6 +51,7 @@ HEADLINE = [
     "etl_clean_scaled",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_repeated_spans",
     "pipeline_docs_curate",
     "pipeline_training_data",
     "sim_topk_bruteforce",

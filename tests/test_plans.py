@@ -109,3 +109,27 @@ def test_clean_pipeline_parses_once(spark):
                 "timestamp-parse chain re-inlined into a filter:\n" + b[:500])
             assert "md5" not in b, (
                 "derivation chain re-inlined into a filter:\n" + b[:500])
+
+
+def test_pipe_wave_plan_shapes(spark):
+    """Round-4 corpus-hygiene wave invariants: the containment and
+    repeated-span paths stay equi-join/bucketed (no quadratic node),
+    and dq_rules_summary reads each fact table exactly once (the whole
+    point of stacking N rules into one conditional aggregate)."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    for name in ["dedup_containment", "dedup_repeated_spans",
+                 "events_resample_gapfill", "sample_weighted_systematic",
+                 "events_mad_outliers", "orders_wow_change"]:
+        plan = simple_plan(registry.QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} went cartesian"
+        # resample's grid side legitimately crossJoins a broadcast
+        # 1-row (lo, hi) bounds aggregate against |types| rows; any
+        # OTHER nested-loop is a regression.
+        if name != "events_resample_gapfill":
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} BNLJ"
+
+    dq = registry.QUERIES["dq_rules_summary"](spark, SF)
+    plan = simple_plan(dq)
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned >1x"
+    assert plan.count("orders.parquet") == 1, "orders scanned >1x"
