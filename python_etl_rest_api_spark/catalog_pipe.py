@@ -472,3 +472,147 @@ def dq_rules_summary(spark, sf_dir):
 
     return summarize(li, "lineitem", li_rules).unionAll(
         summarize(o, "orders", o_rules))
+
+
+# ---------------------------------------------------------------------
+# CDC apply (MERGE INTO semantics: insert / update / delete in one pass)
+# ---------------------------------------------------------------------
+
+@query("cdc_apply_changes", """
+    WITH changes AS (
+      SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 1000000
+                  ELSE o_orderkey END AS key,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 = 1 THEN 'U'
+                  ELSE 'I' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CASE WHEN o_orderkey % 10 = 1
+                         THEN CAST(10.00 AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END
+                  AS DOUBLE) AS new_totalprice,
+             o_orderstatus AS new_status
+      FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)
+    ),
+    base AS (
+      SELECT o_orderkey AS key,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    untouched AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM changes c
+                        WHERE c.key = b.key AND c.op IN ('D', 'U'))
+    ),
+    applied AS (
+      SELECT key, new_totalprice AS totalprice, new_status AS status
+      FROM changes WHERE op IN ('U', 'I')
+    )
+    SELECT * FROM untouched UNION ALL SELECT * FROM applied
+""")
+def cdc_apply_changes(spark, sf_dir):
+    """MERGE INTO semantics without a table format: apply an I/U/D
+    change feed to a base snapshot in one pass - DELETEs and UPDATEs
+    leave via a left-anti join on the change keys, then UPDATE and
+    INSERT rows union back in. This is the APPLY side of CDC
+    (cdc_snapshot_diff is the DETECT side); together they replicate a
+    source table through periodic dumps + changelogs. The change feed
+    here is derived deterministically from orders (key % 10 picks the
+    op; updates bump the price by an exact DECIMAL 10.00) so the fully
+    applied table is value-hashable. At 100 TB: one shuffle of base and
+    feed on the key for the anti join - or zero, if the base is
+    bucketed by key (sources/warehouse.py::write_bucketed) and the feed
+    is broadcast-small, the common case for incremental loads."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"))
+    ch = (o.filter(F.col("o_orderkey") % 10 < 3)
+          .select(
+              F.when(F.col("o_orderkey") % 10 == 2,
+                     F.col("o_orderkey") + 1000000)
+              .otherwise(F.col("o_orderkey")).alias("key"),
+              F.when(F.col("o_orderkey") % 10 == 0, F.lit("D"))
+              .when(F.col("o_orderkey") % 10 == 1, F.lit("U"))
+              .otherwise(F.lit("I")).alias("op"),
+              (F.col("o_totalprice").cast("decimal(18,2)")
+               + F.when(F.col("o_orderkey") % 10 == 1,
+                        F.lit("10.00").cast("decimal(18,2)"))
+               .otherwise(F.lit(0).cast("decimal(18,2)")))
+              .cast("double").alias("new_totalprice"),
+              F.col("o_orderstatus").alias("new_status")))
+    touched_keys = ch.filter(F.col("op").isin("D", "U")).select("key")
+    untouched = base.join(touched_keys, "key", "left_anti")
+    applied = (ch.filter(F.col("op").isin("U", "I"))
+               .select("key", F.col("new_totalprice").alias("totalprice"),
+                       F.col("new_status").alias("status")))
+    return untouched.unionByName(applied)
+
+
+# ---------------------------------------------------------------------
+# First-touch / last-touch conversion attribution matrix
+# ---------------------------------------------------------------------
+
+@query("events_touch_matrix", """
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+    ),
+    ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM pre
+    ),
+    touches AS (
+      SELECT f.user_id,
+             f.event_type AS first_touch,
+             l.event_type AS last_touch
+      FROM ranked f JOIN ranked l
+        ON f.user_id = l.user_id AND f.rn_first = 1 AND l.rn_last = 1
+    )
+    SELECT first_touch, last_touch, COUNT(*) AS n_users
+    FROM touches GROUP BY first_touch, last_touch
+""")
+def events_touch_matrix(spark, sf_dir):
+    """First-touch x last-touch attribution matrix: for every user who
+    converted (first 'purchase'), which event type opened their journey
+    and which one closed it - the two attribution models marketing
+    compares first, in one result. Complements join_asof_attribution
+    (per-purchase last touch): this is per-USER journey framing with
+    integer counts only, so it is engine-exact without fractional
+    credit division. Ties break on (ts, event_id) - deterministic under
+    any partitioning. Plan: tiny conversion aggregate joined back
+    (broadcast), one user_id window shuffle computing both rank
+    directions in the same exchange, then a cells-not-users final
+    aggregate."""
+    e = _events(spark, sf_dir)
+    conv = (e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id").agg(F.min("ts").alias("conv_ts")))
+    pre = (e.join(F.broadcast(conv), "user_id")
+           .filter((F.col("ts") < F.col("conv_ts"))
+                   & (F.col("event_type") != "purchase"))
+           .select("user_id", "event_type", "ts", "event_id"))
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ranked = pre.select(
+        "user_id", "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"))
+    first = (ranked.filter(F.col("rn_first") == 1)
+             .select("user_id", F.col("event_type").alias("first_touch")))
+    last = (ranked.filter(F.col("rn_last") == 1)
+            .select("user_id", F.col("event_type").alias("last_touch")))
+    return (first.join(last, "user_id")
+            .groupBy("first_touch", "last_touch")
+            .agg(F.count(F.lit(1)).alias("n_users")))
