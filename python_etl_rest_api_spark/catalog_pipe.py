@@ -616,3 +616,81 @@ def events_touch_matrix(spark, sf_dir):
     return (first.join(last, "user_id")
             .groupBy("first_touch", "last_touch")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+# ---------------------------------------------------------------------
+# Two-sample KS drift statistic (exact ECDFs from integer running sums)
+# ---------------------------------------------------------------------
+
+@query("stats_ks_drift", """
+    WITH c AS (
+      SELECT source, n_chars, COUNT(*) AS cnt
+      FROM documents GROUP BY source, n_chars
+    ),
+    xs AS (SELECT DISTINCT n_chars FROM documents),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    grid AS (
+      SELECT s.source, s.n_s, x.n_chars FROM srcs s, xs x
+    ),
+    cum AS (
+      SELECT g.source, g.n_s, g.n_chars,
+             SUM(COALESCE(c.cnt, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+      FROM grid g LEFT JOIN c
+        ON c.source = g.source AND c.n_chars = g.n_chars
+    ),
+    cumt AS (
+      SELECT n_chars,
+             SUM(cnt_x) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM (SELECT n_chars, SUM(cnt) AS cnt_x FROM c GROUP BY n_chars)
+    )
+    SELECT cum.source,
+           CAST(MAX(cum.n_s) AS BIGINT) AS n_source,
+           MAX(abs(CAST(cum.cum_s AS DOUBLE) / cum.n_s
+                   - CAST(cumt.cum_all - cum.cum_s AS DOUBLE)
+                     / (tot.n_total - cum.n_s))) AS ks_stat
+    FROM cum JOIN cumt ON cum.n_chars = cumt.n_chars, tot
+    GROUP BY cum.source
+""")
+def stats_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic, each source vs the
+    rest of the corpus, over the document-length distribution:
+    KS_s = max_x |F_s(x) - F_rest(x)|. The detector that catches a
+    source whose length DISTRIBUTION shifted even when its mean did not
+    (the failure mode mean/stddev monitors miss). Exact by
+    construction: both ECDFs are INTEGER running sums over the same
+    distinct-value grid, divided once each in double at the comparison
+    - no interpolation, no binning error. Plan: one (source, x) count
+    aggregate, a generated |sources| x |distinct x| grid with
+    per-source running-sum windows (each source scans independently; at
+    100 TB the grid is bounded by distinct measurement values, not
+    rows), and a max aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    xs = docs.select("n_chars").distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = srcs.crossJoin(xs)
+    w_s = (Window.partitionBy("source").orderBy("n_chars")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.join(c, ["source", "n_chars"], "left")
+           .select("source", "n_s", "n_chars",
+                   F.sum(F.coalesce("cnt", F.lit(0))).over(w_s)
+                   .alias("cum_s")))
+    w_t = (Window.orderBy("n_chars")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cumt = (c.groupBy("n_chars").agg(F.sum("cnt").alias("cnt_x"))
+            .select("n_chars",
+                    F.sum("cnt_x").over(w_t).alias("cum_all")))
+    d = (F.abs(F.col("cum_s").cast("double") / F.col("n_s")
+               - (F.col("cum_all") - F.col("cum_s")).cast("double")
+               / (F.col("n_total") - F.col("n_s"))))
+    return (cum.join(cumt, "n_chars")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source")
+            .agg(F.max("n_s").cast("long").alias("n_source"),
+                 F.max(d).alias("ks_stat")))

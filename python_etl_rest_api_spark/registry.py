@@ -80,7 +80,7 @@ _DEBT_FIRST = [
     "dedup_repeated_spans", "dedup_containment", "events_mad_outliers",
     "sample_weighted_systematic", "events_json_key_profile",
     "events_resample_gapfill", "orders_wow_change", "dq_rules_summary",
-    "cdc_apply_changes", "events_touch_matrix",
+    "cdc_apply_changes", "events_touch_matrix", "stats_ks_drift",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
