@@ -694,3 +694,109 @@ def stats_ks_drift(spark, sf_dir):
             .groupBy("source")
             .agg(F.max("n_s").cast("long").alias("n_source"),
                  F.max(d).alias("ks_stat")))
+
+
+# ---------------------------------------------------------------------
+# PQ-ADC approximate nearest neighbors (compressed-domain scoring)
+# ---------------------------------------------------------------------
+
+@query("sim_topk_ann_pq", """
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+             embedding AS sv
+      FROM embeddings QUALIFY c < 16
+    ),
+    ms AS (SELECT unnest(range(0, 4)) AS m),
+    cb AS (
+      SELECT c, m,
+             list_transform(range(1, 17),
+               i -> CAST(sv[m*16 + i] AS DOUBLE)) AS cw
+      FROM seeds, ms
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             list_transform(range(1, 17),
+               i -> CAST(embedding[m*16 + i] AS DOUBLE)) AS xv
+      FROM embeddings, ms
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cb.c,
+             list_reduce(list_transform(range(1, 17),
+                 i -> (s.xv[i] - cb.cw[i]) * (s.xv[i] - cb.cw[i])),
+                 (x, y) -> x + y) AS d
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, c) AS rn FROM dist) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+    qsub AS (
+      SELECT qid, m,
+             list_transform(range(1, 17),
+               i -> CAST(qv[m*16 + i] AS DOUBLE)) AS qm
+      FROM q, ms
+    ),
+    tab AS (
+      SELECT qs.qid, qs.m, cb.c,
+             list_reduce(list_transform(range(1, 17),
+                 i -> qs.qm[i] * cb.cw[i]), (x, y) -> x + y) AS part
+      FROM qsub qs JOIN cb ON cb.m = qs.m
+    ),
+    adc AS (
+      SELECT t.qid, co.vec_id,
+             MAX(CASE WHEN t.m = 0 THEN t.part END)
+             + MAX(CASE WHEN t.m = 1 THEN t.part END)
+             + MAX(CASE WHEN t.m = 2 THEN t.part END)
+             + MAX(CASE WHEN t.m = 3 THEN t.part END) AS adc
+      FROM codes co JOIN tab t ON t.m = co.m AND t.c = co.c
+      WHERE co.vec_id != t.qid
+      GROUP BY t.qid, co.vec_id
+    ),
+    pool AS (
+      SELECT qid, vec_id, adc FROM (
+        SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, vec_id) AS rn FROM adc) WHERE rn <= 30
+    ),
+    pairs AS (
+      SELECT p.qid, p.vec_id, p.adc,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM pool p
+      JOIN q ON q.qid = p.qid
+      JOIN embeddings e ON e.vec_id = p.vec_id
+    )
+    SELECT qid, vec_id, adc, sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+""")
+def sim_topk_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with ADC scoring: the third ANN family
+    after SRP-LSH (random hyperplanes) and IVF (learned cells), and the
+    one that changes the STORAGE story - the scoring pass reads 4-byte
+    PQ codes instead of 256-byte float vectors, so a billion-vector
+    corpus scans GBs, not TBs. Deterministic codebooks (subvectors of
+    the 16 lowest-id vectors, the ivf refine_steps=0 convention), codes
+    by sequential-fold squared-L2 argmin, per-query ADC tables summed
+    in pinned subspace order, ADC top-30 pool, exact cosine re-rank to
+    top-10. The oracle reproduces codebooks, code assignment, ADC
+    scores, pool membership, and the final ranking bit-for-bit.
+    Compose with topk_ann_ivf's inverted file for IVF-PQ."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return similarity.topk_ann_pq(emb, queries, dim=64, k=10, pool=30,
+                                  m_sub=4, n_codewords=16) \
+        .select("qid", "vec_id", "adc", "sim", "rank")

@@ -356,3 +356,118 @@ def mmr_rerank(corpus: DataFrame, query: DataFrame, pool: int = 12,
         chosen.append(best[0])
         selected.append((len(selected) + 1, best[0], rel[best[0]], best[1]))
     return selected
+
+
+def pq_codebooks(corpus: DataFrame, n_codewords: int = 16, m_sub: int = 4,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks: split the vector into ``m_sub``
+    contiguous subspaces; codebook m = subvectors m of the
+    ``n_codewords`` lowest-id vectors (deterministic seeding, same
+    convention as ivf_centroids refine_steps=0 - no RNG, no
+    order-dependent float means, so the SQL oracle reproduces the
+    codebooks exactly). Returns (m_sub, n_codewords, dim/m_sub).
+    Driver holds only the codebook (k x dim floats), never the corpus."""
+    seeds = (corpus.orderBy(id_col).limit(n_codewords)
+             .select(vec_col).collect())
+    cb = np.array([r[0] for r in seeds], dtype=np.float64)   # (K, dim)
+    s = dim // m_sub
+    return cb.reshape(n_codewords, m_sub, s).transpose(1, 0, 2)
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as ``m_sub`` one-byte codes: per subspace,
+    the codeword minimizing squared L2 distance (sequential fold over
+    the subspace dims in float64; ties -> lowest codeword index, numpy
+    argmin first-occurrence == SQL ORDER BY d, c). One Arrow-batched
+    map pass, no shuffle: this is the compression step that turns a
+    256-byte float vector into m_sub bytes - the representation a
+    billion-vector corpus actually stores."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks)            # (m, K, s)
+    m_sub, _, s = cb.shape
+
+    @pandas_udf("array<int>")
+    def encode(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.to_numpy()).astype(np.float64)   # (n, dim)
+        n = mat.shape[0]
+        codes = np.zeros((n, m_sub), dtype=np.int64)
+        for m in range(m_sub):
+            sub = mat[:, m * s:(m + 1) * s]                  # (n, s)
+            acc = np.zeros((n, cb.shape[1]))
+            for i in range(s):                   # sequential over dims
+                diff = sub[:, i:i + 1] - cb[m, None, :, i]
+                acc = acc + diff * diff
+            codes[:, m] = np.argmin(acc, axis=1)  # first occurrence
+        return pd.Series([[int(c) for c in row] for row in codes])
+
+    return corpus.select(id_col, vec_col, encode(F.col(vec_col))
+                         .alias("codes"))
+
+
+def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
+                k: int = 10, pool: int = 30, m_sub: int = 4,
+                n_codewords: int = 16, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                qid_col: str = "qid") -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: encode the corpus once as
+    m_sub-byte PQ codes, score candidates by Asymmetric Distance
+    Computation (per query, a (m_sub x n_codewords) table of
+    query-subvector . codeword dot products; a vector's approximate
+    inner product is m_sub table lookups summed in fixed subspace
+    order), take the ADC top-``pool``, exact-cosine re-rank to top-k.
+
+    The scale story the float paths can't tell: the corpus side of the
+    scoring pass touches only (id, m_sub bytes) - at a billion vectors
+    that is GBs instead of TBs, and the ADC pass is a narrow map over
+    codes with the tiny per-query tables broadcast. Compose with the
+    IVF inverted file (topk_ann_ivf) for cell-pruned IVF-PQ. Every
+    float op is an explicit sequential fold (dims, then subspaces), so
+    the DuckDB oracle reproduces codes, ADC scores, pool membership,
+    and the re-ranked result bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
+    s = dim // m_sub
+    qrows = queries.orderBy(qid_col).collect()
+    qids = [r[qid_col] for r in qrows]
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (Q, dim)
+    tables = np.zeros((len(qids), m_sub, n_codewords))
+    for m in range(m_sub):
+        for i in range(s):                       # sequential over dims
+            tables[:, m, :] = (tables[:, m, :]
+                               + qmat[:, m * s + i, None] * cb[None, m, :, i])
+
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+
+    @pandas_udf("array<double>")
+    def adc(codes_col: pd.Series) -> pd.Series:
+        cmat = np.stack(codes_col.to_numpy()).astype(np.int64)  # (n, m)
+        acc = np.zeros((cmat.shape[0], tables.shape[0]))        # (n, Q)
+        for m in range(m_sub):                  # sequential over subspaces
+            acc = acc + tables[:, m, cmat[:, m]].T
+        return pd.Series([[float(v) for v in row] for row in acc])
+
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    scored = (codes.select(id_col,
+                           F.posexplode(adc(F.col("codes")))
+                           .alias("qidx", "adc"))
+              .select(id_col, F.element_at(qid_map, F.col("qidx") + 1)
+                      .alias(qid_col), "adc")
+              .filter(F.col(qid_col) != F.col(id_col)))
+    w_pool = Window.partitionBy(qid_col).orderBy(F.col("adc").desc(),
+                                                 F.col(id_col).asc())
+    pooled = (scored.withColumn("prn", F.row_number().over(w_pool))
+              .filter(F.col("prn") <= pool).drop("prn"))
+    rerank = (pooled
+              .join(corpus.select(id_col, vec_col), id_col)
+              .join(F.broadcast(queries), qid_col)
+              .select(qid_col, id_col, "adc",
+                      cosine(F.col("qv"), F.col(vec_col)).alias("sim")))
+    w_k = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                              F.col(id_col).asc())
+    return (rerank.withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= k))

@@ -126,3 +126,48 @@ def test_label_centroid_matches_numpy(spark):
         assert r.n_vecs == arr.shape[0]
         assert r.mean_val == pytest.approx(
             float(np.mean(arr[:, r.pos])), abs=1e-9)
+
+
+def test_pq_recall_against_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = similarity.topk_bruteforce(emb, q, k=10).collect()
+    approx = similarity.topk_ann_pq(emb, q, dim=64, k=10, pool=30).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    # 4x16 PQ on random 64-dim data with a 3x pool: decent recall
+    recalls = [len(exact_sets[q_] & approx_sets.get(q_, set())) / 10
+               for q_ in exact_sets]
+    assert sum(recalls) / len(recalls) > 0.2
+    # re-rank is exact cosine
+    exact_sims = {(r["qid"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["vec_id"])
+        if key in exact_sims:
+            assert r["sim"] == pytest.approx(exact_sims[key])
+
+
+def test_pq_codes_match_numpy(spark):
+    """PQ encoding = per-subspace squared-L2 argmin against the seed
+    codebooks, first-occurrence tie-break — verified against a direct
+    numpy computation over the same data."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, n_codewords=16, m_sub=4, dim=64)
+    assert cb.shape == (4, 16, 16)
+    got = {r["vec_id"]: r["codes"]
+           for r in similarity.pq_encode(emb, cb).collect()}
+    rows = emb.orderBy("vec_id").collect()
+    for r in rows[:20]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        want = []
+        for m in range(4):
+            sub = v[m * 16:(m + 1) * 16]
+            d = ((sub[None, :] - cb[m]) ** 2).sum(axis=1)
+            want.append(int(np.argmin(d)))
+        assert got[r["vec_id"]] == want
