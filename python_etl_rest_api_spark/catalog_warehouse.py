@@ -387,6 +387,7 @@ def _corr_sql_block(x: str, y: str) -> str:
     dy = f"CAST({y} AS DECIMAL(18,2))"
     return f"""
       SELECT '{x}' AS x_col, '{y}' AS y_col,
+             ROUND(
              (CAST(COUNT(*) AS DOUBLE)
                * CAST(SUM(CAST({dx} * {dy} AS DECIMAL(38,4))) AS DOUBLE)
               - CAST(SUM({dx}) AS DOUBLE) * CAST(SUM({dy}) AS DOUBLE))
@@ -395,8 +396,8 @@ def _corr_sql_block(x: str, y: str) -> str:
                   - CAST(SUM({dx}) AS DOUBLE) * CAST(SUM({dx}) AS DOUBLE))
                 * sqrt(CAST(COUNT(*) AS DOUBLE)
                   * CAST(SUM(CAST({dy} * {dy} AS DECIMAL(38,4))) AS DOUBLE)
-                  - CAST(SUM({dy}) AS DOUBLE) * CAST(SUM({dy}) AS DOUBLE)))
-             AS r
+                  - CAST(SUM({dy}) AS DOUBLE) * CAST(SUM({dy}) AS DOUBLE))),
+             12) AS r
       FROM lineitem"""
 
 
@@ -436,8 +437,15 @@ def stats_corr_pairs(spark, sf_dir):
         sxx = F.col(f"sxx_{tag}").cast("double")
         syy = F.col(f"syy_{tag}").cast("double")
         sxy = F.col(f"sxy_{tag}").cast("double")
-        r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
-                                   * F.sqrt(n * syy - sy * sy))
+        # ROUND(r, 12): tri-scale verification (sf0.1) exposed that once
+        # the decimal sums' UNSCALED values pass 2^53, Spark's
+        # BigDecimal.doubleValue and DuckDB's decimal->double conversion
+        # can differ in the final ulp (two-step unscaled/10^scale
+        # rounding vs correctly-rounded). The sufficient statistics stay
+        # exact; only the published r is clamped to 12 decimals - full
+        # fidelity for a correlation, immune to the conversion ulp.
+        r = F.round((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
+                                           * F.sqrt(n * syy - sy * sy)), 12)
         rows.append(F.struct(F.lit(x).alias("x_col"),
                              F.lit(y).alias("y_col"), r.alias("r")))
     return (stats.select(F.explode(F.array(*rows)).alias("p"))
