@@ -800,3 +800,129 @@ def sim_topk_ann_pq(spark, sf_dir):
     return similarity.topk_ann_pq(emb, queries, dim=64, k=10, pool=30,
                                   m_sub=4, n_codewords=16) \
         .select("qid", "vec_id", "adc", "sim", "rank")
+
+
+# ---------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------
+
+@query("orders_rfm_segments", """
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate), mx.max_d) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders, mx GROUP BY o_custkey, mx.max_d
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders
+    FROM scored GROUP BY r_score, f_score, m_score
+""")
+def orders_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quintile scores for Recency (days
+    since last order, vs the corpus max date), Frequency (order count)
+    and Monetary (decimal-exact spend), reported as the segment-cell
+    histogram (125 cells max). ntile is deterministic because every
+    ORDER BY carries the custkey tie-break - without it, equal-value
+    customers straddle quintile boundaries differently per partition
+    order and the segmentation is unstable run to run (the classic RFM
+    implementation bug). Recency is an integer date diff; monetary
+    converts from DECIMAL once. Three global ntile sorts over the
+    per-customer aggregate (|customers| rows, not |orders|); at 100 TB
+    replace with percent_rank over bucketed pre-aggregates or accept
+    the three sorts of the small aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (o.crossJoin(F.broadcast(mx))
+                .groupBy(F.col("o_custkey").alias("custkey"))
+                .agg(F.datediff(F.max("max_d"), F.max("o_orderdate"))
+                     .alias("recency_days"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double").alias("monetary")))
+    scored = per_cust.select(
+        "frequency",
+        F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_score"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("frequency").cast("long").alias("total_orders")))
+
+
+# ---------------------------------------------------------------------
+# Order cycle-time stats (rank-exact median over date diffs)
+# ---------------------------------------------------------------------
+
+@query("orders_cycle_time_stats", """
+    WITH lag AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+      SELECT priority, lag_days,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY lag_days) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM lag
+    ),
+    med AS (
+      SELECT priority, AVG(CAST(lag_days AS DOUBLE)) AS median_days
+      FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY priority
+    )
+    SELECT r.priority,
+           CAST(MAX(r.n) AS BIGINT) AS n_lines,
+           CAST(MIN(r.lag_days) AS BIGINT) AS min_days,
+           CAST(MAX(r.lag_days) AS BIGINT) AS max_days,
+           MAX(m.median_days) AS median_days
+    FROM ranked r JOIN med m ON m.priority = r.priority
+    GROUP BY r.priority
+""")
+def orders_cycle_time_stats(spark, sf_dir):
+    """Fulfilment cycle time (order date -> line ship date) profiled per
+    order priority: integer day lags with min/max and the RANK-EXACT
+    median (the events_mad_outliers recipe - explicit middle-element
+    average, no interpolating percentile whose midpoint expression
+    differs across engines). The operational-latency dashboard query:
+    does priority actually buy faster shipping? One equi-join (orders
+    broadcast-eligible vs lineitem), one per-priority rank window over
+    integer lags, tiny final aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_orderpriority").alias("priority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lag = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .select("priority",
+                   F.datediff("l_shipdate", "o_orderdate")
+                   .alias("lag_days")))
+    wr = Window.partitionBy("priority").orderBy("lag_days")
+    wn = Window.partitionBy("priority")
+    ranked = lag.select("priority", "lag_days",
+                        F.row_number().over(wr).alias("rn"),
+                        F.count(F.lit(1)).over(wn).alias("n"))
+    med = (ranked.filter((F.col("rn") == F.expr("(n + 1) div 2"))
+                         | (F.col("rn") == F.expr("(n + 2) div 2")))
+           .groupBy("priority")
+           .agg(F.avg(F.col("lag_days").cast("double"))
+                .alias("median_days")))
+    return (ranked.join(F.broadcast(med), "priority")
+            .groupBy("priority")
+            .agg(F.max("n").cast("long").alias("n_lines"),
+                 F.min("lag_days").cast("long").alias("min_days"),
+                 F.max("lag_days").cast("long").alias("max_days"),
+                 F.max("median_days").alias("median_days")))
