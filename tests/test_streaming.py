@@ -116,3 +116,40 @@ def test_trending_stream_matches_batch(spark, tmp_path):
     assert g, "stream must emit at least one closed window"
     for key, val in g.items():
         assert b[key] == val, key
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across a RESTART: run the ingest stream over batch 1,
+    stop, deliver batch 2, start a NEW query on the SAME checkpoint.
+    The file-source offsets and sink manifest in the checkpoint must
+    prevent any reprocessing of batch 1 - total output is each event
+    exactly once, across two separate query lifetimes."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    ev = _events(spark, SF_DIR)
+    # split by TIME, not id: the checkpoint persists the watermark, so a
+    # second batch older than it would be (correctly) dropped as late -
+    # the restart scenario is "the next day's data arrives"
+    split_ts = ev.selectExpr(
+        "percentile(cast(ts as double), 0.5) as m").collect()[0]["m"]
+    half1 = ev.filter(F.col("ts").cast("double") <= split_ts)
+    half2 = ev.filter(F.col("ts").cast("double") > split_ts)
+    n1, n2 = half1.count(), half2.count()
+
+    half1.coalesce(1).write.parquet(str(tmp_path / "h1"))
+    os.symlink(
+        next(str(p) for p in (tmp_path / "h1").glob("*.parquet")),
+        os.path.join(src, "a.parquet"))
+    run_stream_on_batch(spark, src, dedup_ingest_stream, out)
+    assert spark.read.parquet(out).count() == n1
+
+    half2.coalesce(1).write.parquet(str(tmp_path / "h2"))
+    os.symlink(
+        next(str(p) for p in (tmp_path / "h2").glob("*.parquet")),
+        os.path.join(src, "b.parquet"))
+    run_stream_on_batch(spark, src, dedup_ingest_stream, out)
+
+    got = spark.read.parquet(out)
+    assert got.count() == n1 + n2                 # batch 1 NOT re-emitted
+    assert got.select("event_id").distinct().count() == n1 + n2
