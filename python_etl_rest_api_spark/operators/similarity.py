@@ -372,7 +372,9 @@ def pq_codebooks(corpus: DataFrame, n_codewords: int = 16, m_sub: int = 4,
              .select(vec_col).collect())
     cb = np.array([r[0] for r in seeds], dtype=np.float64)   # (K, dim)
     s = dim // m_sub
-    return cb.reshape(n_codewords, m_sub, s).transpose(1, 0, 2)
+    if cb.shape[0] == 0:                    # empty corpus: empty codebook
+        return np.zeros((m_sub, 0, s))
+    return cb.reshape(cb.shape[0], m_sub, s).transpose(1, 0, 2)
 
 
 def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
@@ -433,6 +435,11 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
     cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
     s = dim // m_sub
     qrows = queries.orderBy(qid_col).collect()
+    if cb.shape[1] == 0 or not qrows:
+        # empty corpus or no queries: empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, adc double, sim double, "
+                "rank int")
     qids = [r[qid_col] for r in qrows]
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (Q, dim)
     tables = np.zeros((len(qids), m_sub, n_codewords))

@@ -1,0 +1,40 @@
+"""Empty-input robustness for the entries with driver-side collects or
+numeric edge cases (seed codebooks, convergence loops, div-by-total,
+sequence bounds). The FULL 165-entry empty sweep lives in
+tools/empty_sweep.py (run per-round; too slow for every pytest run) -
+this pins the risky subset so a regression fails fast."""
+
+import pytest
+
+from python_etl_rest_api_spark.registry import QUERIES
+from tools.empty_sweep import build_empty_fixture
+
+RISKY = [
+    "sim_topk_ann_pq",            # (m, K, s) codebook reshape on 0 seeds
+    "sim_topk_ann_ivf",           # seed centroids collect
+    "sim_topk_ann_srp",           # projection UDF on empty batches
+    "sim_topk_bruteforce",
+    "sim_mmr_rerank",             # driver greedy loop over empty pool
+    "dedup_cluster_components",   # convergence loop over empty edges
+    "dedup_containment",          # postings/hset joins
+    "dedup_repeated_spans",       # sequence() over empty token arrays
+    "sample_weighted_systematic",  # div by null total
+    "events_resample_gapfill",    # sequence(lo, hi) with null bounds
+    "stats_ks_drift",             # div by (0 - n_s)
+    "events_mad_outliers",        # rank median of nothing
+    "orders_rfm_segments",        # ntile over empty
+    "orders_cycle_time_stats",
+    "cdc_apply_changes",
+    "events_touch_matrix",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark):
+    return build_empty_fixture(spark)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_entry_survives_empty_input(spark, empty_dir, name):
+    rows = QUERIES[name](spark, empty_dir).limit(5).collect()
+    assert rows == []
