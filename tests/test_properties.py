@@ -117,3 +117,70 @@ def test_lenient_timestamp_matches_reference_model(spark, values):
             # session tz is UTC; compare wall-clock values
             actual = actual.astimezone(timezone.utc).replace(tzinfo=None)
         assert actual == expect, (v, actual, expect)
+
+
+# --- corpus-hygiene operator properties --------------------------------
+
+_words = st.lists(
+    st.integers(min_value=0, max_value=30).map(lambda i: f"w{i}"),
+    min_size=1, max_size=80).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=1, max_size=12, unique=True))
+def test_repeated_span_dedup_properties(spark, texts):
+    """Invariants of keep-first span dedup over arbitrary corpora:
+    (1) the first document always survives intact;
+    (2) kept spans never exceed total spans;
+    (3) every surviving span text is a span of the original document
+        (reconstruction never invents content);
+    (4) total kept spans == number of DISTINCT span contents (keep-first
+        keeps exactly one carrier per distinct span)."""
+    from python_etl_rest_api_spark.operators.dedup import repeated_span_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           repeated_span_dedup(docs, span_tokens=4).collect()}
+
+    def spans(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i:i + 4]) for i in range(0, len(toks), 4)]
+
+    assert out[0]["text_dedup"] == texts[0]                      # (1)
+    distinct_spans = set()
+    for t in texts:
+        distinct_spans.update(spans(t))
+    total_kept = 0
+    for i, t in enumerate(texts):
+        if i not in out:
+            continue
+        r = out[i]
+        assert r["n_spans_kept"] <= r["n_spans"]                 # (2)
+        kept_words = r["text_dedup"].split(" ") if r["text_dedup"] else []
+        assert set(kept_words) <= set(t.split(" "))              # (3)
+        total_kept += r["n_spans_kept"]
+    assert total_kept == len(distinct_spans)                     # (4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_words, min_size=2, max_size=8, unique=True))
+def test_containment_bounds_and_symmetry(spark, texts):
+    """Containment values are in [0, 1]; every reported pair shares at
+    least one shingle; a doc duplicated verbatim scores 1.0 both ways."""
+    from python_etl_rest_api_spark.operators.dedup import containment_pairs
+
+    rows = list(enumerate(texts)) + [(len(texts), texts[0])]  # verbatim dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = containment_pairs(docs, n=3, max_df=50, threshold=0.0).collect()
+    for p in pairs:
+        assert 0.0 <= p["containment_a_in_b"] <= 1.0
+        assert 0.0 <= p["containment_b_in_a"] <= 1.0
+    if len(texts[0].split(" ")) >= 3:
+        dup = [p for p in pairs
+               if p["id_a"] == 0 and p["id_b"] == len(texts)]
+        assert len(dup) == 1
+        assert dup[0]["containment_a_in_b"] == 1.0
+        assert dup[0]["containment_b_in_a"] == 1.0
