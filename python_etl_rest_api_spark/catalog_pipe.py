@@ -623,13 +623,15 @@ def events_touch_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 @query("stats_ks_drift", """
-    WITH c AS (
+    WITH d AS (SELECT source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    c AS (
       SELECT source, n_chars, COUNT(*) AS cnt
-      FROM documents GROUP BY source, n_chars
+      FROM d GROUP BY source, n_chars
     ),
-    xs AS (SELECT DISTINCT n_chars FROM documents),
-    srcs AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
-    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    xs AS (SELECT DISTINCT n_chars FROM d),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_total FROM d),
     grid AS (
       SELECT s.source, s.n_s, x.n_chars FROM srcs s, xs x
     ),
@@ -667,8 +669,13 @@ def stats_ks_drift(spark, sf_dir):
     aggregate, a generated |sources| x |distinct x| grid with
     per-source running-sum windows (each source scans independently; at
     100 TB the grid is bounded by distinct measurement values, not
-    rows), and a max aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    rows), and a max aggregate.
+
+    Null measurements are excluded up front: a NULL grid value would
+    order NULLS FIRST in Spark but NULLS LAST in DuckDB and silently
+    skew both running sums."""
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("n_chars").isNotNull()))
     c = docs.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).alias("cnt"))
     xs = docs.select("n_chars").distinct()

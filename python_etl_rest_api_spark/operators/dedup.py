@@ -369,7 +369,12 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     kept spans)."""
     from pyspark.sql import Window
 
+    # NULL text guard (same latent-crash class ADVICE flagged on
+    # chunk_windows): size(NULL) is -1, so an unguarded sequence() emits
+    # a phantom empty span here while the SQL oracle emits nothing -
+    # null documents must drop on BOTH engines.
     spans = (df
+             .filter(F.col(text_col).isNotNull())
              .select(id_col, tokens(text_col).alias("_t"))
              .select(id_col,
                      F.expr(f"1 + (size(_t)-1) div {span_tokens}")
