@@ -933,3 +933,62 @@ def orders_cycle_time_stats(spark, sf_dir):
                  F.min("lag_days").cast("long").alias("min_days"),
                  F.max("lag_days").cast("long").alias("max_days"),
                  F.max("median_days").alias("median_days")))
+
+
+# ---------------------------------------------------------------------
+# BPE vocabulary induction (iterative merges, value-hashed)
+# ---------------------------------------------------------------------
+
+@query("text_bpe_merges", """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+    wf AS (SELECT w, COUNT(*) AS f FROM tok WHERE len(w) >= 1 GROUP BY w),
+    s0 AS (SELECT '<' || array_to_string(
+                    list_transform(range(1, len(w)+1), i -> w[i]), '><')
+                  || '>' AS sym, f
+           FROM wf),
+    p1 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s0)) GROUP BY pr),
+    b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    s1 AS (SELECT replace(sym,
+             '<' || replace((SELECT pair FROM b1), ' ', '><') || '>',
+             '<' || replace((SELECT pair FROM b1), ' ', '+') || '>') AS sym,
+             f FROM s0),
+    p2 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s1)) GROUP BY pr),
+    b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    s2 AS (SELECT replace(sym,
+             '<' || replace((SELECT pair FROM b2), ' ', '><') || '>',
+             '<' || replace((SELECT pair FROM b2), ' ', '+') || '>') AS sym,
+             f FROM s1),
+    p3 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s2)) GROUP BY pr),
+    b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT 1 AS step, pair, cnt FROM b1
+    UNION ALL SELECT 2, pair, cnt FROM b2
+    UNION ALL SELECT 3, pair, cnt FROM b3
+""")
+def text_bpe_merges(spark, sf_dir):
+    """The first 3 BPE merges learned from the documents corpus - the
+    tokenizer-training loop as iterative distributed aggregates (see
+    operators/text.py::bpe_merges for the algorithm and the
+    self-delimited-symbol replace trick that keeps the merge identical
+    across engines). The oracle unrolls the same 3 iterations as nested
+    CTEs with scalar-subquery argmaxes, so the learned merge table -
+    pair choice, tie-breaks, and weighted counts - is value-hashed,
+    not just row-counted. Per step the driver collects ONE (pair, cnt)
+    scalar; everything corpus-sized stays distributed."""
+    from .operators.text import bpe_merges
+    rows = bpe_merges(_t(spark, sf_dir, "documents"), steps=3)
+    return spark.createDataFrame(
+        [(s, p, c) for s, p, c in rows],
+        "step int, pair string, cnt long")

@@ -174,3 +174,67 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
                     F.element_at(toks, 1),
                     F.element_at(toks, -1)).alias("fp_struct"),
     )
+
+
+def bpe_merges(df: DataFrame, steps: int = 3,
+               text_col: str = "text") -> list[tuple[int, str, int]]:
+    """Byte-pair-encoding vocabulary induction: the first ``steps`` BPE
+    merges learned from the corpus, as iterative distributed aggregates
+    (the tokenizer-training loop expressed Spark-first, the second
+    iterative algorithm in the repo after connected_components).
+
+    Classic BPE trains on word TYPES weighted by corpus frequency:
+    start from character symbols, repeatedly count adjacent symbol
+    pairs and merge the most frequent one everywhere. The driver loop
+    per step is one pair-count aggregate plus ONE collected scalar (the
+    argmax pair - same pattern as the components convergence check);
+    the corpus-sized work (explode, count) stays distributed.
+
+    Merge mechanics are engineered for cross-engine exactness: a word's
+    symbol sequence rides as a string of self-delimited symbols
+    ('<t><a><b>'), so the merge is a plain left-to-right substring
+    replace of '<x><y>' with '<x+y>' - no regex, no lambda-typed fold
+    (DuckDB's list_reduce cannot carry a struct accumulator), and the
+    self-delimiting brackets make boundary false-matches impossible
+    while back-to-back occurrences ('<a><a><a>') merge exactly like
+    greedy BPE ([aa, a]). Ties break on pair string order.
+
+    Returns [(step, 'x y', count)] - the learned merge table.
+    """
+    words = (df.filter(F.col(text_col).isNotNull())
+             .select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") >= 1)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    syms = words.select(
+        F.concat(F.lit("<"),
+                 F.array_join(F.expr(
+                     "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                     "><"),
+                 F.lit(">")).alias("sym"),
+        "f")
+    merges: list[tuple[int, str, int]] = []
+    for step in range(1, steps + 1):
+        # CASE guard: Spark's sequence(1, 0) counts DOWN to [1, 0], so a
+        # single-symbol word would index past the array - emit no pairs
+        # instead (DuckDB's range(1, 1) is already empty).
+        pairs = (syms.select(
+            F.explode(F.expr(
+                "case when size(split(substring(sym, 2, length(sym)-2), "
+                "'><')) >= 2 then "
+                "transform(sequence(1, size(split(substring(sym, 2, "
+                "length(sym)-2), '><')) - 1), i -> concat("
+                "element_at(split(substring(sym, 2, length(sym)-2), '><'), i),"
+                "' ', element_at(split(substring(sym, 2, length(sym)-2), "
+                "'><'), i+1))) else array() end")).alias("pair"), "f")
+            .groupBy("pair").agg(F.sum("f").alias("cnt")))
+        best = (pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merges.append((step, pair, cnt))
+        x, y = pair.split(" ")
+        syms = syms.select(
+            F.replace("sym", F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
+            .alias("sym"), "f")
+    return merges

@@ -82,6 +82,7 @@ _DEBT_FIRST = [
     "events_resample_gapfill", "orders_wow_change", "dq_rules_summary",
     "cdc_apply_changes", "events_touch_matrix", "stats_ks_drift",
     "sim_topk_ann_pq", "orders_rfm_segments", "orders_cycle_time_stats",
+    "text_bpe_merges",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -119,3 +119,18 @@ def test_chunk_windows_null_and_empty_text(spark):
     assert {r.doc_id for r in rows} == {2, 3}
     assert sorted(r.chunk_text for r in rows if r.doc_id == 3) == ["a b", "c"]
     assert [r.chunk_text for r in rows if r.doc_id == 2] == [""]
+
+
+def test_bpe_merges_hand_corpus(spark):
+    """BPE on a hand-computable corpus: 'aaab aaab ab' has word types
+    aaab(f=2), ab(f=1). Char pairs: ('a','a') cnt 2*2=4, ('a','b')
+    cnt 2+1=3 -> merge 1 = 'a a'. After merging ('<a><a><a><b>' ->
+    '<a+a><a><b>', greedy left-to-right, no re-merge of the overlap):
+    pairs ('a+a','a') 2, ('a','b') 3 -> merge 2 = 'a b'. Then
+    aaab='<a+a><a+b>', ab='<a+b>': pairs ('a+a','a+b') 2 -> merge 3."""
+    from python_etl_rest_api_spark.operators.text import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string")
+    got = bpe_merges(docs, steps=3)
+    assert got == [(1, "a a", 4), (2, "a b", 3), (3, "a+a a+b", 2)]
