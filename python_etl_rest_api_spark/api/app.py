@@ -201,6 +201,35 @@ def build_app(spark=None, state_path: str | None = None,
         return {"rows": [r.asDict() for r in page],
                 "limit": limit, "offset": offset, "next": nxt}
 
+    @app.get("/catalog")
+    def catalog_index():
+        """The whole analytics surface, discoverable: every registered
+        catalog entry (name + first docstring line), so a client can
+        enumerate what the engine can compute."""
+        from .. import registry
+        return {"count": len(registry.QUERIES),
+                "queries": {n: (fn.__doc__ or "").strip().splitlines()[0]
+                            for n, fn in sorted(registry.QUERIES.items())}}
+
+    @app.get("/catalog/{name}")
+    def catalog_run(name: str, sf_dir: str, limit: int = 1000,
+                    offset: int = 0):
+        """Run any registered catalog entry against a confined dataset
+        directory and return a bounded page - the whole 166-entry
+        analytics surface served over REST with the same pagination
+        discipline as the flagship view (total-order sort, MAX_PAGE
+        cap, never an unbounded collect)."""
+        from .. import registry
+        if name not in registry.QUERIES:
+            raise HTTPException(status_code=404,
+                                detail=f"no such catalog entry: {name}")
+        sf_dir = _confined(sf_dir)
+        df = registry.QUERIES[name](spark, sf_dir)
+        page, limit, offset = paginate(df, limit, offset)
+        return {"name": name, "columns": df.columns,
+                "rows": [r.asDict() for r in page],
+                "limit": limit, "offset": offset}
+
     return app
 
 

@@ -72,3 +72,24 @@ def test_keyset_page_starts_strictly_after_cursor(spark):
     v = _view(spark, n=30)
     page, _, _ = paginate(v, limit=5, after=("co_009", "2024-01-01"))
     assert [r.company for r in page] == [f"co_{i:03d}" for i in range(10, 15)]
+
+
+def test_catalog_entries_page_like_the_endpoint(spark):
+    """/catalog/{name} is paginate() over a registry entry; drive the
+    same composition directly (fastapi absent in this container): a
+    multi-row catalog result pages without overlap and in total order,
+    and the index docstrings the endpoint serves are present."""
+    from python_etl_rest_api_spark import registry
+
+    df = registry.QUERIES["h3_count_per_group"](
+        spark, "/root/testdata/sf0.001")
+    p1, _, _ = paginate(df, limit=7, offset=0)
+    p2, _, _ = paginate(df, limit=7, offset=7)
+    assert len(p1) == 7 and len(p2) == 7
+    assert {tuple(r) for r in p1}.isdisjoint({tuple(r) for r in p2})
+    ordered = sorted([tuple(r) for r in p1] + [tuple(r) for r in p2])
+    assert ordered == [tuple(r) for r in p1] + [tuple(r) for r in p2]
+
+    # the /catalog index serves first docstring lines for every entry
+    for name, fn in registry.QUERIES.items():
+        assert (fn.__doc__ or "").strip(), f"{name} has no docstring"
