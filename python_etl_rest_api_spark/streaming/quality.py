@@ -1,0 +1,65 @@
+"""Streaming data-quality monitoring: the dq_rules_summary rules engine
+applied per micro-batch via foreachBatch, appending a violations LOG
+(batch_id, rule, n_violations, n_rows) instead of one global summary -
+the shape a production ingest pipeline alerts on ("batch 1234 arrived
+with 40% null user_ids"), catching a broken producer within one batch
+instead of after the nightly rollup.
+
+foreachBatch is the right tool (not a windowed aggregate): the rules are
+corpus-invariants per DELIVERY UNIT, not per event-time window, and the
+stacked conditional aggregate runs ONE narrow pass over each batch -
+same single-scan plan the batch dq_rules_summary proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default rule set for the events stream: each rule is a violation
+# predicate over a single row (stacked into one conditional aggregate).
+EVENT_RULES: dict[str, Column] = {}
+
+
+def _event_rules() -> dict[str, Column]:
+    return {
+        "value_null": F.col("value").isNull(),
+        "value_negative": F.col("value") < 0,
+        "user_id_null": F.col("user_id").isNull(),
+        "event_type_unknown": ~F.col("event_type").isin(
+            "login", "view", "click", "purchase", "error"),
+        "ts_null": F.col("ts").isNull(),
+    }
+
+
+def dq_batch_report(df: DataFrame, rules: dict[str, Column] | None = None
+                    ) -> DataFrame:
+    """One narrow pass over ``df``: (rule, n_violations, n_rows) rows via
+    stacked conditional sums + stack() unpivot - the per-batch unit the
+    stream logger appends. Identical semantics to running each rule as
+    its own COUNT, at 1/len(rules) the scan cost."""
+    rules = rules if rules is not None else _event_rules()
+    wide = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_rows"),
+        *[F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+          for name, cond in rules.items()])
+    stack = ", ".join(f"'{n}', {n}" for n in rules)
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+        F.col("_n_rows").alias("n_rows"))
+
+
+def dq_monitor_stream(stream: DataFrame, out_path: str,
+                      rules: dict[str, Column] | None = None):
+    """Attach per-micro-batch DQ logging to a stream: every batch appends
+    its (batch_id, rule, n_violations, n_rows) report to ``out_path``.
+    Returns the configured writer (caller starts it with a checkpoint).
+    The report aggregate is driver-light (|rules| rows per batch); the
+    batch itself is never collected."""
+    def log_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (dq_batch_report(batch_df, rules)
+         .withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .select("batch_id", "rule", "n_violations", "n_rows")
+         .write.mode("append").parquet(out_path))
+
+    return stream.writeStream.foreachBatch(log_batch)

@@ -153,3 +153,44 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n1 + n2                 # batch 1 NOT re-emitted
     assert got.select("event_id").distinct().count() == n1 + n2
+
+
+def test_dq_monitor_stream_totals_match_batch(spark, tmp_path):
+    """Per-micro-batch DQ logs must sum to the batch rules report: same
+    stacked-aggregate semantics, sliced by delivery unit. Two files ->
+    maxFilesPerTrigger=1 -> (at least) two logged batches."""
+    from python_etl_rest_api_spark.streaming.quality import (
+        dq_batch_report,
+        dq_monitor_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = _events(spark, SF_DIR)
+    for name, pred in (("a", "event_id % 2 = 0"), ("b", "event_id % 2 = 1")):
+        ev.filter(pred).coalesce(1).write.parquet(str(tmp_path / name))
+        os.symlink(
+            next(str(p) for p in (tmp_path / name).glob("*.parquet")),
+            os.path.join(src, f"{name}.parquet"))
+    out = str(tmp_path / "dq_log")
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dq_monitor_stream(stream, out)
+         .option("checkpointLocation", out + "_chk")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    log = spark.read.parquet(out)
+    assert log.select("batch_id").distinct().count() >= 2
+    streamed = {r["rule"]: (r["v"], r["n"]) for r in
+                log.groupBy("rule")
+                .agg(F.sum("n_violations").alias("v"),
+                     F.sum("n_rows").alias("n")).collect()}
+    batch = {r["rule"]: (r["n_violations"], None) for r in
+             dq_batch_report(ev).collect()}
+    n_total = ev.count()
+    assert streamed.keys() == batch.keys()
+    for rule, (v, n) in streamed.items():
+        assert v == batch[rule][0], rule
+        assert n == n_total
