@@ -16,12 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Default rule set for the events stream: each rule is a violation
-# predicate over a single row (stacked into one conditional aggregate).
-EVENT_RULES: dict[str, Column] = {}
-
 
 def _event_rules() -> dict[str, Column]:
+    """Default rule set for the events stream: each rule is a violation
+    predicate over a single row (stacked into one conditional
+    aggregate). Built per call - Column objects are plan fragments, not
+    shareable constants."""
     return {
         "value_null": F.col("value").isNull(),
         "value_negative": F.col("value") < 0,
