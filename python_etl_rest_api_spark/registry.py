@@ -76,13 +76,17 @@ _DEBT_FIRST = [
     "ngram_bigram_hitters", "mix_temperature_weights",
     "text_length_histogram", "dedup_cluster_weights",
     "stream_trending_topk", "sim_mmr_rerank",
-    "basket_part_pairs", "text_kwic_window", "multimodal_bmp_decode",
-    "dedup_repeated_spans", "dedup_containment", "events_mad_outliers",
-    "sample_weighted_systematic", "events_json_key_profile",
-    "events_resample_gapfill", "orders_wow_change", "dq_rules_summary",
-    "cdc_apply_changes", "events_touch_matrix", "stats_ks_drift",
-    "sim_topk_ann_pq", "orders_rfm_segments", "orders_cycle_time_stats",
-    "text_bpe_merges",
+    "basket_part_pairs", "text_kwic_window",
+    # cheap-first within the new block (r2 lesson: a time-based driver
+    # budget verifies more entries when the cheap ones come first) -
+    # measured sf0.01 cold times from the local sweep
+    "sample_weighted_systematic", "dq_rules_summary",
+    "events_json_key_profile", "orders_wow_change",
+    "orders_cycle_time_stats", "stats_ks_drift", "events_mad_outliers",
+    "events_touch_matrix", "cdc_apply_changes", "multimodal_bmp_decode",
+    "events_resample_gapfill", "orders_rfm_segments",
+    "dedup_repeated_spans", "dedup_containment", "text_bpe_merges",
+    "sim_topk_ann_pq",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",
