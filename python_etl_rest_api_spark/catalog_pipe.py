@@ -992,3 +992,80 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(s, p, c) for s, p, c in rows],
         "step int, pair string, cnt long")
+
+
+# ---------------------------------------------------------------------
+# One-pass table profile (the DESCRIBE/df.describe analogue, exact)
+# ---------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_totalprice", "printf('%.2f', {c})"),
+    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "{c}"),
+]
+
+
+@query("profile_table_describe", """
+    WITH w AS (
+      SELECT COUNT(*) AS n_rows,
+    """ + ",\n".join(
+    f"""        SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c},
+        COUNT(DISTINCT {c}) AS nd_{c},
+        MIN({fmt.format(c=c)}) AS mn_{c},
+        MAX({fmt.format(c=c)}) AS mx_{c}"""
+    for c, fmt in _PROFILE_COLS) + """
+      FROM orders
+    )
+    SELECT r.col, w.n_rows, r.n_nulls, r.n_distinct, r.min_str, r.max_str
+    FROM w, LATERAL (VALUES
+    """ + ",\n".join(
+    f"      ('{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
+    f"mn_{c}, mx_{c})"
+    for c, _ in _PROFILE_COLS) + """
+    ) AS r(col, n_nulls, n_distinct, min_str, max_str)
+""")
+def profile_table_describe(spark, sf_dir):
+    """Exact one-pass table profile (the warehouse DESCRIBE/df.describe
+    analogue): per column, null count, EXACT distinct count, and
+    min/max - all computed in a single scan as stacked aggregates and
+    unpivoted to one row per column. Naive profilers issue one query
+    per column (N scans) or sample; this plan pays one pass + Spark's
+    multi-distinct Expand. Min/max are canonicalized to strings with
+    engine-portable formats (printf('%.2f') for money - a raw
+    double->string cast formats differently per engine; ISO casts for
+    dates; decimal-free casts for keys). agg_approx_distinct is the
+    sketch alternative when exact distincts don't justify the Expand."""
+    o = _t(spark, sf_dir, "orders")
+    fmt_map = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": F.format_string("%.2f", F.col("o_totalprice")),
+        "o_orderdate": F.col("o_orderdate").cast("date").cast("string"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
+            F.min(fmt_map[c]).alias(f"mn_{c}"),
+            F.max(fmt_map[c]).alias(f"mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = [
+        F.struct(F.lit(c).alias("col"),
+                 F.col("n_rows"),
+                 F.col(f"nn_{c}").alias("n_nulls"),
+                 F.col(f"nd_{c}").alias("n_distinct"),
+                 F.col(f"mn_{c}").alias("min_str"),
+                 F.col(f"mx_{c}").alias("max_str"))
+        for c, _ in _PROFILE_COLS
+    ]
+    return (wide.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.col", "p.n_rows", "p.n_nulls", "p.n_distinct",
+                    "p.min_str", "p.max_str"))

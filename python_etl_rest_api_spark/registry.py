@@ -82,7 +82,8 @@ _DEBT_FIRST = [
     # measured sf0.01 cold times from the local sweep
     "sample_weighted_systematic", "dq_rules_summary",
     "events_json_key_profile", "orders_wow_change",
-    "orders_cycle_time_stats", "stats_ks_drift", "events_mad_outliers",
+    "orders_cycle_time_stats", "profile_table_describe",
+    "stats_ks_drift", "events_mad_outliers",
     "events_touch_matrix", "cdc_apply_changes", "multimodal_bmp_decode",
     "events_resample_gapfill", "orders_rfm_segments",
     "dedup_repeated_spans", "dedup_containment", "text_bpe_merges",
