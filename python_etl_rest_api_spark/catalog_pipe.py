@@ -1069,3 +1069,62 @@ def profile_table_describe(spark, sf_dir):
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.col", "p.n_rows", "p.n_nulls", "p.n_distinct",
                     "p.min_str", "p.max_str"))
+
+
+# ---------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law over ingestion order)
+# ---------------------------------------------------------------------
+
+@query("docs_vocab_growth", """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+    tok_per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    bounds AS (SELECT MAX(doc_id) AS max_id FROM tok),
+    cps AS (SELECT unnest(range(1, 11)) AS decile),
+    marks AS (
+      SELECT decile, (bounds.max_id + 1) * decile // 10 - 1 AS cutoff
+      FROM cps, bounds
+    )
+    SELECT m.decile,
+           CAST(m.cutoff AS BIGINT) AS cutoff_doc_id,
+           CAST((SELECT SUM(n_tok) FROM tok_per_doc
+                 WHERE doc_id <= m.cutoff) AS BIGINT) AS corpus_tokens,
+           CAST((SELECT COUNT(*) FROM firsts
+                 WHERE first_doc <= m.cutoff) AS BIGINT) AS distinct_vocab
+    FROM marks m
+""")
+def docs_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): at each ingestion decile,
+    cumulative corpus tokens vs distinct vocabulary seen so far - the
+    scaling-law diagnostic for a training corpus (a plateauing curve
+    means new data is re-treading old vocabulary; a linear one means
+    heavy novelty/noise). The naive form re-scans per checkpoint (10
+    full distinct-counts); this computes each token's FIRST carrier doc
+    once (one aggregate), then every checkpoint is a filtered count of
+    the tiny firsts table - 1 corpus pass total, 10 checkpoint counts
+    over |vocab| rows. All integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    bounds = tok.agg(F.max("doc_id").alias("max_id"))
+    marks = (spark.range(1, 11).select(F.col("id").cast("int")
+                                       .alias("decile"))
+             .crossJoin(F.broadcast(bounds))
+             .select("decile", F.expr("(max_id + 1) * decile div 10 - 1")
+                     .alias("cutoff")))
+    toks_at = (marks.join(per_doc, per_doc.doc_id <= marks.cutoff)
+               .groupBy("decile", "cutoff")
+               .agg(F.sum("n_tok").cast("long").alias("corpus_tokens")))
+    vocab_at = (marks.join(firsts, firsts.first_doc <= marks.cutoff)
+                .groupBy("decile")
+                .agg(F.count(F.lit(1)).cast("long").alias("distinct_vocab")))
+    return (toks_at.join(vocab_at, "decile")
+            .select("decile", F.col("cutoff").cast("long")
+                    .alias("cutoff_doc_id"), "corpus_tokens",
+                    "distinct_vocab"))
