@@ -8,6 +8,7 @@ Replicates the reference's endpoint surface and error model exactly
 plus the engine endpoints that make this an analytics service:
 - POST /etl/run                  -> run the cleaning pipeline on a CSV path
 - GET  /view/daily_company_totals?date=/start=/end= -> the flagship view
+- GET  /catalog, /catalog/{name} -> the whole analytics catalog over REST
 - GET  /health
 
 State is table-backed (append-only parquet store, re-read inside every

@@ -1014,17 +1014,17 @@ _PROFILE_COLS = [
     """ + ",\n".join(
     f"""        SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nn_{c},
         COUNT(DISTINCT {c}) AS nd_{c},
-        MIN({fmt.format(c=c)}) AS mn_{c},
-        MAX({fmt.format(c=c)}) AS mx_{c}"""
-    for c, fmt in _PROFILE_COLS) + """
+        MIN({c}) AS mn_{c},
+        MAX({c}) AS mx_{c}"""
+    for c, _fmt in _PROFILE_COLS) + """
       FROM orders
     )
     SELECT r.col, w.n_rows, r.n_nulls, r.n_distinct, r.min_str, r.max_str
     FROM w, LATERAL (VALUES
     """ + ",\n".join(
     f"      ('{c}', CAST(nn_{c} AS BIGINT), CAST(nd_{c} AS BIGINT), "
-    f"mn_{c}, mx_{c})"
-    for c, _ in _PROFILE_COLS) + """
+    f"{fmt.format(c=f'mn_{c}')}, {fmt.format(c=f'mx_{c}')})"
+    for c, fmt in _PROFILE_COLS) + """
     ) AS r(col, n_nulls, n_distinct, min_str, max_str)
 """)
 def profile_table_describe(spark, sf_dir):
@@ -1033,19 +1033,21 @@ def profile_table_describe(spark, sf_dir):
     min/max - all computed in a single scan as stacked aggregates and
     unpivoted to one row per column. Naive profilers issue one query
     per column (N scans) or sample; this plan pays one pass + Spark's
-    multi-distinct Expand. Min/max are canonicalized to strings with
+    multi-distinct Expand. Min/max are computed on the NATIVE values
+    (a min over formatted strings would be lexicographic - '100.00' <
+    '99.00') and canonicalized to strings afterwards with
     engine-portable formats (printf('%.2f') for money - a raw
     double->string cast formats differently per engine; ISO casts for
     dates; decimal-free casts for keys). agg_approx_distinct is the
     sketch alternative when exact distincts don't justify the Expand."""
     o = _t(spark, sf_dir, "orders")
-    fmt_map = {
-        "o_orderkey": F.col("o_orderkey").cast("string"),
-        "o_custkey": F.col("o_custkey").cast("string"),
-        "o_orderstatus": F.col("o_orderstatus"),
-        "o_totalprice": F.format_string("%.2f", F.col("o_totalprice")),
-        "o_orderdate": F.col("o_orderdate").cast("date").cast("string"),
-        "o_orderpriority": F.col("o_orderpriority"),
+    fmt_funcs = {
+        "o_orderkey": lambda x: x.cast("string"),
+        "o_custkey": lambda x: x.cast("string"),
+        "o_orderstatus": lambda x: x,
+        "o_totalprice": lambda x: F.format_string("%.2f", x),
+        "o_orderdate": lambda x: x.cast("date").cast("string"),
+        "o_orderpriority": lambda x: x,
     }
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c, _ in _PROFILE_COLS:
@@ -1053,8 +1055,8 @@ def profile_table_describe(spark, sf_dir):
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"nn_{c}"),
             F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"),
-            F.min(fmt_map[c]).alias(f"mn_{c}"),
-            F.max(fmt_map[c]).alias(f"mx_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
         ]
     wide = o.agg(*aggs)
     rows = [
@@ -1062,8 +1064,8 @@ def profile_table_describe(spark, sf_dir):
                  F.col("n_rows"),
                  F.col(f"nn_{c}").alias("n_nulls"),
                  F.col(f"nd_{c}").alias("n_distinct"),
-                 F.col(f"mn_{c}").alias("min_str"),
-                 F.col(f"mx_{c}").alias("max_str"))
+                 fmt_funcs[c](F.col(f"mn_{c}")).alias("min_str"),
+                 fmt_funcs[c](F.col(f"mx_{c}")).alias("max_str"))
         for c, _ in _PROFILE_COLS
     ]
     return (wide.select(F.explode(F.array(*rows)).alias("p"))
