@@ -1130,3 +1130,69 @@ def docs_vocab_growth(spark, sf_dir):
             .select("decile", F.col("cutoff").cast("long")
                     .alias("cutoff_doc_id"), "corpus_tokens",
                     "distinct_vocab"))
+
+
+# ---------------------------------------------------------------------
+# Inter-arrival profile (event-rate characterization, integer-exact)
+# ---------------------------------------------------------------------
+
+@query("events_dwell_time", """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g WHERE gap_us IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, AVG(CAST(gap_us AS DOUBLE)) AS median_gap_us
+      FROM ranked WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(MAX(r.n) AS BIGINT) AS n_gaps,
+           CAST(MIN(r.gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(r.gap_us) AS BIGINT) AS max_gap_us,
+           MAX(m.median_gap_us) AS median_gap_us
+    FROM ranked r JOIN med m ON m.event_type = r.event_type
+    GROUP BY r.event_type
+""")
+def events_dwell_time(spark, sf_dir):
+    """Inter-arrival (dwell) profile per event type: gaps between
+    consecutive events of the same type in INTEGER microseconds (the
+    repo's event-time recipe - timestamp subtraction in micros, never
+    float seconds), with min/max and the rank-exact median. This is the
+    arrival-rate characterization that sizes streaming watermarks and
+    session gaps: a session window should exceed the intra-type median
+    gap by a margin, and a watermark should cover the max observed
+    disorder. One lag window + one rank window, both partitioned by
+    event_type (parallel across types at any scale); ties in the lag
+    ordering break on event_id."""
+    e = _events(spark, sf_dir)
+    lagw = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (e.select("event_type",
+                  (F.unix_micros("ts")
+                   - F.lag(F.unix_micros("ts")).over(lagw)).alias("gap_us"))
+         .filter(F.col("gap_us").isNotNull()))
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    ranked = g.select("event_type", "gap_us",
+                      F.row_number().over(wr).alias("rn"),
+                      F.count(F.lit(1)).over(wn).alias("n"))
+    med = (ranked.filter((F.col("rn") == F.expr("(n + 1) div 2"))
+                         | (F.col("rn") == F.expr("(n + 2) div 2")))
+           .groupBy("event_type")
+           .agg(F.avg(F.col("gap_us").cast("double"))
+                .alias("median_gap_us")))
+    return (ranked.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.max("n").cast("long").alias("n_gaps"),
+                 F.min("gap_us").cast("long").alias("min_gap_us"),
+                 F.max("gap_us").cast("long").alias("max_gap_us"),
+                 F.max("median_gap_us").alias("median_gap_us")))

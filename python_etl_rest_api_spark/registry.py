@@ -83,7 +83,7 @@ _DEBT_FIRST = [
     "sample_weighted_systematic", "dq_rules_summary",
     "events_json_key_profile", "orders_wow_change",
     "orders_cycle_time_stats", "profile_table_describe",
-    "docs_vocab_growth",
+    "docs_vocab_growth", "events_dwell_time",
     "stats_ks_drift", "events_mad_outliers",
     "events_touch_matrix", "cdc_apply_changes", "multimodal_bmp_decode",
     "events_resample_gapfill", "orders_rfm_segments",
