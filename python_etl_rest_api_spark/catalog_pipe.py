@@ -1002,7 +1002,8 @@ _PROFILE_COLS = [
     ("o_orderkey", "CAST({c} AS VARCHAR)"),
     ("o_custkey", "CAST({c} AS VARCHAR)"),
     ("o_orderstatus", "{c}"),
-    ("o_totalprice", "printf('%.2f', {c})"),
+    ("o_totalprice",
+     "CASE WHEN {c} IS NOT NULL THEN printf('%.2f', {c}) END"),
     ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
     ("o_orderpriority", "{c}"),
 ]
@@ -1045,7 +1046,11 @@ def profile_table_describe(spark, sf_dir):
         "o_orderkey": lambda x: x.cast("string"),
         "o_custkey": lambda x: x.cast("string"),
         "o_orderstatus": lambda x: x,
-        "o_totalprice": lambda x: F.format_string("%.2f", x),
+        # null guard: Spark format_string renders a NULL arg as the
+        # STRING 'null' (then '%.2f' truncates it to 'nu') while DuckDB
+        # printf yields NULL - guard both engines explicitly
+        "o_totalprice": lambda x: F.when(
+            x.isNotNull(), F.format_string("%.2f", x)),
         "o_orderdate": lambda x: x.cast("date").cast("string"),
         "o_orderpriority": lambda x: x,
     }
