@@ -1201,3 +1201,133 @@ def events_dwell_time(spark, sf_dir):
                  F.min("gap_us").cast("long").alias("min_gap_us"),
                  F.max("gap_us").cast("long").alias("max_gap_us"),
                  F.max("median_gap_us").alias("median_gap_us")))
+
+
+# ---------------------------------------------------------------------
+# Temporal seasonality profile (hour-of-day x day-of-week)
+# ---------------------------------------------------------------------
+
+@query("events_seasonality_profile", """
+    SELECT isodow(ts) AS dow,
+           EXTRACT(hour FROM ts) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY dow, hour
+""")
+def events_seasonality_profile(spark, sf_dir):
+    """Seasonality heat map: event volume (and purchase volume) per
+    (ISO day-of-week, hour-of-day) cell - the load/traffic profile that
+    sizes capacity and flags daypart anomalies. All-UTC integer
+    calendar extraction (the session pins UTC, so isodow/hour agree
+    across engines); one map-side-combined aggregate, 7x24 output rows
+    max at any scale."""
+    e = _events(spark, sf_dir)
+    return (e.groupBy(
+        F.dayofweek(F.col("ts")).alias("_sun1"),
+        F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).cast("long").alias("n_purchases"))
+        # Spark dayofweek is 1=Sunday; ISO dow is 1=Monday..7=Sunday
+        .select(((F.col("_sun1") + 5) % 7 + 1).cast("long").alias("dow"),
+                F.col("hour").cast("long").alias("hour"),
+                "n_events", "n_purchases"))
+
+
+# ---------------------------------------------------------------------
+# Cumulative user growth (first-seen trick, no per-day distincts)
+# ---------------------------------------------------------------------
+
+@query("events_user_growth", """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+""")
+def events_user_growth(spark, sf_dir):
+    """Daily new-user and cumulative-user curve via the first-seen
+    trick: compute each user's FIRST active day once (one aggregate),
+    then new_users(day) is a count over the tiny firsts table and the
+    cumulative curve is a running sum over |days| rows. The naive form
+    - COUNT(DISTINCT user) over an expanding window - rescans the event
+    table per day and holds a growing distinct set; this never touches
+    events twice. Same pattern as docs_vocab_growth (Heaps' law), which
+    is the content-side twin. All integer arithmetic; the day is
+    emitted as an ISO string (dates render identically on both
+    engines)."""
+    e = _events(spark, sf_dir)
+    firsts = (e.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("first_day")))
+    daily = (firsts.groupBy(F.col("first_day").alias("day"))
+             .agg(F.count(F.lit(1)).alias("new_users")))
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(run).cast("long")
+        .alias("cumulative_users"))
+
+
+# ---------------------------------------------------------------------
+# Window frame semantics (the default-frame last_value trap, made exact)
+# ---------------------------------------------------------------------
+
+@query("w7_frame_first_last", """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey < 50
+    )
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_order,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS last_order_default_frame,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order_full_frame,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order
+    FROM o
+""")
+def w7_frame_first_last(spark, sf_dir):
+    """first/last/nth_value with EXPLICIT frames, demonstrating (and
+    pinning cross-engine) the classic trap: an ORDER BY window defaults
+    to RANGE UNBOUNDED PRECEDING..CURRENT ROW, so default-frame
+    last_value is just the current peer group's tail - NOT the
+    partition's last row; the full-frame variant is. Both variants are
+    emitted side by side and value-hashed, so the engine's frame
+    semantics (including the RANGE peer-group subtlety on duplicate
+    sort keys - the (date, key) ordering here makes peers unique and
+    both engines agree) are locked by the oracle. One window shuffle;
+    bounded to 50 customers to keep the demo output small."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 50)
+         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"))
+    wdef = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                   "o_orderkey")
+    wfull = wdef.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(wdef).alias("first_order"),
+        F.last("o_orderkey").over(wdef).alias("last_order_default_frame"),
+        F.last("o_orderkey").over(wfull).alias("last_order_full_frame"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"))

@@ -84,6 +84,8 @@ _DEBT_FIRST = [
     "events_json_key_profile", "orders_wow_change",
     "orders_cycle_time_stats", "profile_table_describe",
     "docs_vocab_growth", "events_dwell_time",
+    "events_seasonality_profile", "events_user_growth",
+    "w7_frame_first_last",
     "stats_ks_drift", "events_mad_outliers",
     "events_touch_matrix", "cdc_apply_changes", "multimodal_bmp_decode",
     "events_resample_gapfill", "orders_rfm_segments",
