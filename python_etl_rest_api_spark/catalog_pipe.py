@@ -238,7 +238,13 @@ def sample_weighted_systematic(spark, sf_dir):
     precedent as text_pack_sequences - Spark executes it single
     partition); at 100 TB replace with the two-pass pattern
     (per-partition subtotals -> broadcast offsets -> local scan) -
-    the crossing test is unchanged."""
+    the crossing test is unchanged.
+
+    PPS multiplicity: a document heavier than the step straddles
+    several boundaries but is emitted ONCE (its sample_idx jumps), so
+    the row count can be below K when any weight exceeds total/K -
+    certainty selection of oversized units, the textbook systematic-PPS
+    behavior (pinned by test_pipe_ops)."""
     docs = _t(spark, sf_dir, "documents")
     run = Window.orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
