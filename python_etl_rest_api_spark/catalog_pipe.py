@@ -1124,8 +1124,12 @@ def docs_vocab_growth(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    bounds = tok.agg(F.max("doc_id").alias("max_id"))
+    # token counts come from size(split()) - no second explode pass;
+    # bounds derive from the tiny per-doc aggregate, not a third scan
+    per_doc = docs.select("doc_id",
+                          F.size(F.split("text", " ")).cast("long")
+                          .alias("n_tok"))
+    bounds = per_doc.agg(F.max("doc_id").alias("max_id"))
     marks = (spark.range(1, 11).select(F.col("id").cast("int")
                                        .alias("decile"))
              .crossJoin(F.broadcast(bounds))
