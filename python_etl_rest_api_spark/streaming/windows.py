@@ -130,6 +130,29 @@ def dedup_ingest_stream(events: DataFrame,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def new_users_stream(events: DataFrame,
+                     window: str = "1 day",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming new-user counter (the live twin of the batch
+    events_user_growth curve): cross-batch dropDuplicates on user_id
+    keeps exactly each user's FIRST delivered event alive, then a
+    tumbling event-time window counts first-appearances per period.
+
+    dropDuplicates (NOT the WithinWatermark variant) is deliberate:
+    new-user identity must persist forever, not age out with the
+    watermark - a user returning after a quiet week is NOT new. The
+    state store therefore grows with |distinct users| (bounded by the
+    user population, not the event volume) - the documented trade for
+    an exact first-seen semantics; swap to
+    dropDuplicatesWithinWatermark for an approximate counter with
+    bounded state when the id space is unbounded."""
+    firsts = (events.withWatermark("ts", watermark)
+              .dropDuplicates(["user_id"]))
+    return (firsts.groupBy(F.window("ts", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("new_users"))
+            .select(F.col("w.start").alias("window_start"), "new_users"))
+
+
 def run_stream_on_batch(spark: SparkSession, events_path: str,
                         transform, out_path: str,
                         output_mode: str = "append") -> None:

@@ -194,3 +194,29 @@ def test_dq_monitor_stream_totals_match_batch(spark, tmp_path):
     for rule, (v, n) in streamed.items():
         assert v == batch[rule][0], rule
         assert n == n_total
+
+
+def test_new_users_stream_matches_batch_firsts(spark, tmp_path):
+    """The streaming new-user counter must agree with the batch
+    first-seen computation on every emitted (closed) window, and its
+    grand total never double-counts a user delivered in two batches."""
+    from python_etl_rest_api_spark.streaming.windows import new_users_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # the SAME file twice: every user redelivered in a second micro-batch
+    for name in ("a.parquet", "b.parquet"):
+        os.symlink(os.path.abspath(EVENTS), os.path.join(src, name))
+    out = str(tmp_path / "out")
+    run_stream_on_batch(spark, src, new_users_stream, out)
+    got = {r["window_start"]: r["new_users"]
+           for r in spark.read.parquet(out).collect()}
+    ev = _events(spark, SF_DIR)
+    batch = {r["d"]: r["n"] for r in
+             (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+              .groupBy(F.date_trunc("day", "first_ts").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n")).collect())}
+    assert got, "at least one closed window emitted"
+    for w, n in got.items():
+        assert batch[w] == n, w
+    assert sum(got.values()) <= ev.select("user_id").distinct().count()
