@@ -1,0 +1,263 @@
+"""Round-4 quality-filter pack: Gopher-style rule gates, a corpus
+unigram-LM log-probability score (the perplexity-proxy quality signal
+CCNet/Gopher-class pipelines filter on), distribution window functions
+(percent_rank/cume_dist), and a distributed Gram-matrix primitive (the
+X^T X building block for PCA / whitening / linear probes over the
+embedding table).
+
+The reference (a 313-line pandas/FastAPI technical test,
+`etl/02_transformations.py`) has no corpus surface; these extend the
+documents/embeddings family under the repo's cross-engine exactness
+recipe: integer token counts (exact), single IEEE divisions (exact,
+correctly rounded in both engines), and where a float reduction's
+ORDER is engine-dependent (numpy pairwise sums vs DuckDB sequential
+sums, libm `ln` last-ulp divergence), publish at a rounded precision
+with >=6 orders of magnitude of slack over the worst-case ordering
+error - the stats_corr_pairs precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _t, query
+
+# Stopwords chosen from the synthetic corpus vocabulary; the operator
+# semantics (>=2 distinct stopwords present) mirror Gopher's "has at
+# least 2 of a small stopword set" rule.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+# ---------------------------------------------------------------------
+# Gopher-style quality rule gate
+# ---------------------------------------------------------------------
+
+@query("text_gopher_rules", """
+    WITH feat AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          w -> len(w))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS unique_ratio,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','to','and','in',
+                                     'is','that'], w) )) AS stop_hits,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','to','and','in',
+                                     'is','that'], w)))) AS stop_distinct,
+             len(list_filter(string_split(text, ' '),
+                 w -> NOT regexp_matches(w, '^[a-z]+$')))
+               AS nonalpha_words
+      FROM documents)
+    SELECT doc_id, n_words, mean_word_len, unique_ratio,
+           stop_distinct, nonalpha_words,
+           (n_words BETWEEN 20 AND 100000)       AS r_word_count,
+           (mean_word_len BETWEEN 2.0 AND 10.0)  AS r_mean_word_len,
+           (unique_ratio >= 0.1)                 AS r_unique_ratio,
+           (stop_distinct >= 2)                  AS r_stopwords,
+           (CAST(nonalpha_words AS DOUBLE) / n_words <= 0.1)
+                                                 AS r_symbol_ratio,
+           ((n_words BETWEEN 20 AND 100000)
+            AND (mean_word_len BETWEEN 2.0 AND 10.0)
+            AND (unique_ratio >= 0.1)
+            AND (stop_distinct >= 2)
+            AND (CAST(nonalpha_words AS DOUBLE) / n_words <= 0.1))
+                                                 AS passes
+    FROM feat
+""")
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality gate (Rae et al. 2021 §A1.1 rule
+    shapes re-expressed for this corpus): word-count bounds, mean word
+    length bounds, unique-token ratio, >=2 distinct stopwords, and a
+    non-alphabetic word-ratio ceiling, each published as its own flag
+    plus the conjunction - downstream curation filters on `passes` but
+    dashboards need the per-rule failure mix.
+
+    All features are integer counts or a SINGLE int/int IEEE division
+    (correctly rounded, bit-identical across engines), so the entry is
+    value-hash exact with no rounding. Plan: one narrow whole-stage
+    codegen projection over the text column - no UDF, no shuffle, no
+    explode (the token aggregates fold arrays in place); at 100 TB this
+    is a pure map over the corpus scan with predicate-pushdown-friendly
+    output."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS])
+    feat = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        (F.aggregate(F.transform(toks, F.length), F.lit(0),
+                     lambda a, x: a + x).cast("double")
+         / F.size(toks)).alias("mean_word_len"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("unique_ratio"),
+        F.size(F.array_distinct(
+            F.filter(toks, lambda w: F.array_contains(sw, w)))
+        ).alias("stop_distinct"),
+        F.size(F.filter(toks, lambda w: ~w.rlike("^[a-z]+$"))
+               ).alias("nonalpha_words"),
+    )
+    r_wc = F.col("n_words").between(20, 100000)
+    r_mwl = F.col("mean_word_len").between(2.0, 10.0)
+    r_uni = F.col("unique_ratio") >= 0.1
+    r_stop = F.col("stop_distinct") >= 2
+    r_sym = (F.col("nonalpha_words").cast("double")
+             / F.col("n_words")) <= 0.1
+    return feat.select(
+        "doc_id", "n_words", "mean_word_len", "unique_ratio",
+        "stop_distinct", "nonalpha_words",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_uni.alias("r_unique_ratio"),
+        r_stop.alias("r_stopwords"),
+        r_sym.alias("r_symbol_ratio"),
+        (r_wc & r_mwl & r_uni & r_stop & r_sym).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Corpus unigram-LM log-probability (perplexity-proxy quality score)
+# ---------------------------------------------------------------------
+
+@query("text_unigram_logprob", """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT SUM(c) AS n FROM cnt),
+    lp AS (SELECT token,
+                  ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)) AS logp
+           FROM cnt)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(l.logp), 8) AS avg_logprob
+    FROM tok t JOIN lp l ON t.token = l.token
+    GROUP BY t.doc_id
+""")
+def text_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability under a LM trained on
+    the corpus itself - the classic perplexity-proxy quality score
+    (CCNet-style: documents whose tokens are globally rare score low
+    and get filtered/down-weighted). Two passes over one explode: (1)
+    token -> global count -> log(c/N) vocabulary table; (2) tokens
+    joined back to their log-probs, averaged per document.
+
+    The vocabulary table is broadcast (it aggregates to |vocab| rows -
+    small here; at 100 TB a BPE-ish vocabulary is still ~100k-1M rows,
+    comfortably broadcastable, so the per-token join never shuffles the
+    corpus). The token->count aggregate is the only big exchange and it
+    moves (token, partial count) pairs with map-side combine.
+
+    Exactness: counts and the c/N division are bit-identical across
+    engines, but libm ln() carries last-ulp divergence and the per-doc
+    mean's summation order is engine-dependent, so the published score
+    is rounded to 8 decimals (~1e-15 worst-case error vs 5e-9 margin)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(F.split("text", " ")).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    lp = (cnt.crossJoin(F.broadcast(total))
+          .select("token",
+                  F.log(F.col("c").cast("double") / F.col("n"))
+                  .alias("logp")))
+    return (tok.join(F.broadcast(lp), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("logp"), 8).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------
+# Distribution window functions: percent_rank + cume_dist
+# ---------------------------------------------------------------------
+
+@query("w8_percent_rank_cume", """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN COUNT(*) OVER (PARTITION BY o_custkey) = 1
+                THEN 0.0
+                ELSE percent_rank() OVER
+                     (PARTITION BY o_custkey ORDER BY o_totalprice)
+           END AS pr,
+           cume_dist() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
+    FROM orders
+""")
+def w8_percent_rank_cume(spark, sf_dir):
+    """Within-customer spend distribution position: percent_rank (rank
+    normalized to [0,1]) and cume_dist for every order - the
+    "is this order unusually large FOR THIS customer" signal that
+    absolute thresholds (d4b) can't express. Completes the window
+    function family (w1-w7 cover running/rank/lag/frame shapes).
+
+    Both functions are (rank-1)/(n-1) resp. peers/n - integer window
+    counts with ONE IEEE division, so values are bit-identical across
+    engines with no rounding. The CASE in the oracle pins the n=1
+    partition to 0.0 (Spark defines percent_rank of a single row as 0;
+    SQL engines differ on the 0/0). One hash-partition shuffle on
+    o_custkey; within-partition sort only - at 100 TB this is the
+    standard windowing exchange with no skew risk (order counts per
+    customer are bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"))
+
+
+# ---------------------------------------------------------------------
+# Distributed Gram matrix (X^T X) over the embedding table
+# ---------------------------------------------------------------------
+
+@query("embed_gram_matrix", """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i))
+    SELECT a.i AS i, b.i AS j, ROUND(SUM(a.x * b.x), 6) AS g
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+""")
+def embed_gram_matrix(spark, sf_dir):
+    """Upper-triangle Gram matrix X^T X of the embedding table - the
+    sufficient statistic for PCA, ZCA whitening, and closed-form linear
+    probes. The scale pattern is partial-Gram aggregation: each Arrow
+    batch computes its own dense (64x64) X^T X with one numpy matmul,
+    emits the 2080 upper-triangle cells, and a single (i, j) aggregate
+    sums the partials. The shuffle moves O(partitions x d^2) cells -
+    independent of row count - so at 100 TB the exchange is megabytes
+    while the matmul work stays embarrassingly parallel in C.
+
+    (The naive alternative - posexplode + self-join on vec_id - would
+    amplify every row x64 and shuffle the corpus; the oracle does
+    exactly that, which is fine for DuckDB at verification scale.)
+
+    Exactness: numpy's pairwise-summed partials vs DuckDB's sequential
+    sum differ by ~1e-13 absolute at these magnitudes; published cells
+    are rounded to 6 decimals (stats_corr_pairs precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]])
+            G = X.T @ X
+            yield pd.DataFrame({
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "partial": G[iu, ju]})
+
+    parts = e.select("embedding").mapInPandas(
+        gram, "i int, j int, partial double")
+    return (parts.groupBy("i", "j")
+            .agg(F.round(F.sum("partial"), 6).alias("g")))

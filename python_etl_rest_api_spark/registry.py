@@ -25,8 +25,8 @@ order at the end until classified.
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_etl, catalog_ext, catalog_llm,
-    catalog_pipe, catalog_scale, catalog_tpch, catalog_warehouse,
-    catalog_win,
+    catalog_pipe, catalog_quality, catalog_scale, catalog_tpch,
+    catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -91,6 +91,8 @@ _DEBT_FIRST = [
     "events_resample_gapfill", "orders_rfm_segments",
     "dedup_repeated_spans", "dedup_containment", "text_bpe_merges",
     "sim_topk_ann_pq",
+    "text_gopher_rules", "text_unigram_logprob",
+    "w8_percent_rank_cume", "embed_gram_matrix",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

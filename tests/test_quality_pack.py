@@ -1,0 +1,95 @@
+"""Quality-filter pack (catalog_quality.py): semantic invariants the
+oracle value-hash can't express — rule-flag consistency, LM probability
+normalization, distribution-function range laws, Gram-matrix symmetry
+against a driver-side numpy ground truth."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.catalog_quality import (
+    embed_gram_matrix,
+    text_gopher_rules,
+    text_unigram_logprob,
+    w8_percent_rank_cume,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_flags_consistent(spark):
+    rows = text_gopher_rules(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words >= 1
+        # recomputed conjunction matches the published pass flag
+        expect = (20 <= r.n_words <= 100000
+                  and 2.0 <= r.mean_word_len <= 10.0
+                  and r.unique_ratio >= 0.1
+                  and r.stop_distinct >= 2
+                  and r.nonalpha_words / r.n_words <= 0.1)
+        assert r.passes == expect, r
+        assert r.passes == (r.r_word_count and r.r_mean_word_len
+                            and r.r_unique_ratio and r.r_stopwords
+                            and r.r_symbol_ratio)
+        assert 0.0 < r.unique_ratio <= 1.0
+        assert 0 <= r.stop_distinct <= 8
+    # the synthetic corpus is clean lowercase prose: most docs pass
+    assert sum(r.passes for r in rows) > len(rows) / 2
+
+
+def test_unigram_logprob_is_a_lm(spark):
+    rows = text_unigram_logprob(spark, SF).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    # every score is a mean of log-probabilities: strictly negative
+    # (no token covers the whole corpus) and bounded below by ln(1/N)
+    n_total = sum(len(d.text.split(" ")) for d in docs)
+    for r in rows:
+        assert r.avg_logprob < 0.0
+        assert r.avg_logprob >= math.log(1.0 / n_total) - 1e-9
+    # driver-side ground truth for one document
+    from collections import Counter
+    cnt = Counter(t for d in docs for t in d.text.split(" "))
+    d0 = docs[0]
+    toks = d0.text.split(" ")
+    want = sum(math.log(cnt[t] / n_total) for t in toks) / len(toks)
+    got = next(r for r in rows if r.doc_id == d0.doc_id)
+    assert abs(got.avg_logprob - want) < 1e-6
+    assert got.n_tokens == len(toks)
+
+
+def test_percent_rank_cume_dist_laws(spark):
+    df = w8_percent_rank_cume(spark, SF)
+    rows = df.collect()
+    assert rows
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, rs in by_cust.items():
+        n = len(rs)
+        rs.sort(key=lambda r: r.o_totalprice)
+        # pr in [0,1] with the min order at 0; cd in (0,1] ending at 1
+        assert rs[0].pr == 0.0
+        assert max(r.pr for r in rs) <= 1.0
+        assert max(r.cd for r in rs) == 1.0
+        assert min(r.cd for r in rs) >= 1.0 / n - 1e-12
+        # cume_dist is monotone along the sort
+        cds = [r.cd for r in rs]
+        assert cds == sorted(cds)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    rows = embed_gram_matrix(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64)
+                    for r in emb])
+    G = X.T @ X
+    assert len(rows) == 64 * 65 // 2  # upper triangle incl. diagonal
+    for r in rows:
+        assert r.j >= r.i
+        assert abs(r.g - G[r.i, r.j]) < 1e-5, (r.i, r.j)
+    # diagonal of a Gram matrix is non-negative
+    assert all(r.g >= 0 for r in rows if r.i == r.j)
