@@ -261,3 +261,146 @@ def embed_gram_matrix(spark, sf_dir):
         gram, "i int, j int, partial double")
     return (parts.groupBy("i", "j")
             .agg(F.round(F.sum("partial"), 6).alias("g")))
+
+
+# ---------------------------------------------------------------------
+# Exact-rank winsorization (robust normalization for training signals)
+# ---------------------------------------------------------------------
+
+@query("events_value_winsorized", """
+    WITH e AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    st AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    cut AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n * 5 + 99) // 100
+                      THEN value END) AS p05,
+             MAX(CASE WHEN rn = (n * 95 + 99) // 100
+                      THEN value END) AS p95
+      FROM st GROUP BY event_type)
+    SELECT e.event_type, COUNT(*) AS n,
+           MAX(c.p05) AS p05, MAX(c.p95) AS p95,
+           SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS n_low,
+           SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS n_high,
+           ROUND(AVG(CASE WHEN e.value < c.p05 THEN c.p05
+                          WHEN e.value > c.p95 THEN c.p95
+                          ELSE e.value END), 8) AS winsor_mean
+    FROM e JOIN cut c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+""")
+def events_value_winsorized(spark, sf_dir):
+    """Per-type winsorized mean with exact nearest-rank p05/p95 cutoffs
+    - the robust normalization step that keeps a handful of corrupt
+    magnitudes from dominating a training signal (clamping beats
+    dropping when volume itself is the signal). Cutoff ranks are pure
+    integer arithmetic (ceil(q*n) as (q*100*n + 99) div 100 - no float
+    quantile interpolation, so both engines select literally the same
+    stored VALUES; the events_mad_outliers argument). Two exchanges: a
+    per-type rank sort, then a broadcast of the |types|-row cutoff
+    table back onto the stream; clamp counts are integers (exact) and
+    only the winsorized mean - a float sum whose order is
+    engine-dependent - is published rounded."""
+    from .catalog import _events
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    byv = Window.partitionBy("event_type").orderBy("value")
+    cnt = Window.partitionBy("event_type")
+    st = e.select("event_type", "value",
+                  F.row_number().over(byv).alias("rn"),
+                  F.count(F.lit(1)).over(cnt).alias("n"))
+    cut = (st.filter((F.col("rn") == F.expr("(n * 5 + 99) div 100"))
+                     | (F.col("rn") == F.expr("(n * 95 + 99) div 100")))
+           .groupBy("event_type")
+           .agg(F.min("value").alias("p05"), F.max("value").alias("p95")))
+    clamped = (e.join(F.broadcast(cut), "event_type")
+               .select("event_type", "value", "p05", "p95",
+                       F.when(F.col("value") < F.col("p05"), F.col("p05"))
+                       .when(F.col("value") > F.col("p95"), F.col("p95"))
+                       .otherwise(F.col("value")).alias("w")))
+    return (clamped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("p05").alias("p05"), F.max("p95").alias("p95"),
+                 F.sum(F.when(F.col("value") < F.col("p05"), 1)
+                       .otherwise(0)).alias("n_low"),
+                 F.sum(F.when(F.col("value") > F.col("p95"), 1)
+                       .otherwise(0)).alias("n_high"),
+                 F.round(F.avg("w"), 8).alias("winsor_mean")))
+
+
+# ---------------------------------------------------------------------
+# Revenue concentration: Lorenz curve at decile checkpoints
+# ---------------------------------------------------------------------
+
+@query("orders_revenue_concentration", """
+    WITH rev AS (
+      SELECT o_custkey,
+             list_reduce(list_sort(list(o_totalprice)),
+                         (a, b) -> a + b) AS revenue
+      FROM orders GROUP BY o_custkey),
+    rk AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS r,
+             COUNT(*) OVER () AS n
+      FROM rev),
+    dec AS (
+      SELECT ((r - 1) * 10) // n + 1 AS decile, revenue FROM rk),
+    agg AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             list_reduce(list_sort(list(revenue)),
+                         (a, b) -> a + b) AS decile_revenue
+      FROM dec GROUP BY decile)
+    SELECT decile, n_customers,
+           ROUND(decile_revenue, 6) AS decile_revenue,
+           ROUND(SUM(decile_revenue) OVER (ORDER BY decile)
+                 / SUM(decile_revenue) OVER (), 8) AS cum_share
+    FROM agg
+""")
+def orders_revenue_concentration(spark, sf_dir):
+    """Lorenz curve over customers: rank every customer by lifetime
+    revenue (descending), cut into population deciles, publish each
+    decile's revenue mass and the cumulative share - the "top 10% of
+    customers carry X% of revenue" concentration read that sizes both
+    skew mitigations and business dashboards.
+
+    Exactness: per-customer and per-decile revenue sums fold over
+    SORTED value lists (bit-identical to DuckDB's list_sort +
+    list_reduce), which also pins the rank order exactly (ties broken
+    by custkey); decile assignment is integer arithmetic. Only the
+    final 10-row cumulative division is rounded. The global rank is a
+    single partition-less window - fine for the |customers|-row
+    aggregate here; at 100 TB swap in a rangepartitioned two-pass
+    prefix sum (sort by revenue, per-partition partials, broadcast
+    offsets) - the decile math is unchanged."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.aggregate(F.sort_array(F.collect_list("o_totalprice")),
+                            F.lit(0.0), lambda a, x: a + x)
+                .alias("revenue")))
+    wr = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    rk = rev.select("o_custkey", "revenue",
+                    F.row_number().over(wr).alias("r"),
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy()).alias("n"))
+    dec = rk.select(F.expr("(r - 1) * 10 div n + 1").alias("decile"),
+                    "revenue")
+    agg = (dec.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.aggregate(F.sort_array(F.collect_list("revenue")),
+                            F.lit(0.0), lambda a, x: a + x)
+                .alias("decile_revenue")))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    return agg.select(
+        "decile", "n_customers",
+        F.round("decile_revenue", 6).alias("decile_revenue"),
+        F.round(F.sum("decile_revenue").over(wc)
+                / F.sum("decile_revenue").over(wt), 8).alias("cum_share"))

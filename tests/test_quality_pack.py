@@ -93,3 +93,37 @@ def test_gram_matrix_matches_numpy(spark):
         assert abs(r.g - G[r.i, r.j]) < 1e-5, (r.i, r.j)
     # diagonal of a Gram matrix is non-negative
     assert all(r.g >= 0 for r in rows if r.i == r.j)
+
+
+def test_winsorized_clamps_bounded(spark):
+    from python_etl_rest_api_spark.catalog_quality import (
+        events_value_winsorized)
+    rows = events_value_winsorized(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p95
+        # nearest-rank cutoffs clamp at most ~5% per tail (+1 for the
+        # rank-boundary row)
+        assert r.n_low <= r.n * 0.05 + 1
+        assert r.n_high <= r.n * 0.05 + 1
+        assert r.p05 <= r.winsor_mean <= r.p95
+
+
+def test_revenue_concentration_is_a_lorenz_curve(spark):
+    from python_etl_rest_api_spark.catalog_quality import (
+        orders_revenue_concentration)
+    rows = sorted(orders_revenue_concentration(spark, SF).collect(),
+                  key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    # deciles partition the customer population near-evenly
+    ns = [r.n_customers for r in rows]
+    assert max(ns) - min(ns) <= 1
+    # customers are ranked by DESCENDING revenue: decile revenue mass
+    # is non-increasing and the cumulative share ends at 1
+    revs = [r.decile_revenue for r in rows]
+    assert all(a >= b - 1e-6 for a, b in zip(revs, revs[1:]))
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
+    # concentration: the top decile carries more than a uniform share
+    assert shares[0] > 0.1
