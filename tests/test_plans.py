@@ -133,3 +133,35 @@ def test_pipe_wave_plan_shapes(spark):
     plan = simple_plan(dq)
     assert plan.count("lineitem.parquet") == 1, "lineitem scanned >1x"
     assert plan.count("orders.parquet") == 1, "orders scanned >1x"
+
+
+def test_gopher_gate_is_a_pure_map(spark):
+    """The quality gate must stay a zero-exchange narrow projection —
+    at 100 TB it runs embedded in the corpus scan."""
+    from python_etl_rest_api_spark.catalog_quality import text_gopher_rules
+    df = text_gopher_rules(spark, SF)
+    assert shuffle_count(df) == 0
+    assert not uses_broadcast_join(df)
+    # only the two referenced columns may be read from the corpus
+    assert set(read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """The token->logprob join must broadcast the vocabulary, never
+    shuffle the token stream for the join; the only hash exchanges are
+    the vocab count and the per-doc aggregate."""
+    from python_etl_rest_api_spark.catalog_quality import (
+        text_unigram_logprob)
+    df = text_unigram_logprob(spark, SF)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+
+def test_gram_matrix_shuffles_cells_not_rows(spark):
+    """Partial-Gram aggregation: the only exchange carries (i, j,
+    partial) cells — O(partitions x d^2), independent of row count —
+    and the scan reads just the vector column."""
+    from python_etl_rest_api_spark.catalog_quality import embed_gram_matrix
+    df = embed_gram_matrix(spark, SF)
+    assert shuffle_count(df) == 1
+    assert read_schema_columns(df) == ["embedding"]
