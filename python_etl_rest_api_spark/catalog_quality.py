@@ -404,3 +404,100 @@ def orders_revenue_concentration(spark, sf_dir):
         F.round("decile_revenue", 6).alias("decile_revenue"),
         F.round(F.sum("decile_revenue").over(wc)
                 / F.sum("decile_revenue").over(wt), 8).alias("cum_share"))
+
+
+# ---------------------------------------------------------------------
+# Top principal component: distributed Gram + fixed power iteration
+# ---------------------------------------------------------------------
+
+@query("embed_top_pc", """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i),
+    v0 AS (SELECT unnest(range(0, 64)) AS i, 0.125 AS v),
+    m1 AS (SELECT g.i, SUM(g.g * v0.v) AS mv
+           FROM g JOIN v0 ON g.j = v0.i GROUP BY g.i),
+    v1 AS (SELECT i, mv / sqrt((SELECT SUM(mv * mv) FROM m1)) AS v
+           FROM m1),
+    m2 AS (SELECT g.i, SUM(g.g * v1.v) AS mv
+           FROM g JOIN v1 ON g.j = v1.i GROUP BY g.i),
+    v2 AS (SELECT i, mv / sqrt((SELECT SUM(mv * mv) FROM m2)) AS v
+           FROM m2),
+    m3 AS (SELECT g.i, SUM(g.g * v2.v) AS mv
+           FROM g JOIN v2 ON g.j = v2.i GROUP BY g.i),
+    v3 AS (SELECT i, mv / sqrt((SELECT SUM(mv * mv) FROM m3)) AS v
+           FROM m3),
+    m4 AS (SELECT g.i, SUM(g.g * v3.v) AS mv
+           FROM g JOIN v3 ON g.j = v3.i GROUP BY g.i),
+    v4 AS (SELECT i, mv / sqrt((SELECT SUM(mv * mv) FROM m4)) AS v
+           FROM m4),
+    m5 AS (SELECT g.i, SUM(g.g * v4.v) AS mv
+           FROM g JOIN v4 ON g.j = v4.i GROUP BY g.i),
+    v5 AS (SELECT i, mv / sqrt((SELECT SUM(mv * mv) FROM m5)) AS v
+           FROM m5),
+    sgn AS (SELECT CASE WHEN (SELECT v FROM v5
+                              ORDER BY abs(v) DESC, i LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS s)
+    SELECT i AS pos, ROUND(v * (SELECT s FROM sgn), 6) AS comp
+    FROM v5
+""")
+def embed_top_pc(spark, sf_dir):
+    """Top principal direction of the embedding corpus via EXACTLY five
+    power-iteration steps over the distributed Gram matrix - the
+    spectral summary that drives anisotropy diagnostics (is the
+    embedding space collapsing onto one axis?) and mean-centering-free
+    whitening decisions.
+
+    Split of labor is the IVF-codebook pattern (similarity.py): the
+    O(rows) work - the d x d Gram sufficient statistic - is a
+    distributed partial-Gram aggregate (per-Arrow-batch numpy matmul,
+    O(partitions x d^2) shuffle; see embed_gram_matrix), and ONLY the
+    d x d = 64 x 64 statistic lands on the driver, where five fixed
+    matvec+normalize steps cost microseconds. At 100 TB the driver
+    still holds 4096 doubles - row count never touches it.
+
+    Both engines run the SAME five iterations from the same v0 =
+    0.125 * ones (the oracle unrolls them as CTEs), so the published
+    vector agrees regardless of spectral convergence; the sign is
+    pinned by making the largest-|.|  component positive. Float
+    summation order inside matvecs is engine-dependent (~1e-12 after
+    five contractive steps) - published rounded to 6 decimals."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = 64
+
+    def gram_full(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64)
+                 for v in pdf["embedding"]])
+            G = X.T @ X
+            ii, jj = np.indices((dim, dim))
+            yield pd.DataFrame({
+                "i": ii.ravel().astype("int32"),
+                "j": jj.ravel().astype("int32"),
+                "partial": G.ravel()})
+
+    cells = (e.select("embedding")
+             .mapInPandas(gram_full, "i int, j int, partial double")
+             .groupBy("i", "j").agg(F.sum("partial").alias("g"))
+             .collect())
+    G = np.zeros((dim, dim))
+    for r in cells:
+        G[r["i"], r["j"]] = r["g"]
+    v = np.full(dim, 0.125)
+    for _ in range(5):
+        mv = G @ v
+        v = mv / np.sqrt(float((mv * mv).sum()))
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    rows = [(int(i), float(round(v[i], 6))) for i in range(dim)]
+    return spark.createDataFrame(rows, "pos int, comp double")

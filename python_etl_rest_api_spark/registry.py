@@ -94,6 +94,7 @@ _DEBT_FIRST = [
     "text_gopher_rules", "text_unigram_logprob",
     "w8_percent_rank_cume", "embed_gram_matrix",
     "events_value_winsorized", "orders_revenue_concentration",
+    "embed_top_pc",
     # -- green in CORRECTNESS_r03 (freshest signal, deferred) --
     "pipeline_docs_curate", "text_chunk_windows", "text_redact_pii",
     "text_pack_sequences", "stats_approx_quantiles",

@@ -127,3 +127,34 @@ def test_revenue_concentration_is_a_lorenz_curve(spark):
     assert abs(shares[-1] - 1.0) < 1e-9
     # concentration: the top decile carries more than a uniform share
     assert shares[0] > 0.1
+
+
+def test_top_pc_is_the_spectral_axis(spark):
+    from python_etl_rest_api_spark.catalog_quality import embed_top_pc
+    rows = sorted(embed_top_pc(spark, SF).collect(),
+                  key=lambda r: r.pos)
+    v = np.asarray([r.comp for r in rows])
+    assert len(v) == 64
+    # unit norm (up to the published rounding)
+    assert abs(float((v * v).sum()) - 1.0) < 1e-4
+    # sign pin: the largest-|.| component is positive
+    assert v[int(np.argmax(np.abs(v)))] > 0
+    # ground truth: literally the same five power steps in numpy (the
+    # corpus is random unit vectors, so the Gram spectrum is nearly
+    # flat and five steps need NOT converge to the eigh top vector -
+    # the contract is the fixed iteration, not convergence)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    X = np.asarray([np.asarray(r.embedding, dtype=np.float64)
+                    for r in emb])
+    G = X.T @ X
+    u = np.full(64, 0.125)
+    rayleigh = [float(u @ G @ u) / float(u @ u)]
+    for _ in range(5):
+        mu = G @ u
+        u = mu / np.sqrt(float((mu * mu).sum()))
+        rayleigh.append(float(u @ G @ u))
+    if u[int(np.argmax(np.abs(u)))] < 0:
+        u = -u
+    assert float(abs(u @ v)) > 0.999999
+    # power iteration on a PSD matrix ascends the Rayleigh quotient
+    assert all(b >= a - 1e-9 for a, b in zip(rayleigh, rayleigh[1:]))
