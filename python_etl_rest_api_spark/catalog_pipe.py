@@ -21,7 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
-from .operators import dedup
+from .operators import dedup, twopass
 
 
 # ---------------------------------------------------------------------
@@ -215,15 +215,15 @@ SYSTEMATIC_K = 100
              SUM(n_chars) OVER (ORDER BY doc_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS cum,
-             SUM(n_chars) OVER () AS total
+             greatest(SUM(n_chars) OVER () // 100, 1) AS step
       FROM documents
     )
     SELECT doc_id, CAST(weight AS BIGINT) AS weight,
            CAST(cum AS BIGINT) AS cum_weight,
-           CAST(cum // (total // 100) AS BIGINT) AS sample_idx
+           CAST(cum // step AS BIGINT) AS sample_idx
     FROM w
-    WHERE cum // (total // 100) > (cum - weight) // (total // 100)
-      AND cum // (total // 100) <= 100
+    WHERE cum // step > (cum - weight) // step
+      AND cum // step <= 100
 """)
 def sample_weighted_systematic(spark, sf_dir):
     """Systematic probability-proportional-to-size sampling: walk the
@@ -233,32 +233,33 @@ def sample_weighted_systematic(spark, sf_dir):
     corpus (unlike Bernoulli draws), and EVERY operation is integer
     (running sum, floor division, crossing test) - exactly reproducible
     on any engine, no pow/log of the exponential-keys method (A-ES)
-    whose libm rounding differs per platform. The running sum is a
-    prefix scan: expressed here as an unpartitioned window (same
-    precedent as text_pack_sequences - Spark executes it single
-    partition); at 100 TB replace with the two-pass pattern
-    (per-partition subtotals -> broadcast offsets -> local scan) -
-    the crossing test is unchanged.
+    whose libm rounding differs per platform. The running sum is the
+    TWO-PASS distributed prefix scan (operators/twopass.py:
+    range-partition on doc_id, per-partition subtotals, broadcast
+    offsets, partition-local scan) - no single-partition window
+    anywhere in the plan (asserted by test_plans), and the global total
+    falls out of the subtotal pass for free, so the step is a plan
+    literal instead of a second full-table window. The step is clamped
+    to >= 1 in BOTH engines (greatest(total//K, 1)): a tiny corpus with
+    total weight < K otherwise hits div-by-zero, where Spark yields
+    NULL (silent empty result) but DuckDB raises - the cross-engine
+    divergence flagged in round 4.
 
     PPS multiplicity: a document heavier than the step straddles
     several boundaries but is emitted ONCE (its sample_idx jumps), so
     the row count can be below K when any weight exceeds total/K -
     certainty selection of oversized units, the textbook systematic-PPS
     behavior (pinned by test_pipe_ops)."""
-    docs = _t(spark, sf_dir, "documents")
-    run = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    full = Window.partitionBy()
-    w = docs.select(
-        "doc_id", F.col("n_chars").alias("weight"),
-        F.sum("n_chars").over(run).alias("cum"),
-        F.sum("n_chars").over(full).alias("total"))
-    idx = F.expr(f"cum div (total div {SYSTEMATIC_K})")
-    prev_idx = F.expr(
-        f"(cum - weight) div (total div {SYSTEMATIC_K})")
-    return (w.filter((idx > prev_idx) & (idx <= SYSTEMATIC_K))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("weight"))
+    ranked, _n, total = twopass.global_prefix(
+        docs, [F.asc("doc_id")], sum_col="weight")
+    step = max(total // SYSTEMATIC_K, 1)
+    idx = F.expr(f"{twopass.SUM_COL} div {step}")
+    prev_idx = F.expr(f"({twopass.SUM_COL} - weight) div {step}")
+    return (ranked.filter((idx > prev_idx) & (idx <= SYSTEMATIC_K))
             .select("doc_id", F.col("weight").cast("long").alias("weight"),
-                    F.col("cum").cast("long").alias("cum_weight"),
+                    F.col(twopass.SUM_COL).alias("cum_weight"),
                     idx.cast("long").alias("sample_idx")))
 
 
@@ -845,15 +846,18 @@ def orders_rfm_segments(spark, sf_dir):
     """RFM customer segmentation: quintile scores for Recency (days
     since last order, vs the corpus max date), Frequency (order count)
     and Monetary (decimal-exact spend), reported as the segment-cell
-    histogram (125 cells max). ntile is deterministic because every
+    histogram (125 cells max). Scores are deterministic because every
     ORDER BY carries the custkey tie-break - without it, equal-value
     customers straddle quintile boundaries differently per partition
     order and the segmentation is unstable run to run (the classic RFM
     implementation bug). Recency is an integer date diff; monetary
-    converts from DECIMAL once. Three global ntile sorts over the
-    per-customer aggregate (|customers| rows, not |orders|); at 100 TB
-    replace with percent_rank over bucketed pre-aggregates or accept
-    the three sorts of the small aggregate."""
+    converts from DECIMAL once. Each quintile is a TWO-PASS global rank
+    (operators/twopass.py: range shuffle + broadcast offsets, every
+    stage parallel) with NTILE reconstructed from (rank, N) by integer
+    bucket math - bit-identical to the single-partition NTILE window it
+    replaces (the oracle still says NTILE) but with no serial stage; N
+    comes free from the subtotal pass. Three chained two-pass rankings
+    over the per-customer aggregate (|customers| rows, not |orders|)."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
     per_cust = (o.crossJoin(F.broadcast(mx))
@@ -863,14 +867,15 @@ def orders_rfm_segments(spark, sf_dir):
                      F.count(F.lit(1)).alias("frequency"),
                      F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                      .cast("double").alias("monetary")))
-    scored = per_cust.select(
-        "frequency",
-        F.ntile(5).over(Window.orderBy("recency_days", "custkey"))
-        .alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
-        .alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "custkey"))
-        .alias("m_score"))
+    scored = per_cust
+    for score, order in (
+            ("r_score", [F.asc("recency_days"), F.asc("custkey")]),
+            ("f_score", [F.desc("frequency"), F.asc("custkey")]),
+            ("m_score", [F.desc("monetary"), F.asc("custkey")])):
+        scored, n_rows, _ = twopass.global_prefix(scored, order)
+        scored = (scored.withColumn(
+            score, twopass.ntile_from_rank(twopass.ROW_COL, 5, n_rows)
+            .cast("int")).drop(twopass.ROW_COL))
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("frequency").cast("long").alias("total_orders")))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import _t, query
+from .operators import twopass
 
 # Stopwords chosen from the synthetic corpus vocabulary; the operator
 # semantics (>=2 distinct stopwords present) mirror Gopher's "has at
@@ -372,11 +373,14 @@ def orders_revenue_concentration(spark, sf_dir):
     SORTED value lists (bit-identical to DuckDB's list_sort +
     list_reduce), which also pins the rank order exactly (ties broken
     by custkey); decile assignment is integer arithmetic. Only the
-    final 10-row cumulative division is rounded. The global rank is a
-    single partition-less window - fine for the |customers|-row
-    aggregate here; at 100 TB swap in a rangepartitioned two-pass
-    prefix sum (sort by revenue, per-partition partials, broadcast
-    offsets) - the decile math is unchanged."""
+    final 10-row cumulative division is rounded. The global rank is
+    the TWO-PASS scheme (operators/twopass.py: range shuffle on
+    (revenue desc, custkey), per-partition counts, broadcast offsets,
+    partition-local row_number) - no single-partition stage over the
+    customer aggregate; N folds in as a plan literal from the subtotal
+    pass. The only remaining unpartitioned window is the cumulative
+    share over the 10-row decile aggregate - bounded at 10 rows by
+    construction, legitimate at any scale (asserted by test_plans)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
@@ -384,13 +388,11 @@ def orders_revenue_concentration(spark, sf_dir):
            .agg(F.aggregate(F.sort_array(F.collect_list("o_totalprice")),
                             F.lit(0.0), lambda a, x: a + x)
                 .alias("revenue")))
-    wr = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
-    rk = rev.select("o_custkey", "revenue",
-                    F.row_number().over(wr).alias("r"),
-                    F.count(F.lit(1)).over(
-                        Window.partitionBy()).alias("n"))
-    dec = rk.select(F.expr("(r - 1) * 10 div n + 1").alias("decile"),
-                    "revenue")
+    rk, n_rows, _ = twopass.global_prefix(
+        rev, [F.desc("revenue"), F.asc("o_custkey")])
+    dec = rk.select(
+        F.expr(f"({twopass.ROW_COL} - 1) * 10 div {max(n_rows, 1)} + 1")
+        .alias("decile"), "revenue")
     agg = (dec.groupBy("decile")
            .agg(F.count(F.lit(1)).alias("n_customers"),
                 F.aggregate(F.sort_array(F.collect_list("revenue")),

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
 from .catalog_ext import _COSINE_PAIR_SQL, _SRP_ORACLE_SQL
-from .operators import similarity
+from .operators import similarity, twopass
 from .session import widen_scan
 
 # ---------------------------------------------------------------------
@@ -671,20 +671,24 @@ def q14_promo_revenue_share(spark, sf_dir):
 def ntile_customer_deciles(spark, sf_dir):
     """Customer-value deciles: aggregate fact→dim first (orders collapse
     to one row per customer — the 1000x reduction), THEN a global
-    NTILE over the reduced table. The unpartitioned window is a
-    deliberate, documented trade: it runs on the aggregate (customers,
-    not orders), which fits one partition into the ~100M-customer
-    range; beyond that the same decile assignment comes from Spark's
-    range-partitioned sort + partition-offset ranks (two-pass), which
-    this entry's groupBy→window plan upgrades to without semantic
-    change. Ties broken by custkey so the decile cut is deterministic."""
+    decile over the reduced table via the TWO-PASS rank
+    (operators/twopass.py): range-partition on (spend desc, custkey),
+    per-partition counts, broadcast offsets, partition-local
+    row_number, NTILE(10) reconstructed from (rank, N) by the ANSI
+    bucket-size arithmetic — bit-identical to the single-partition
+    NTILE window the oracle still declares, but every stage parallel
+    (no Exchange SinglePartition; asserted by test_plans). Ties broken
+    by custkey so the decile cut is deterministic."""
     spend = (_t(spark, sf_dir, "orders")
              .groupBy(F.col("o_custkey").alias("custkey"))
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                   .cast("double").alias("total_spend")))
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
-    return spend.select("custkey", "total_spend",
-                        F.ntile(10).over(w).cast("int").alias("decile"))
+    ranked, n_rows, _ = twopass.global_prefix(
+        spend, [F.desc("total_spend"), F.asc("custkey")])
+    return ranked.select(
+        "custkey", "total_spend",
+        twopass.ntile_from_rank(twopass.ROW_COL, 10, n_rows)
+        .cast("int").alias("decile"))
 
 
 # ---------------------------------------------------------------------

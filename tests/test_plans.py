@@ -135,6 +135,26 @@ def test_pipe_wave_plan_shapes(spark):
     assert plan.count("orders.parquet") == 1, "orders scanned >1x"
 
 
+def test_global_ranks_have_no_single_partition_window(spark):
+    """The four entries the r4 verdict called out as scale-killers now
+    rank via the two-pass scheme (operators/twopass.py): no Window in
+    their plans may sit on an Exchange SinglePartition. Exception: the
+    Lorenz entry's final cumulative share runs over its own 10-row
+    decile aggregate - bounded by construction - so only its
+    row_number (the customer-grain rank) is asserted parallel."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.operators.twopass import (
+        single_partition_window_ops,
+    )
+    for name in ["sample_weighted_systematic", "ntile_customer_deciles",
+                 "orders_rfm_segments"]:
+        hits = single_partition_window_ops(registry.QUERIES[name](spark, SF))
+        assert not hits, f"{name}: single-partition window(s): {hits}"
+    df = registry.QUERIES["orders_revenue_concentration"](spark, SF)
+    for h in single_partition_window_ops(df):
+        assert "row_number" not in h, f"customer rank went serial: {h}"
+
+
 def test_gopher_gate_is_a_pure_map(spark):
     """The quality gate must stay a zero-exchange narrow projection —
     at 100 TB it runs embedded in the corpus scan."""
