@@ -1110,8 +1110,9 @@ def profile_table_describe(spark, sf_dir):
     )
     SELECT m.decile,
            CAST(m.cutoff AS BIGINT) AS cutoff_doc_id,
-           CAST((SELECT SUM(n_tok) FROM tok_per_doc
-                 WHERE doc_id <= m.cutoff) AS BIGINT) AS corpus_tokens,
+           CAST(COALESCE((SELECT SUM(n_tok) FROM tok_per_doc
+                 WHERE doc_id <= m.cutoff), 0) AS BIGINT)
+             AS corpus_tokens,
            CAST((SELECT COUNT(*) FROM firsts
                  WHERE first_doc <= m.cutoff) AS BIGINT) AS distinct_vocab
     FROM marks m
@@ -1125,7 +1126,11 @@ def docs_vocab_growth(spark, sf_dir):
     full distinct-counts); this computes each token's FIRST carrier doc
     once (one aggregate), then every checkpoint is a filtered count of
     the tiny firsts table - 1 corpus pass total, 10 checkpoint counts
-    over |vocab| rows. All integer arithmetic."""
+    over |vocab| rows. All integer arithmetic. Every decile row is
+    emitted even when its cutoff precedes all doc_ids (tiny corpora
+    with <10 dense ids): the checkpoint joins are LEFT from marks with
+    counts coalesced to 0, matching the oracle's scalar subqueries
+    (r4 advice - the inner join silently dropped such deciles)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
@@ -1141,15 +1146,19 @@ def docs_vocab_growth(spark, sf_dir):
              .select("decile", F.expr("(max_id + 1) * decile div 10 - 1")
                      .alias("cutoff")))
     toks_at = (marks.join(per_doc, per_doc.doc_id <= marks.cutoff)
-               .groupBy("decile", "cutoff")
+               .groupBy("decile")
                .agg(F.sum("n_tok").cast("long").alias("corpus_tokens")))
     vocab_at = (marks.join(firsts, firsts.first_doc <= marks.cutoff)
                 .groupBy("decile")
                 .agg(F.count(F.lit(1)).cast("long").alias("distinct_vocab")))
-    return (toks_at.join(vocab_at, "decile")
+    return (marks.join(toks_at, "decile", "left")
+            .join(vocab_at, "decile", "left")
             .select("decile", F.col("cutoff").cast("long")
-                    .alias("cutoff_doc_id"), "corpus_tokens",
-                    "distinct_vocab"))
+                    .alias("cutoff_doc_id"),
+                    F.coalesce("corpus_tokens", F.lit(0)).cast("long")
+                    .alias("corpus_tokens"),
+                    F.coalesce("distinct_vocab", F.lit(0)).cast("long")
+                    .alias("distinct_vocab")))
 
 
 # ---------------------------------------------------------------------

@@ -501,5 +501,9 @@ def embed_top_pc(spark, sf_dir):
         v = mv / np.sqrt(float((mv * mv).sum()))
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
-    rows = [(int(i), float(round(v[i], 6))) for i in range(dim)]
-    return spark.createDataFrame(rows, "pos int, comp double")
+    # round with F.round (HALF_UP) like every other rounded entry -
+    # Python round() is banker's half-to-even and would hash-diverge
+    # from DuckDB ROUND on an exact .5e-6 boundary (r4 advice)
+    rows = [(int(i), float(v[i])) for i in range(dim)]
+    return (spark.createDataFrame(rows, "pos int, comp double")
+            .select("pos", F.round("comp", 6).alias("comp")))

@@ -410,11 +410,15 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
                          .alias("codes"))
 
 
+MAX_PQ_QUERY_BATCH = 4096
+
+
 def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
                 k: int = 10, pool: int = 30, m_sub: int = 4,
                 n_codewords: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                qid_col: str = "qid") -> DataFrame:
+                qid_col: str = "qid",
+                max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
     """PQ-ADC approximate nearest neighbors: encode the corpus once as
     m_sub-byte PQ codes, score candidates by Asymmetric Distance
     Computation (per query, a (m_sub x n_codewords) table of
@@ -434,7 +438,16 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
 
     cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
     s = dim // m_sub
-    qrows = queries.orderBy(qid_col).collect()
+    # The ADC tables live on the driver (Q x m_sub x K floats) and are
+    # closure-broadcast into the scoring UDF - bounded by design for
+    # query BATCHES, so an unbounded query frame must fail loudly here
+    # rather than OOM the driver. Large query sets: chunk the callers.
+    qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"topk_ann_pq query batch exceeds max_query_batch="
+            f"{max_query_batch}; chunk the query set (the ADC tables "
+            "are driver-resident per batch)")
     if cb.shape[1] == 0 or not qrows:
         # empty corpus or no queries: empty result, stable schema
         return corpus.sparkSession.createDataFrame(
@@ -442,7 +455,10 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
                 "rank int")
     qids = [r[qid_col] for r in qrows]
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)  # (Q, dim)
-    tables = np.zeros((len(qids), m_sub, n_codewords))
+    # K = actual codewords: pq_codebooks seeds from the corpus, so a
+    # corpus smaller than n_codewords yields fewer (r4 advice: sizing
+    # the tables to the REQUEST broke numpy broadcasting on tiny input)
+    tables = np.zeros((len(qids), m_sub, cb.shape[1]))
     for m in range(m_sub):
         for i in range(s):                       # sequential over dims
             tables[:, m, :] = (tables[:, m, :]

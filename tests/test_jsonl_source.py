@@ -41,6 +41,28 @@ def test_jsonl_clean_and_quarantine(spark, tmp_path):
     assert any(b.startswith('{"doc_id": 3') for b in bad)
 
 
+def test_jsonl_type_mismatch_quarantines(spark, tmp_path):
+    """Well-formed JSON whose fields fail the explicit schema is
+    captured too - PERMISSIVE quarantine is schema enforcement, not
+    just a malformed-line filter."""
+    p = tmp_path / "typed.jsonl"
+    p.write_text(json.dumps({"doc_id": "not-a-number", "text": "x",
+                             "meta": None}) + "\n")
+    res = read_jsonl(spark, str(p))
+    assert res.clean.count() == 0
+    assert res.quarantined.count() == 1
+    res.unpersist()
+
+
+def test_jsonl_unpersist_releases_cache(spark, tmp_path):
+    path = _write_corpus(tmp_path)
+    res = read_jsonl(spark, path)
+    res.clean.count()
+    assert res.raw.storageLevel.useMemory
+    res.unpersist(blocking=True)
+    assert not res.raw.storageLevel.useMemory
+
+
 def test_jsonl_nested_projection_prunes(spark, tmp_path):
     """Selecting one nested field must prune the read schema to that
     branch (meta.lang), not deserialize whole documents."""

@@ -151,6 +151,30 @@ def test_pq_recall_against_bruteforce(spark):
             assert r["sim"] == pytest.approx(exact_sims[key])
 
 
+def test_pq_small_corpus_fewer_codewords_than_requested(spark):
+    """A corpus smaller than n_codewords must still answer (the r4
+    advice found a numpy broadcast crash when the ADC tables were sized
+    to the REQUEST instead of the actual codebook)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .filter(F.col("vec_id") < 6)      # 6 vectors < 16 codewords
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    out = similarity.topk_ann_pq(emb, q, dim=64, k=3, pool=5,
+                                 n_codewords=16).collect()
+    assert out, "small corpus must yield results, not crash"
+    assert {r["qid"] for r in out} == {0, 1}
+
+
+def test_pq_oversized_query_batch_rejected(spark):
+    """The ADC tables are driver-resident per batch; an unbounded query
+    frame must fail loudly instead of accumulating on the driver."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv"))
+    with pytest.raises(ValueError, match="max_query_batch"):
+        similarity.topk_ann_pq(emb, q, dim=64, k=3, max_query_batch=10)
+
+
 def test_pq_codes_match_numpy(spark):
     """PQ encoding = per-subspace squared-L2 argmin against the seed
     codebooks, first-occurrence tie-break — verified against a direct
