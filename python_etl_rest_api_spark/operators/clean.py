@@ -97,8 +97,9 @@ def flag_critical(df: DataFrame) -> DataFrame:
     row-group pruning. That is the right trade for this pipeline (the
     coercion chain dominates, and the split consumes ~all rows), but if
     you filter the output on raw columns, do it BEFORE calling
-    flag_critical, or re-project the needed columns after the split to
-    restore a deterministic plan for Catalyst to push through.
+    flag_critical - or materialize the split once with
+    :func:`split_critical_materialized`, whose re-read tiers start at a
+    plain deterministic scan and regain full pushdown.
     """
     rules = _critical_rules(df)
     any_critical = rules[0][0]
@@ -126,6 +127,41 @@ def split_critical(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     flagged = flag_critical(df)
     clean = flagged.filter(~F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG, CRITICAL_REASON)
     critical = flagged.filter(F.col(CRITICAL_FLAG)).drop(CRITICAL_FLAG)
+    return clean, critical
+
+
+def split_critical_materialized(df: DataFrame, path: str
+                                ) -> tuple[DataFrame, DataFrame]:
+    """(clean, critical) as MATERIALIZED silver tables: one write pass,
+    then both tiers re-read from storage.
+
+    The in-plan split (:func:`split_critical`) deliberately pins its
+    flag behind a non-deterministic guard so the coercion chain parses
+    once - at the cost of blocking Catalyst pushdown for EVERY
+    downstream filter, including cheap selective ones on columns the
+    pipeline never touched (see flag_critical's docstring). That trade
+    is right when the split is consumed exactly once. When consumers
+    re-filter the tiers (the dashboard-on-silver pattern), the 100 TB
+    answer is not a cleverer lineage - it is to stop carrying the
+    lineage: write the flagged frame ONCE partitioned by the tier flag
+    (a single pass over the data, so the parse-once guarantee becomes
+    trivially true), and hand consumers parquet-backed frames whose
+    plans start at a plain deterministic scan. Tier selection is
+    partition pruning (zero data read for the other tier); downstream
+    filters on any column regain parquet row-group pruning and column
+    pruning (plan-asserted in test_plans).
+    """
+    flagged = flag_critical(df)
+    (flagged.write.mode("overwrite")
+     .partitionBy(CRITICAL_FLAG).parquet(path))
+    # partition-column values come back as strings unless inference is
+    # on for booleans (it is not); compare textually so the tier filter
+    # stays a pure partition predicate Spark can prune with
+    stored = df.sparkSession.read.parquet(path)
+    clean = (stored.filter(F.col(CRITICAL_FLAG) == "false")
+             .drop(CRITICAL_FLAG, CRITICAL_REASON))
+    critical = (stored.filter(F.col(CRITICAL_FLAG) == "true")
+                .drop(CRITICAL_FLAG))
     return clean, critical
 
 

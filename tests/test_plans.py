@@ -135,6 +135,38 @@ def test_pipe_wave_plan_shapes(spark):
     assert plan.count("orders.parquet") == 1, "orders scanned >1x"
 
 
+def test_materialized_split_restores_pushdown(spark, tmp_path):
+    """flag_critical's non-determinism pin blocks ALL pushdown through
+    the in-plan split (the measured parse-once trade). The materialized
+    split must give that back: its re-read tiers start at a plain
+    parquet scan, so a post-split date filter (and any other column
+    filter) reaches the scan as a pushed filter, with the tier flag
+    handled by partition pruning."""
+    from python_etl_rest_api_spark.catalog_etl import (
+        _ETL_FORMATS,
+        _scaled_raw_df,
+    )
+    from python_etl_rest_api_spark.operators.clean import (
+        split_critical,
+        split_critical_materialized,
+        standardize,
+    )
+    staged = standardize(_scaled_raw_df(spark, SF), _ETL_FORMATS)
+    clean, critical = split_critical_materialized(
+        staged, str(tmp_path / "silver"))
+    dated = clean.filter(F.col("created_at") >= "1995-06-01")
+    assert has_pushed_filter(dated, "created_at")
+    by_company = critical.filter(F.col("company_id") == "c1")
+    assert has_pushed_filter(by_company, "company_id")
+    # same rows as the in-plan split (order-insensitive)
+    in_clean, in_crit = split_critical(staged)
+    assert clean.count() == in_clean.count()
+    assert critical.count() == in_crit.count()
+    # and the documented contrast: the pinned in-plan tier does NOT push
+    assert not has_pushed_filter(
+        in_clean.filter(F.col("created_at") >= "1995-06-01"), "created_at")
+
+
 def test_global_ranks_have_no_single_partition_window(spark):
     """The four entries the r4 verdict called out as scale-killers now
     rank via the two-pass scheme (operators/twopass.py): no Window in
