@@ -1005,6 +1005,84 @@ def text_bpe_merges(spark, sf_dir):
         "step int, pair string, cnt long")
 
 
+def _bpe_batched_oracle(rounds: int = 2, round_size: int = 4,
+                        window: int = 32) -> str:
+    """Unrolled-CTE oracle for the BATCHED BPE rule: per round, a pair
+    count table, a top-``window`` candidate cut, ``round_size`` greedy
+    symbol-disjoint selections (each a scalar-subquery argmax excluding
+    overlap with every earlier pick), then all selected merges applied
+    to the symbol frame at once. Missing picks (a round with fewer
+    disjoint candidates) coalesce to a chr(1) sentinel pair that never
+    matches in the replace chain, and overlap exclusion uses
+    split_part + NOT IN subqueries (an empty earlier pick excludes
+    nothing) - DuckDB's list_has_any is a lambda-backed macro that
+    rejects subquery arguments."""
+    sent = "chr(1) || ' ' || chr(1)"
+    parts = ["""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+    wf AS (SELECT w, COUNT(*) AS f FROM tok WHERE len(w) >= 1 GROUP BY w),
+    s0 AS MATERIALIZED (SELECT '<' || array_to_string(
+                    list_transform(range(1, len(w)+1), i -> w[i]), '><')
+                  || '>' AS sym, f
+           FROM wf)"""]
+    selects = []
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(f""",
+    p{r} AS MATERIALIZED (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM {prev})) GROUP BY pr),
+    c{r} AS MATERIALIZED (SELECT pair, cnt, split_part(pair, ' ', 1) AS x,
+                    split_part(pair, ' ', 2) AS y
+             FROM p{r} ORDER BY cnt DESC, pair LIMIT {window})""")
+        for k in range(1, round_size + 1):
+            conds = "".join(
+                f"\n               AND x NOT IN (SELECT x FROM b{r}_{j} "
+                f"UNION ALL SELECT y FROM b{r}_{j})"
+                f"\n               AND y NOT IN (SELECT x FROM b{r}_{j} "
+                f"UNION ALL SELECT y FROM b{r}_{j})"
+                for j in range(1, k))
+            parts.append(f""",
+    b{r}_{k} AS MATERIALIZED (SELECT pair, cnt, x, y FROM c{r}
+             WHERE TRUE{conds}
+             ORDER BY cnt DESC, pair LIMIT 1)""")
+            selects.append(f"SELECT {(r - 1) * round_size + k} AS step, "
+                           f"pair, cnt FROM b{r}_{k}")
+        repl = "sym"
+        for k in range(1, round_size + 1):
+            p = f"coalesce((SELECT pair FROM b{r}_{k}), {sent})"
+            repl = (f"replace({repl}, '<' || replace({p}, ' ', '><') "
+                    f"|| '>', '<' || replace({p}, ' ', '+') || '>')")
+        parts.append(f""",
+    s{r} AS MATERIALIZED (SELECT {repl} AS sym, f FROM {prev})""")
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@query("text_bpe_merges_batched", _bpe_batched_oracle())
+def text_bpe_merges_batched(spark, sf_dir):
+    """The first 8 BPE merges learned with the BATCHED rule: 4
+    symbol-disjoint merges per round from a 32-candidate window - TWO
+    pair-count jobs instead of eight (operators/text.py::
+    bpe_merges_batched; the r4 verdict's scale fix for the job-per-merge
+    loop, which stands as the exact-classic-BPE baseline in
+    text_bpe_merges). Disjointness makes each round's counts exact;
+    the selection rule (defer pairs built from this round's merges to
+    the next round) is the standard parallel-BPE approximation, and the
+    oracle unrolls the identical rule - candidate LIMIT, greedy
+    overlap exclusion via scalar-subquery argmaxes, positional step
+    numbers - so the merge table is value-hashed across engines."""
+    from .operators.text import bpe_merges_batched
+    rows = bpe_merges_batched(_t(spark, sf_dir, "documents"),
+                              steps=8, round_size=4, window=32)
+    return spark.createDataFrame(
+        [(s, p, c) for s, p, c in rows],
+        "step int, pair string, cnt long")
+
+
 # ---------------------------------------------------------------------
 # One-pass table profile (the DESCRIBE/df.describe analogue, exact)
 # ---------------------------------------------------------------------

@@ -176,6 +176,37 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bpe_symbol_frame(df: DataFrame, text_col: str) -> DataFrame:
+    """Shared BPE prelude: word-type frequencies, each word as a string
+    of self-delimited character symbols ('<t><a><b>')."""
+    words = (df.filter(F.col(text_col).isNotNull())
+             .select(F.explode(tokens(text_col)).alias("w"))
+             .filter(F.length("w") >= 1)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    return words.select(
+        F.concat(F.lit("<"),
+                 F.array_join(F.expr(
+                     "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+                     "><"),
+                 F.lit(">")).alias("sym"),
+        "f")
+
+
+def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over the symbol frame, weighted by
+    word frequency (the per-round distributed aggregate)."""
+    return (syms.select(
+        F.explode(F.expr(
+            "case when size(split(substring(sym, 2, length(sym)-2), "
+            "'><')) >= 2 then "
+            "transform(sequence(1, size(split(substring(sym, 2, "
+            "length(sym)-2), '><')) - 1), i -> concat("
+            "element_at(split(substring(sym, 2, length(sym)-2), '><'), i),"
+            "' ', element_at(split(substring(sym, 2, length(sym)-2), "
+            "'><'), i+1))) else array() end")).alias("pair"), "f")
+        .groupBy("pair").agg(F.sum("f").alias("cnt")))
+
+
 def bpe_merges(df: DataFrame, steps: int = 3,
                text_col: str = "text") -> list[tuple[int, str, int]]:
     """Byte-pair-encoding vocabulary induction: the first ``steps`` BPE
@@ -199,34 +230,21 @@ def bpe_merges(df: DataFrame, steps: int = 3,
     while back-to-back occurrences ('<a><a><a>') merge exactly like
     greedy BPE ([aa, a]). Ties break on pair string order.
 
+    Depth bound: ONE Spark job (pair-count aggregate + scalar collect)
+    per merge step. Right for oracle/demo depths; a production 32k-merge
+    vocabulary would mean 32k jobs - use :func:`bpe_merges_batched`
+    (>= 4 merges per job) for that regime.
+
     Returns [(step, 'x y', count)] - the learned merge table.
     """
-    words = (df.filter(F.col(text_col).isNotNull())
-             .select(F.explode(tokens(text_col)).alias("w"))
-             .filter(F.length("w") >= 1)
-             .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
-    syms = words.select(
-        F.concat(F.lit("<"),
-                 F.array_join(F.expr(
-                     "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-                     "><"),
-                 F.lit(">")).alias("sym"),
-        "f")
+    syms = _bpe_symbol_frame(df, text_col)
     merges: list[tuple[int, str, int]] = []
     for step in range(1, steps + 1):
-        # CASE guard: Spark's sequence(1, 0) counts DOWN to [1, 0], so a
-        # single-symbol word would index past the array - emit no pairs
-        # instead (DuckDB's range(1, 1) is already empty).
-        pairs = (syms.select(
-            F.explode(F.expr(
-                "case when size(split(substring(sym, 2, length(sym)-2), "
-                "'><')) >= 2 then "
-                "transform(sequence(1, size(split(substring(sym, 2, "
-                "length(sym)-2), '><')) - 1), i -> concat("
-                "element_at(split(substring(sym, 2, length(sym)-2), '><'), i),"
-                "' ', element_at(split(substring(sym, 2, length(sym)-2), "
-                "'><'), i+1))) else array() end")).alias("pair"), "f")
-            .groupBy("pair").agg(F.sum("f").alias("cnt")))
+        # the CASE guard inside _bpe_pair_counts matters here: Spark's
+        # sequence(1, 0) counts DOWN to [1, 0], so a single-symbol word
+        # would index past the array - emit no pairs instead (DuckDB's
+        # range(1, 1) is already empty).
+        pairs = _bpe_pair_counts(syms)
         best = (pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc())
                 .limit(1).collect())
         if not best:
@@ -237,4 +255,62 @@ def bpe_merges(df: DataFrame, steps: int = 3,
         syms = syms.select(
             F.replace("sym", F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
             .alias("sym"), "f")
+    return merges
+
+
+def bpe_merges_batched(df: DataFrame, steps: int = 8, round_size: int = 4,
+                       window: int = 32, text_col: str = "text",
+                       ) -> list[tuple[int, str, int]]:
+    """Batched BPE vocabulary induction: ``round_size`` merges per Spark
+    job instead of one - the scale path for real (32k-merge) vocab
+    training, where :func:`bpe_merges`'s job-per-merge loop is a wall.
+
+    Per round, ONE distributed pair-count aggregate; the driver takes
+    the top-``window`` candidates by (count desc, pair asc) and greedily
+    keeps up to ``round_size`` pairs that are pairwise SYMBOL-DISJOINT.
+    Disjointness is what makes the batch exact per-round: merging
+    '<x><y>' cannot create or destroy an occurrence of any pair whose
+    symbols avoid {x, y}, so the published counts - taken from the
+    round's single table - are identical to what sequential recounting
+    would see for those same pairs, and the replacements commute. The
+    deviation from classic BPE is the SELECTION: sequential BPE may
+    interleave a just-created pair (t, x+y) between batch picks; this
+    variant (the standard parallel-BPE approximation) defers such pairs
+    to the next round. The candidate window is a documented bound: a
+    pair outside the top-``window`` is never picked even if every
+    candidate above it overlaps; the oracle applies the same LIMIT so
+    both engines see the identical rule.
+
+    Steps must divide into whole rounds (positional step numbering
+    ``(round-1)*round_size + k`` keeps the unrolled SQL oracle in
+    lockstep even when a round finds fewer than ``round_size`` disjoint
+    pairs). Returns [(step, 'x y', count)] like :func:`bpe_merges`.
+    """
+    if steps % round_size:
+        raise ValueError("steps must be a multiple of round_size "
+                         "(positional numbering keeps the oracle aligned)")
+    syms = _bpe_symbol_frame(df, text_col)
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(steps // round_size):
+        cand = (_bpe_pair_counts(syms)
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(window).collect())
+        if not cand:
+            break
+        used: set[str] = set()
+        sym_col = F.col("sym")
+        picked = 0
+        for r in cand:
+            x, y = r["pair"].split(" ")
+            if x in used or y in used:
+                continue
+            used.update((x, y))
+            picked += 1
+            merges.append((rnd * round_size + picked,
+                           r["pair"], int(r["cnt"])))
+            sym_col = F.replace(
+                sym_col, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
+            if picked == round_size:
+                break
+        syms = syms.select(sym_col.alias("sym"), "f")
     return merges

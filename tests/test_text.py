@@ -134,3 +134,48 @@ def test_bpe_merges_hand_corpus(spark):
         [(0, "aaab aaab ab")], "doc_id long, text string")
     got = bpe_merges(docs, steps=3)
     assert got == [(1, "a a", 4), (2, "a b", 3), (3, "a+a a+b", 2)]
+
+
+def test_bpe_batched_hand_corpus(spark):
+    """Batched rule on the same corpus: round 1 candidates are
+    ('a','a') 4 and ('a','b') 3, which SHARE 'a', so the greedy
+    disjoint pick takes only merge 1 = 'a a' and defers 'a b'. Round 2
+    (after '<a+a><a><b>' / '<a><b>'): pairs ('a','b') 3, ('a+a','a') 2
+    -> picks 'a b' then skips ('a+a','a') (shares 'a')... which leaves
+    ('a+a','a') deferred again. Positional numbering: steps 1 and 5."""
+    from python_etl_rest_api_spark.operators.text import bpe_merges_batched
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string")
+    got = bpe_merges_batched(docs, steps=8, round_size=4, window=32)
+    assert got[0] == (1, "a a", 4)
+    assert got[1][1] == "a b" and got[1][0] == 5
+
+
+def test_bpe_batched_first_pick_matches_sequential(spark):
+    """Each round's FIRST pick is the global argmax - identical to what
+    sequential BPE would choose at that point; and all picks within a
+    round are pairwise symbol-disjoint."""
+    from python_etl_rest_api_spark.operators.text import (
+        bpe_merges,
+        bpe_merges_batched,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    seq = bpe_merges(docs, steps=1)
+    bat = bpe_merges_batched(docs, steps=8, round_size=4)
+    assert bat[0][1:] == seq[0][1:]
+    assert len(bat) == 8
+    round1 = [m for m in bat if m[0] <= 4]
+    syms = [s for _, p, _ in round1 for s in p.split(" ")]
+    assert len(syms) == len(set(syms)), "round-1 picks share a symbol"
+
+
+def test_bpe_batched_rejects_ragged_steps(spark):
+    from python_etl_rest_api_spark.operators.text import bpe_merges_batched
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="multiple of round_size"):
+        bpe_merges_batched(docs, steps=7, round_size=4)
