@@ -437,6 +437,23 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
     from pyspark.sql.functions import pandas_udf
 
     cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+    return pq_adc_topk(codes, cb, corpus, queries, dim=dim, k=k, pool=pool,
+                       m_sub=m_sub, id_col=id_col, vec_col=vec_col,
+                       qid_col=qid_col, max_query_batch=max_query_batch)
+
+
+def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
+                queries: DataFrame, dim: int = 64, k: int = 10,
+                pool: int = 30, m_sub: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding", qid_col: str = "qid",
+                max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
+    """ADC scoring + exact re-rank over an ALREADY-ENCODED corpus: the
+    serve half of :func:`topk_ann_pq`, shared with the persisted-index
+    path (operators/ann_index.py loads ``codes`` and ``cb`` from parquet
+    instead of recomputing them)."""
+    from pyspark.sql.functions import pandas_udf
+
     s = dim // m_sub
     # The ADC tables live on the driver (Q x m_sub x K floats) and are
     # closure-broadcast into the scoring UDF - bounded by design for
@@ -463,8 +480,6 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
         for i in range(s):                       # sequential over dims
             tables[:, m, :] = (tables[:, m, :]
                                + qmat[:, m * s + i, None] * cb[None, m, :, i])
-
-    codes = pq_encode(corpus, cb, id_col, vec_col)
 
     @pandas_udf("array<double>")
     def adc(codes_col: pd.Series) -> pd.Series:

@@ -30,9 +30,9 @@ order at the end until classified.
 """
 
 from . import (  # noqa: F401
-    catalog, catalog_agg, catalog_etl, catalog_ext, catalog_llm,
-    catalog_pipe, catalog_quality, catalog_scale, catalog_tpch,
-    catalog_warehouse, catalog_win,
+    catalog, catalog_agg, catalog_ann, catalog_etl, catalog_ext,
+    catalog_llm, catalog_pipe, catalog_quality, catalog_scale,
+    catalog_tpch, catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES

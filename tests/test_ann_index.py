@@ -1,0 +1,68 @@
+"""Persisted ANN index: the stored-index serve paths must reproduce the
+recompute paths row-for-row, and the stored artifacts must have the
+shapes the 100 TB story claims (no vectors duplicated into the SRP
+bucket file; PQ codes are the only corpus-sized PQ artifact)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.operators import ann_index, similarity
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    path = str(tmp_path_factory.mktemp("annidx"))
+    ann_index.build_ann_index(emb, path, dim=64, bits=6, tables=4,
+                              n_centroids=16, refine_steps=0,
+                              m_sub=4, n_codewords=16)
+    return emb, queries, path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(
+        "qid", "vec_id", "sim", "rank").collect())
+
+
+def test_srp_serve_matches_recompute(spark, built):
+    emb, queries, path = built
+    served = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10)
+    fresh = similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6)
+    assert _rows(served) == _rows(fresh)
+
+
+def test_ivf_serve_matches_recompute(spark, built):
+    emb, queries, path = built
+    served = ann_index.topk_ann_ivf_indexed(emb, queries, path,
+                                            k=10, nprobe=4)
+    fresh = similarity.topk_ann_ivf(emb, queries, dim=64, k=10,
+                                    n_centroids=16, nprobe=4,
+                                    refine_steps=0)
+    assert _rows(served) == _rows(fresh)
+
+
+def test_pq_serve_matches_recompute(spark, built):
+    emb, queries, path = built
+    served = ann_index.topk_ann_pq_indexed(emb, queries, path,
+                                           k=10, pool=30)
+    fresh = similarity.topk_ann_pq(emb, queries, dim=64, k=10, pool=30)
+    assert _rows(served) == _rows(fresh)
+
+
+def test_stored_artifacts_have_scale_shapes(spark, built):
+    emb, _, path = built
+    n = emb.count()
+    srp = spark.read.parquet(f"{path}/srp_buckets")
+    # one row per (vector, table), NO vector column in the index
+    assert srp.count() == n * 4
+    assert set(srp.columns) == {"table_id", "bucket_key", "vec_id"}
+    codes = spark.read.parquet(f"{path}/pq_codes")
+    assert codes.count() == n
+    assert set(codes.columns) == {"vec_id", "codes"}
+    cents = spark.read.parquet(f"{path}/ivf_centroids")
+    assert cents.count() == 16
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta.dim, meta.bits, meta.tables) == (64, 6, 4)
