@@ -853,6 +853,41 @@ def multimodal_bmp_decode(spark, sf_dir):
     return decode_bmp_features(synthesize_bmp_media(spark, n=48))
 
 
+@query("multimodal_png_decode", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h FROM m),
+    px AS (SELECT i, w, h, x, y,
+                  (i*7 + x*3 + y*5) % 256 AS r,
+                  (i*7 + x*3 + y*5 + 11) % 256 AS g,
+                  (i*7 + x*3 + y*5 + 22) % 256 AS b
+           FROM dims, range(0, 12) t1(x), range(0, 8) t2(y)
+           WHERE x < w AND y < h)
+    SELECT i AS media_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           COUNT(*) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_red,
+           CAST(SUM(g) AS BIGINT) AS sum_green,
+           CAST(SUM(b) AS BIGINT) AS sum_blue,
+           CAST(MAX(r + g + b) AS BIGINT) AS peak_rgb
+    FROM px GROUP BY i, w, h
+""")
+def multimodal_png_decode(spark, sf_dir):
+    """REAL compressed-image codec path (stdlib zlib + struct, extending
+    multimodal_bmp_decode to a COMPRESSED container): genuine PNG
+    payloads - signature, CRC-carrying IHDR/IDAT/IEND chunks, zlib
+    deflate, scanline filters cycling through all five spec types - are
+    decoded back in Arrow batches: chunk walk, inflate, five-filter
+    reconstruction (Sub/Up/Average/Paeth inverses), exact integer
+    channel sums, all from the byte stream. Pixels are the same closed
+    form of (i, x, y) as the BMP path (RGB channel order), so DuckDB
+    reproduces the decoded output exactly and the driver value-hashes a
+    true encode->deflate->Spark->inflate->unfilter round trip. JPEG and
+    video (library codecs unavailable here) remain on the stub path."""
+    from .operators.multimodal import decode_png_features, synthesize_png_media
+    tune(spark)
+    return decode_png_features(synthesize_png_media(spark, n=48))
+
+
 # ---------------------------------------------------------------------
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------
