@@ -20,8 +20,10 @@ furthest"):
          covers everything up to ~1s; the expensive tail
          (dedup_cluster_weights, sim_mmr_rerank, embed_top_pc ...)
          lands last and front-runs r6 if the window closes early;
-  78-80  last green in r2 (two rounds stale);
-  81-130 last green in r3;
+  78-82  the round-5 additions (batched BPE, PNG decode, the three
+         persisted-ANN-index serves) - never verified, next in line;
+  83-85  last green in r2 (two rounds stale);
+  86-135 last green in r3;
   tail   the 50 entries CORRECTNESS_r04 just confirmed (freshest
          signal, safe to defer).
 
@@ -116,6 +118,10 @@ _DEBT_FIRST = [
     "dedup_cluster_weights",            # 6.8s
     "sim_mmr_rerank",                   # 7.7s
     "embed_top_pc",                     # 9.5s
+    # -- new in r5 (never driver-verified; next in line after the debt) --
+    "text_bpe_merges_batched", "multimodal_png_decode",
+    "sim_ann_index_srp_serve", "sim_ann_index_ivf_serve",
+    "sim_ann_index_pq_serve",
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -19,7 +19,11 @@ def built(spark, tmp_path_factory):
     ann_index.build_ann_index(emb, path, dim=64, bits=6, tables=4,
                               n_centroids=16, refine_steps=0,
                               m_sub=4, n_codewords=16)
-    return emb, queries, path
+    yield emb, queries, path
+    # unpersist: Spark's cache manager substitutes this full-schema
+    # InMemoryRelation into ANY later scan of the same path, silently
+    # defeating column pruning in other modules' plan assertions
+    emb.unpersist(blocking=True)
 
 
 def _rows(df):

@@ -49,5 +49,13 @@ def test_entry_survives_empty_input(spark, empty_dir, name):
         assert all(r["n_rows"] == 0 and r["n_nulls"] is None
                    and r["n_distinct"] == 0 and r["min_str"] is None
                    for r in rows)
+    elif name == "docs_vocab_growth":
+        # since the r4-advice fix, checkpoints LEFT-join from the decile
+        # marks: an empty corpus still emits all 10 decile rows with a
+        # NULL cutoff (max_id over zero rows) and 0 counts - the same
+        # rows the oracle's scalar subqueries produce
+        assert len(rows) == 10
+        assert all(r["cutoff_doc_id"] is None and r["corpus_tokens"] == 0
+                   and r["distinct_vocab"] == 0 for r in rows)
     else:
         assert rows == []
