@@ -1005,6 +1005,86 @@ def text_bpe_merges(spark, sf_dir):
         "step int, pair string, cnt long")
 
 
+@query("text_bpe_encode", """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents WHERE text IS NOT NULL),
+    wf AS (SELECT w, COUNT(*) AS f FROM tok WHERE len(w) >= 1 GROUP BY w),
+    s0 AS (SELECT '<' || array_to_string(
+                    list_transform(range(1, len(w)+1), i -> w[i]), '><')
+                  || '>' AS sym, f
+           FROM wf),
+    p1 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s0)) GROUP BY pr),
+    b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+    s1 AS (SELECT replace(sym,
+             '<' || replace((SELECT pair FROM b1), ' ', '><') || '>',
+             '<' || replace((SELECT pair FROM b1), ' ', '+') || '>') AS sym,
+             f FROM s0),
+    p2 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s1)) GROUP BY pr),
+    b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+    s2 AS (SELECT replace(sym,
+             '<' || replace((SELECT pair FROM b2), ' ', '><') || '>',
+             '<' || replace((SELECT pair FROM b2), ' ', '+') || '>') AS sym,
+             f FROM s1),
+    p3 AS (SELECT pr AS pair, SUM(f) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS pr, f
+             FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
+                   FROM s2)) GROUP BY pr),
+    b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+    sel AS (SELECT
+        COALESCE((SELECT pair FROM b1), chr(1) || ' ' || chr(1)) AS m1,
+        COALESCE((SELECT pair FROM b2), chr(1) || ' ' || chr(1)) AS m2,
+        COALESCE((SELECT pair FROM b3), chr(1) || ' ' || chr(1)) AS m3),
+    enc AS (
+      SELECT d.doc_id,
+             list_filter(string_split(d.text, ' '),
+                         w -> len(w) >= 1) AS ws,
+             sel.m1, sel.m2, sel.m3
+      FROM documents d, sel WHERE d.text IS NOT NULL)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(ws, w -> len(w))), 0)
+                AS BIGINT) AS n_chars_tokenized,
+           CAST(COALESCE(list_sum(list_transform(ws, w ->
+               len(string_split(replace(replace(replace(
+                 '<' || array_to_string(list_transform(
+                     range(1, len(w)+1), i -> w[i]), '><') || '>',
+                 '<' || replace(m1, ' ', '><') || '>',
+                 '<' || replace(m1, ' ', '+') || '>'),
+                 '<' || replace(m2, ' ', '><') || '>',
+                 '<' || replace(m2, ' ', '+') || '>'),
+                 '<' || replace(m3, ' ', '><') || '>',
+                 '<' || replace(m3, ' ', '+') || '>'), '><')))), 0)
+                AS BIGINT) AS n_bpe_tokens
+    FROM enc
+""")
+def text_bpe_encode(spark, sf_dir):
+    """APPLY the learned BPE vocabulary: train the 3-merge table on the
+    corpus (same loop as text_bpe_merges), then ENCODE every document
+    with it - per-doc word/char/BPE-token accounting, the serve half of
+    the tokenizer lifecycle. The encode itself is a zero-shuffle narrow
+    map (JVM expressions: self-delimited symbols + one replace per
+    merge, plan-asserted in test_plans); only the training loop runs
+    jobs. The oracle re-learns the same merges as unrolled CTEs, pins
+    missing merges to a chr(1) sentinel pair that never matches (tiny
+    corpora yield <3 merges on both engines identically), and re-counts
+    the encoded symbols per word with the identical replace chain -
+    value-hashing that the distributed tokenizer pass and SQL agree on
+    every document's token count."""
+    from .operators.text import bpe_encode_counts, bpe_merges
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, steps=3)
+    return bpe_encode_counts(docs, merges)
+
+
 def _bpe_batched_oracle(rounds: int = 2, round_size: int = 4,
                         window: int = 32) -> str:
     """Unrolled-CTE oracle for the BATCHED BPE rule: per round, a pair

@@ -657,6 +657,60 @@ def q14_promo_revenue_share(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 
+@query("layout_bucketed_join", """
+    SELECT o.o_custkey AS custkey, c.c_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_name
+""")
+def layout_bucketed_join(spark, sf_dir):
+    """ZERO-SHUFFLE co-located join via bucketed tables - the storage-
+    layout complement to broadcast (h1) and salting (skew_salted_agg):
+    when BOTH join sides are too big to broadcast, bucketing them on
+    the join key at WRITE time pre-pays the exchange once, and every
+    subsequent join/aggregate on that key runs with no shuffle at all.
+    Orders and customers are written with bucketBy(8, custkey) +
+    sortBy; the join (merge-hinted so the tiny test dim is not
+    broadcast away) picks SortMergeJoin with both sides' distribution
+    supplied by the bucketed scan, and the per-customer aggregate
+    reuses the same distribution (HashPartitioning(custkey) satisfies
+    the (custkey, name) clustering) - plan-asserted at ZERO exchanges
+    end-to-end in test_plans. At 100 TB this is the fact-to-fact join
+    strategy: the bucket count scales to cluster width and the
+    exchange cost is paid once per table, not once per query. The
+    oracle is the plain relational join - bucketing must not change a
+    single value, only the plan."""
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # a FRESH session's in-memory catalog does not know tables a prior
+    # session materialized, but their warehouse directories survive and
+    # saveAsTable refuses the stale location - drop both the catalog
+    # entry (same-session rerun) and the directory (cross-session rerun)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("r5_bkt_orders", "r5_bkt_customers"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (orders.write.format("parquet")
+     .bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .saveAsTable("r5_bkt_orders"))
+    (cust.write.format("parquet")
+     .bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .saveAsTable("r5_bkt_customers"))
+    bo = spark.table("r5_bkt_orders")
+    bc = spark.table("r5_bkt_customers")
+    return (bo.hint("merge")
+            .join(bc, bo.o_custkey == bc.c_custkey)
+            .groupBy(F.col("o_custkey").alias("custkey"), "c_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_spend")))
+
+
 @query("ntile_customer_deciles", """
     WITH spend AS (
       SELECT o_custkey,

@@ -258,6 +258,45 @@ def bpe_merges(df: DataFrame, steps: int = 3,
     return merges
 
 
+def bpe_encode_counts(df: DataFrame, merges: list[tuple[int, str, int]],
+                      text_col: str = "text") -> DataFrame:
+    """APPLY a learned BPE merge table: encode every document with the
+    merges (in step order) and report its token accounting - the serve
+    half of the tokenizer story (:func:`bpe_merges` learns the table,
+    this walks the corpus with it). Everything is JVM expressions over
+    the token array (self-delimited symbol strings + one replace per
+    merge, exactly the training representation), so the encode is a
+    ZERO-SHUFFLE narrow map: at 100 TB it runs embedded in the corpus
+    scan, the deployment mode a real tokenizer pass needs.
+
+    Returns (doc_id, n_words, n_chars_tokenized, n_bpe_tokens):
+    words = whitespace tokens with empty strings filtered (both engines;
+    Spark's sequence(1, 0) counts DOWN, so an empty word would emit
+    phantom symbols), chars = pre-merge symbol count, bpe tokens =
+    post-merge symbol count. n_bpe_tokens == n_chars_tokenized minus
+    one per merge occurrence applied."""
+    def encode_count(w):
+        chars = F.transform(F.sequence(F.lit(1), F.length(w)),
+                            lambda i: F.substr(w, i, F.lit(1)))
+        sym = F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
+        for _step, pair, _cnt in merges:
+            x, y = pair.split(" ")
+            sym = F.replace(sym, F.lit(f"<{x}><{y}>"),
+                            F.lit(f"<{x}+{y}>"))
+        return F.size(F.split(sym, "><"))
+
+    words = F.filter(tokens(text_col), lambda w: F.length(w) >= 1)
+    return (df.filter(F.col(text_col).isNotNull())
+            .select("doc_id",
+                    F.size(words).cast("long").alias("n_words"),
+                    F.aggregate(words, F.lit(0),
+                                lambda a, w: a + F.length(w))
+                    .cast("long").alias("n_chars_tokenized"),
+                    F.aggregate(words, F.lit(0),
+                                lambda a, w: a + encode_count(w))
+                    .cast("long").alias("n_bpe_tokens")))
+
+
 def bpe_merges_batched(df: DataFrame, steps: int = 8, round_size: int = 4,
                        window: int = 32, text_col: str = "text",
                        ) -> list[tuple[int, str, int]]:

@@ -20,10 +20,11 @@ furthest"):
          covers everything up to ~1s; the expensive tail
          (dedup_cluster_weights, sim_mmr_rerank, embed_top_pc ...)
          lands last and front-runs r6 if the window closes early;
-  78-82  the round-5 additions (batched BPE, PNG decode, the three
-         persisted-ANN-index serves) - never verified, next in line;
-  83-85  last green in r2 (two rounds stale);
-  86-135 last green in r3;
+  78-84  the round-5 additions (batched BPE + BPE encode, PNG decode,
+         the bucketed co-located join, the three persisted-ANN-index
+         serves) - never verified, next in line;
+  85-87  last green in r2 (two rounds stale);
+  88-137 last green in r3;
   tail   the 50 entries CORRECTNESS_r04 just confirmed (freshest
          signal, safe to defer).
 
@@ -119,7 +120,8 @@ _DEBT_FIRST = [
     "sim_mmr_rerank",                   # 7.7s
     "embed_top_pc",                     # 9.5s
     # -- new in r5 (never driver-verified; next in line after the debt) --
-    "text_bpe_merges_batched", "multimodal_png_decode",
+    "text_bpe_merges_batched", "text_bpe_encode",
+    "multimodal_png_decode", "layout_bucketed_join",
     "sim_ann_index_srp_serve", "sim_ann_index_ivf_serve",
     "sim_ann_index_pq_serve",
     # -- last green in r2 (stalest live signal) --

@@ -187,6 +187,30 @@ def test_global_ranks_have_no_single_partition_window(spark):
         assert "row_number" not in h, f"customer rank went serial: {h}"
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """The storage-layout join strategy: bucketed writes pre-pay the
+    exchange, so the join AND the per-key aggregate must run with zero
+    shuffles, via SortMergeJoin fed by the bucketed scans."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    df = registry.QUERIES["layout_bucketed_join"](spark, SF)
+    assert shuffle_count(df) == 0
+    plan = simple_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_bpe_encode_is_a_pure_map(spark):
+    """Applying a learned merge table must stay a zero-shuffle narrow
+    map over the corpus (the training loop runs jobs; the encode must
+    not) reading only the referenced columns."""
+    from python_etl_rest_api_spark import registry
+    df = registry.QUERIES["text_bpe_encode"](spark, SF)
+    assert shuffle_count(df) == 0
+    assert not uses_broadcast_join(df)
+    assert set(read_schema_columns(df)) <= {"doc_id", "text"}
+
+
 def test_gopher_gate_is_a_pure_map(spark):
     """The quality gate must stay a zero-exchange narrow projection —
     at 100 TB it runs embedded in the corpus scan."""
