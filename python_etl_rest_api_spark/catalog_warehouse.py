@@ -789,17 +789,23 @@ def sample_per_group_topn(spark, sf_dir):
 def skew_key_profile(spark, sf_dir):
     """The operator you run BEFORE deciding to salt: top-20 heaviest
     join/agg keys with their share of all rows. Map-side-combining
-    count per key, then share + top-k on the aggregated (small) key
-    table — the window total and TakeOrderedAndProject both cost
-    nothing next to the scan. Feeding skew.salted_agg's threshold from
-    this profile (share > ~1/shuffle-partitions means one task drowns)
+    count per key, then share + top-k on the aggregated key table. The
+    total is a SCALAR aggregate cross-joined back as a broadcast (r5:
+    replaced the previous ``SUM OVER ()`` window, which single-
+    partitioned the per-key aggregate - |keys| can be 100M+ at 100 TB,
+    the exact class the two-pass rework removed elsewhere; the oracle
+    keeps the window form, a 1-row-vs-1-row semantic identity).
+    TakeOrderedAndProject handles the top-k (per-partition heads +
+    driver merge). Feeding skew.salted_agg's threshold from this
+    profile (share > ~1/shuffle-partitions means one task drowns)
     is the documented 100 TB workflow."""
     k = (_events(spark, sf_dir)
          .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows")))
-    total = Window.partitionBy()
-    return (k.select("user_id", "n_rows",
-                     (F.col("n_rows").cast("double")
-                      / F.sum("n_rows").over(total)).alias("row_share"))
+    tot = k.agg(F.sum("n_rows").alias("n_total"))
+    return (k.crossJoin(F.broadcast(tot))
+            .select("user_id", "n_rows",
+                    (F.col("n_rows").cast("double")
+                     / F.col("n_total")).alias("row_share"))
             .orderBy(F.col("n_rows").desc(), F.col("user_id"))
             .limit(20))
 
