@@ -60,6 +60,10 @@ HEADLINE = [
     "stream_sessionize",
     "skew_plain_agg",
     "skew_salted_agg",
+    # round-5 additions: the zero-shuffle bucketed join (storage-layout
+    # strategy) and the zero-shuffle BPE tokenizer apply pass
+    "layout_bucketed_join",
+    "text_bpe_encode",
 ]
 
 
