@@ -276,9 +276,13 @@ def bpe_encode_counts(df: DataFrame, merges: list[tuple[int, str, int]],
     post-merge symbol count. n_bpe_tokens == n_chars_tokenized minus
     one per merge occurrence applied."""
     def encode_count(w):
-        chars = F.transform(F.sequence(F.lit(1), F.length(w)),
-                            lambda i: F.substr(w, i, F.lit(1)))
-        sym = F.concat(F.lit("<"), F.array_join(chars, "><"), F.lit(">"))
+        # '><' inserted between every adjacent char pair by ONE regex
+        # pass - identical string to the train-side transform(sequence,
+        # substr) idiom but O(len) instead of O(len^2) per word (substr
+        # copies); measured ~3x on the corpus-wide encode at sf0.1
+        sym = F.concat(F.lit("<"),
+                       F.regexp_replace(w, "(?<=.)(?=.)", "><"),
+                       F.lit(">"))
         for _step, pair, _cnt in merges:
             x, y = pair.split(" ")
             sym = F.replace(sym, F.lit(f"<{x}><{y}>"),

@@ -136,6 +136,27 @@ def test_bpe_merges_hand_corpus(spark):
     assert got == [(1, "a a", 4), (2, "a b", 3), (3, "a+a a+b", 2)]
 
 
+def test_bpe_encode_counts_hand_corpus(spark):
+    """Applying the learned 3-merge table to 'aaab aaab ab': aaab
+    compresses <a><a><a><b> -> <a+a><a><b> -> <a+a><a+b> -> <a+a+a+b>
+    (1 token), ab -> <a+b> (1 token) => 3 words, 10 chars, 3 BPE
+    tokens."""
+    from python_etl_rest_api_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aaab aaab ab")], "doc_id long, text string")
+    merges = bpe_merges(docs, steps=3)
+    row = bpe_encode_counts(docs, merges).collect()[0]
+    assert (row.n_words, row.n_chars_tokenized, row.n_bpe_tokens) \
+        == (3, 10, 3)
+    # no merges learned yet -> every char is its own token
+    row0 = bpe_encode_counts(docs, []).collect()[0]
+    assert row0.n_bpe_tokens == 10
+
+
 def test_bpe_batched_hand_corpus(spark):
     """Batched rule on the same corpus: round 1 candidates are
     ('a','a') 4 and ('a','b') 3, which SHARE 'a', so the greedy
