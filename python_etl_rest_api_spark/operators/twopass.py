@@ -20,9 +20,10 @@ order key is a total order (callers must include a unique tie-break
 column, same contract the global window already required): every row's
 global rank is (rows in earlier ranges) + (local rank), independent of
 where the range boundaries land. Prefix SUMS are restricted to integral
-/ decimal columns - float addition is not associative, so a re-grouped
-float prefix sum would not be bit-stable; integer sums are exact under
-any grouping.
+(or scale-0 decimal) columns - float addition is not associative, so a
+re-grouped float prefix sum would not be bit-stable, and scaled
+decimals would be truncated by the integer offset accumulation;
+integer sums are exact under any grouping.
 
 Cost at scale: one range shuffle of the data (parallel), one
 O(partitions)-row collect, one broadcast join of the offsets, one
@@ -70,10 +71,12 @@ def global_prefix(df: DataFrame, order_by: list[Column],
     if sum_col is not None:
         dt = dict(df.dtypes)[sum_col]
         if not (dt in ("tinyint", "smallint", "int", "bigint")
-                or dt.startswith("decimal")):
+                or (dt.startswith("decimal") and dt.endswith(",0)"))):
             raise ValueError(
-                f"prefix sum over non-integral column {sum_col}:{dt} is "
-                "order-dependent; cast to decimal for exactness")
+                f"prefix sum over non-integral column {sum_col}:{dt}: "
+                "floats are order-dependent and scaled decimals would be "
+                "truncated by the long offset accumulation; scale the "
+                "values to integers (cents, micros) first")
         aggs.append(F.sum(sum_col).alias("_s"))
     sub = ranged.groupBy("_pid").agg(*aggs).orderBy("_pid").collect()
 
