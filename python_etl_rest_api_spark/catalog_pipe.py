@@ -950,6 +950,138 @@ def orders_cycle_time_stats(spark, sf_dir):
 # BPE vocabulary induction (iterative merges, value-hashed)
 # ---------------------------------------------------------------------
 
+@query("sim_topk_ann_ivfpq", """
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cv
+      FROM embeddings QUALIFY cid < 16
+    ),
+    csims AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM embeddings e, cent c
+    ),
+    inv AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cid) AS rn FROM csims) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cid) AS rn FROM csims WHERE vec_id < 3)
+      WHERE rn <= 4
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+             embedding AS sv
+      FROM embeddings QUALIFY c < 16
+    ),
+    ms AS (SELECT unnest(range(0, 4)) AS m),
+    cb AS (
+      SELECT c, m,
+             list_transform(range(1, 17),
+               i -> CAST(sv[m*16 + i] AS DOUBLE)) AS cw
+      FROM seeds, ms
+    ),
+    sub AS (
+      SELECT vec_id, m,
+             list_transform(range(1, 17),
+               i -> CAST(embedding[m*16 + i] AS DOUBLE)) AS xv
+      FROM embeddings, ms
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cb.c,
+             list_reduce(list_transform(range(1, 17),
+                 i -> (s.xv[i] - cb.cw[i]) * (s.xv[i] - cb.cw[i])),
+                 (x, y) -> x + y) AS d
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d, c) AS rn FROM dist) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+    qsub AS (
+      SELECT qid, m,
+             list_transform(range(1, 17),
+               i -> CAST(qv[m*16 + i] AS DOUBLE)) AS qm
+      FROM q, ms
+    ),
+    tab AS (
+      SELECT qs.qid, qs.m, cb.c,
+             list_reduce(list_transform(range(1, 17),
+                 i -> qs.qm[i] * cb.cw[i]), (x, y) -> x + y) AS part
+      FROM qsub qs JOIN cb ON cb.m = qs.m
+    ),
+    adc AS (
+      SELECT t.qid, co.vec_id,
+             MAX(CASE WHEN t.m = 0 THEN t.part END)
+             + MAX(CASE WHEN t.m = 1 THEN t.part END)
+             + MAX(CASE WHEN t.m = 2 THEN t.part END)
+             + MAX(CASE WHEN t.m = 3 THEN t.part END) AS adc
+      FROM codes co
+      JOIN inv i ON i.vec_id = co.vec_id
+      JOIN probes p ON p.cid = i.cid
+      JOIN tab t ON t.qid = p.qid AND t.m = co.m AND t.c = co.c
+      WHERE co.vec_id != t.qid
+      GROUP BY t.qid, co.vec_id
+    ),
+    pool AS (
+      SELECT qid, vec_id, adc FROM (
+        SELECT qid, vec_id, adc, row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, vec_id) AS rn FROM adc) WHERE rn <= 30
+    ),
+    pairs AS (
+      SELECT p.qid, p.vec_id, p.adc,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y))) AS sim
+      FROM pool p
+      JOIN q ON q.qid = p.qid
+      JOIN embeddings e ON e.vec_id = p.vec_id
+    )
+    SELECT qid, vec_id, adc, sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= 10
+""")
+def sim_topk_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (operators/similarity.py::topk_ann_ivfpq):
+    the inverted file prunes candidates to each query's 4 probed cells
+    BEFORE the PQ-ADC scoring touches them - the billion-vector serving
+    design where the hot pass reads (corpus/cells)*nprobe rows of
+    m_sub bytes. The oracle fuses the two parents' CTE chains (cell
+    assignment/probing from sim_topk_ann_ivf, codes/ADC tables from
+    sim_topk_ann_pq) with the cell restriction joined into the ADC
+    aggregate, so cells, probes, codes, pinned-order ADC sums, pool
+    membership and the exact re-rank are all value-hashed."""
+    from .operators import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    return similarity.topk_ann_ivfpq(
+        emb, queries, dim=64, k=10, pool=30, n_centroids=16, nprobe=4,
+        m_sub=4, n_codewords=16, refine_steps=0)
+
+
 @query("text_bpe_merges", """
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
                  FROM documents WHERE text IS NOT NULL),

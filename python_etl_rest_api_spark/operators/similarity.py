@@ -443,6 +443,97 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
                        qid_col=qid_col, max_query_batch=max_query_batch)
 
 
+def topk_ann_ivfpq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
+                   k: int = 10, pool: int = 30, n_centroids: int = 16,
+                   nprobe: int = 4, m_sub: int = 4, n_codewords: int = 16,
+                   refine_steps: int = 0, id_col: str = "vec_id",
+                   vec_col: str = "embedding", qid_col: str = "qid",
+                   max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
+    """IVF-PQ: the composition the two families exist for - the IVF
+    inverted file prunes the corpus to each query's ``nprobe`` cells,
+    and PQ-ADC scores ONLY those candidates from their m_sub-byte
+    codes, then exact-cosine re-ranks the top-``pool``. This is the
+    billion-vector serving design: the scoring pass touches
+    (corpus/n_centroids)*nprobe rows of m_sub bytes each instead of
+    every full vector - both pruning ratios tune independently
+    (nprobe/n_centroids for recall-vs-cells, pool for rerank cost).
+
+    Exactness discipline matches the parents: pinned seed centroids and
+    codebooks (refine_steps=0 for the oracle entry), sequential-fold
+    float64 everywhere, ADC summed in fixed subspace order, ties on
+    ids - so cells, probes, codes, ADC scores, pool membership and the
+    final ranking are all reproduced bit-exactly by the SQL oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = ivf_centroids(corpus, n_centroids, dim,
+                         refine_steps=refine_steps,
+                         id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
+    s = dim // m_sub
+    qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"topk_ann_ivfpq query batch exceeds max_query_batch="
+            f"{max_query_batch}; chunk the query set")
+    if cb.shape[1] == 0 or not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, adc double, sim double, "
+                "rank int")
+    qids = [r[qid_col] for r in qrows]
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    tables = np.zeros((len(qids), m_sub, cb.shape[1]))
+    for m in range(m_sub):
+        for i in range(s):                       # sequential over dims
+            tables[:, m, :] = (tables[:, m, :]
+                               + qmat[:, m * s + i, None] * cb[None, m, :, i])
+
+    inv = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
+                          vec_col=vec_col).select(id_col, "centroid_id")
+    codes = pq_encode(corpus, cb, id_col, vec_col).select(id_col, "codes")
+    probes = ivf_assignments(
+        queries.select(F.col(qid_col).alias(id_col),
+                       F.col("qv").alias(vec_col)),
+        cent, nprobe=nprobe, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col).alias(qid_col),
+                F.col("centroid_id").alias("probe_centroid"))
+
+    @pandas_udf("double")
+    def adc_pair(codes_col: pd.Series, qidx_col: pd.Series) -> pd.Series:
+        if len(codes_col) == 0:
+            return pd.Series([], dtype="float64")
+        cmat = np.stack(codes_col.to_numpy()).astype(np.int64)
+        qi = qidx_col.to_numpy().astype(np.int64)
+        acc = np.zeros(cmat.shape[0])
+        for m in range(m_sub):              # fixed subspace order
+            acc = acc + tables[qi, m, cmat[:, m]]
+        return pd.Series(acc)
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    cand = (codes.join(inv, id_col)
+            .join(F.broadcast(probes),
+                  (F.col("centroid_id") == F.col("probe_centroid")) &
+                  (F.col(qid_col) != F.col(id_col)))
+            .select(qid_col, id_col, "codes"))
+    scored = cand.select(
+        qid_col, id_col,
+        adc_pair(F.col("codes"),
+                 F.array_position(qid_arr, F.col(qid_col)) - 1)
+        .alias("adc"))
+    w_pool = Window.partitionBy(qid_col).orderBy(F.col("adc").desc(),
+                                                 F.col(id_col).asc())
+    pooled = (scored.withColumn("prn", F.row_number().over(w_pool))
+              .filter(F.col("prn") <= pool).drop("prn"))
+    rerank = (pooled
+              .join(corpus.select(id_col, vec_col), id_col)
+              .join(F.broadcast(queries), qid_col)
+              .select(qid_col, id_col, "adc",
+                      cosine(F.col("qv"), F.col(vec_col)).alias("sim")))
+    w_k = Window.partitionBy(qid_col).orderBy(F.col("sim").desc(),
+                                              F.col(id_col).asc())
+    return (rerank.withColumn("rank", F.row_number().over(w_k))
+            .filter(F.col("rank") <= k))
+
+
 def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
                 queries: DataFrame, dim: int = 64, k: int = 10,
                 pool: int = 30, m_sub: int = 4, id_col: str = "vec_id",

@@ -123,7 +123,7 @@ _DEBT_FIRST = [
     "text_bpe_merges_batched", "text_bpe_encode",
     "multimodal_png_decode", "layout_bucketed_join",
     "sim_ann_index_srp_serve", "sim_ann_index_ivf_serve",
-    "sim_ann_index_pq_serve",
+    "sim_ann_index_pq_serve", "sim_topk_ann_ivfpq",
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -175,6 +175,34 @@ def test_pq_oversized_query_batch_rejected(spark):
         similarity.topk_ann_pq(emb, q, dim=64, k=3, max_query_batch=10)
 
 
+def test_ivfpq_recall_and_adc_consistency(spark):
+    """The composed IVF-PQ path: decent recall vs bruteforce, its
+    candidate set restricted to probed cells must be a SUBSET of full
+    PQ's scoring universe, and where both paths score the same
+    (qid, vec) pair the ADC values must be bit-identical (same
+    codebooks, same pinned-order sum)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    exact = similarity.topk_bruteforce(emb, q, k=10).collect()
+    ivfpq = similarity.topk_ann_ivfpq(emb, q, dim=64, k=10, pool=30,
+                                      nprobe=4).collect()
+    pq = similarity.topk_ann_pq(emb, q, dim=64, k=10, pool=30).collect()
+    exact_sets, got_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in ivfpq:
+        got_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[k_] & got_sets.get(k_, set())) / 10
+               for k_ in exact_sets]
+    assert sum(recalls) / len(recalls) > 0.1   # pruned harder than PQ
+    pq_adc = {(r["qid"], r["vec_id"]): r["adc"] for r in pq}
+    for r in ivfpq:
+        key = (r["qid"], r["vec_id"])
+        if key in pq_adc:
+            assert r["adc"] == pq_adc[key]
+
+
 def test_pq_codes_match_numpy(spark):
     """PQ encoding = per-subspace squared-L2 argmin against the seed
     codebooks, first-occurrence tie-break — verified against a direct
