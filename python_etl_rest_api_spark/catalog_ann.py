@@ -55,6 +55,24 @@ def sim_ann_index_ivf_serve(spark, sf_dir):
         .select("qid", "vec_id", "sim", "rank")
 
 
+@query("sim_ann_index_ivfpq_serve", ORACLES["sim_topk_ann_ivfpq"])
+def sim_ann_index_ivfpq_serve(spark, sf_dir):
+    """The COMPOSED index served from storage: one build call persists
+    the inverted file AND the PQ codes; the serve path probes cells
+    from the stored centroids, prunes to probed cells via the stored
+    assignments, ADC-scores the stored m_sub-byte codes, and re-ranks
+    the pool exactly - the full billion-vector read pattern with zero
+    recomputation of corpus-sized artifacts. Oracle shared verbatim
+    with sim_topk_ann_ivfpq."""
+    emb, queries = _emb_and_queries(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="annidx_ivfpq_")
+    ann_index.build_ann_index(emb, path, dim=64, kinds=("ivf", "pq"),
+                              n_centroids=16, refine_steps=0,
+                              m_sub=4, n_codewords=16)
+    return ann_index.topk_ann_ivfpq_indexed(emb, queries, path, k=10,
+                                            pool=30, nprobe=4)
+
+
 @query("sim_ann_index_pq_serve", ORACLES["sim_topk_ann_pq"])
 def sim_ann_index_pq_serve(spark, sf_dir):
     """PQ-ADC top-k served from the PERSISTED codes: the codebooks load

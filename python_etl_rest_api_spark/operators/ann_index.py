@@ -165,6 +165,44 @@ def topk_ann_ivf_indexed(corpus: DataFrame, queries: DataFrame, path: str,
             .filter(F.col("rank") <= k))
 
 
+def _load_pq_codebooks(spark, path: str, dim: int, m_sub: int
+                       ) -> np.ndarray:
+    cb_rows = spark.read.parquet(f"{path}/pq_codebooks") \
+        .orderBy("m", "c").collect()
+    s = dim // m_sub
+    n_cw = max((r["c"] for r in cb_rows), default=-1) + 1
+    cb = np.zeros((m_sub, n_cw, s))
+    for r in cb_rows:
+        cb[r["m"], r["c"], :] = r["sub"]
+    return cb
+
+
+def topk_ann_ivfpq_indexed(corpus: DataFrame, queries: DataFrame,
+                           path: str, k: int = 10, pool: int = 30,
+                           nprobe: int = 4, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           qid_col: str = "qid") -> DataFrame:
+    """Serve the COMPOSED IVF-PQ path entirely from stored artifacts -
+    the index a billion-vector deployment actually persists: the
+    centroids assign probes (driver-tiny), the stored inverted file
+    prunes to probed cells, the stored m_sub-byte codes feed ADC, and
+    only the pooled candidates touch full vectors in the re-rank.
+    Requires an index built with kinds including both 'ivf' and 'pq'
+    (one :func:`build_ann_index` call covers it)."""
+    spark = corpus.sparkSession
+    m = _meta(spark, path)
+    cent_rows = (spark.read.parquet(f"{path}/ivf_centroids")
+                 .orderBy("centroid_id").collect())
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    inv = spark.read.parquet(f"{path}/ivf_assignments")
+    cb = _load_pq_codebooks(spark, path, m.dim, m.m_sub)
+    codes = spark.read.parquet(f"{path}/pq_codes")
+    return similarity.ivfpq_adc_topk(
+        inv, codes, cb, cent, corpus, queries, dim=m.dim, k=k, pool=pool,
+        nprobe=nprobe, m_sub=m.m_sub, id_col=id_col, vec_col=vec_col,
+        qid_col=qid_col)
+
+
 def topk_ann_pq_indexed(corpus: DataFrame, queries: DataFrame, path: str,
                         k: int = 10, pool: int = 30,
                         id_col: str = "vec_id",
@@ -177,13 +215,7 @@ def topk_ann_pq_indexed(corpus: DataFrame, queries: DataFrame, path: str,
     billion-vector read pattern the PQ family exists for."""
     spark = corpus.sparkSession
     m = _meta(spark, path)
-    cb_rows = spark.read.parquet(f"{path}/pq_codebooks") \
-        .orderBy("m", "c").collect()
-    s = m.dim // m.m_sub
-    n_cw = max((r["c"] for r in cb_rows), default=-1) + 1
-    cb = np.zeros((m.m_sub, n_cw, s))
-    for r in cb_rows:
-        cb[r["m"], r["c"], :] = r["sub"]
+    cb = _load_pq_codebooks(spark, path, m.dim, m.m_sub)
     codes = spark.read.parquet(f"{path}/pq_codes")
     return similarity.pq_adc_topk(
         codes, cb, corpus, queries, dim=m.dim, k=k, pool=pool,

@@ -469,6 +469,28 @@ def topk_ann_ivfpq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
                          refine_steps=refine_steps,
                          id_col=id_col, vec_col=vec_col)
     cb = pq_codebooks(corpus, n_codewords, m_sub, dim, id_col, vec_col)
+    inv = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
+                          vec_col=vec_col).select(id_col, "centroid_id")
+    codes = pq_encode(corpus, cb, id_col, vec_col).select(id_col, "codes")
+    return ivfpq_adc_topk(inv, codes, cb, cent, corpus, queries, dim=dim,
+                          k=k, pool=pool, nprobe=nprobe, m_sub=m_sub,
+                          id_col=id_col, vec_col=vec_col, qid_col=qid_col,
+                          max_query_batch=max_query_batch)
+
+
+def ivfpq_adc_topk(inv: DataFrame, codes: DataFrame, cb: np.ndarray,
+                   cent: np.ndarray, corpus: DataFrame,
+                   queries: DataFrame, dim: int = 64, k: int = 10,
+                   pool: int = 30, nprobe: int = 4, m_sub: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "qid",
+                   max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
+    """Cell-pruned ADC + exact re-rank over an ALREADY-BUILT inverted
+    file (``inv``: id -> cell) and code table: the serve half of
+    :func:`topk_ann_ivfpq`, shared with the persisted-index path
+    (operators/ann_index.py loads all four artifacts from parquet)."""
+    from pyspark.sql.functions import pandas_udf
+
     s = dim // m_sub
     qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
     if len(qrows) > max_query_batch:
@@ -487,9 +509,6 @@ def topk_ann_ivfpq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
             tables[:, m, :] = (tables[:, m, :]
                                + qmat[:, m * s + i, None] * cb[None, m, :, i])
 
-    inv = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
-                          vec_col=vec_col).select(id_col, "centroid_id")
-    codes = pq_encode(corpus, cb, id_col, vec_col).select(id_col, "codes")
     probes = ivf_assignments(
         queries.select(F.col(qid_col).alias(id_col),
                        F.col("qv").alias(vec_col)),

@@ -124,6 +124,7 @@ _DEBT_FIRST = [
     "multimodal_png_decode", "layout_bucketed_join",
     "sim_ann_index_srp_serve", "sim_ann_index_ivf_serve",
     "sim_ann_index_pq_serve", "sim_topk_ann_ivfpq",
+    "sim_ann_index_ivfpq_serve",
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

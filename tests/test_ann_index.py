@@ -56,6 +56,16 @@ def test_pq_serve_matches_recompute(spark, built):
     assert _rows(served) == _rows(fresh)
 
 
+def test_ivfpq_serve_matches_recompute(spark, built):
+    emb, queries, path = built
+    served = ann_index.topk_ann_ivfpq_indexed(emb, queries, path,
+                                              k=10, pool=30, nprobe=4)
+    fresh = similarity.topk_ann_ivfpq(emb, queries, dim=64, k=10,
+                                      pool=30, n_centroids=16, nprobe=4,
+                                      refine_steps=0)
+    assert _rows(served) == _rows(fresh)
+
+
 def test_stored_artifacts_have_scale_shapes(spark, built):
     emb, _, path = built
     n = emb.count()
