@@ -93,6 +93,46 @@ def _meta(spark, path: str):
     return spark.read.parquet(f"{path}/meta").collect()[0]
 
 
+def append_to_ann_index(new_rows: DataFrame, path: str,
+                        kinds: tuple[str, ...] = ALL_KINDS,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incrementally index NEW vectors into an existing ANN index - the
+    maintenance path a production corpus needs (a nightly crawl appends
+    millions of vectors; rebuilding the whole index per delta is the
+    anti-pattern). The stored geometry (hyperplanes from the meta
+    parameters, centroids, codebooks) is FROZEN: new rows are bucketed
+    / assigned / encoded against it and parquet-APPENDED, so serving
+    keeps working mid-append and the result is row-identical to a full
+    rebuild over the union EXCEPT that seed-derived artifacts
+    (centroids, codebooks) intentionally do not drift - the standard
+    freeze-then-retrain trade, retrain by rebuilding when recall decays.
+    Caller contract: ``new_rows`` ids must be disjoint from the indexed
+    corpus (duplicate ids would double-serve; enforce upstream with an
+    anti-join on the stored id set)."""
+    spark = new_rows.sparkSession
+    m = _meta(spark, path)
+    if "srp" in kinds:
+        (similarity.srp_buckets(new_rows, m.dim, m.bits, m.tables,
+                                id_col, vec_col)
+         .select("table_id", "bucket_key", id_col)
+         .write.mode("append").parquet(f"{path}/srp_buckets"))
+    if "ivf" in kinds:
+        cent_rows = (spark.read.parquet(f"{path}/ivf_centroids")
+                     .orderBy("centroid_id").collect())
+        cent = np.array([r["centroid"] for r in cent_rows],
+                        dtype=np.float64)
+        (similarity.ivf_assignments(new_rows, cent, nprobe=1,
+                                    id_col=id_col, vec_col=vec_col)
+         .select(id_col, "centroid_id")
+         .write.mode("append").parquet(f"{path}/ivf_assignments"))
+    if "pq" in kinds:
+        cb = _load_pq_codebooks(spark, path, m.dim, m.m_sub)
+        (similarity.pq_encode(new_rows, cb, id_col, vec_col)
+         .select(id_col, "codes")
+         .write.mode("append").parquet(f"{path}/pq_codes"))
+
+
 def topk_ann_srp_indexed(corpus: DataFrame, queries: DataFrame, path: str,
                          k: int = 10, id_col: str = "vec_id",
                          vec_col: str = "embedding",

@@ -20,11 +20,11 @@ furthest"):
          covers everything up to ~1s; the expensive tail
          (dedup_cluster_weights, sim_mmr_rerank, embed_top_pc ...)
          lands last and front-runs r6 if the window closes early;
-  78-84  the round-5 additions (batched BPE + BPE encode, PNG decode,
-         the bucketed co-located join, the three persisted-ANN-index
-         serves) - never verified, next in line;
-  85-87  last green in r2 (two rounds stale);
-  88-137 last green in r3;
+  78-86  the round-5 additions (batched BPE + BPE encode, PNG decode,
+         the bucketed co-located join, composed IVF-PQ, the four
+         persisted-ANN-index serves) - never verified, next in line;
+  87-89  last green in r2 (two rounds stale);
+  90-139 last green in r3;
   tail   the 50 entries CORRECTNESS_r04 just confirmed (freshest
          signal, safe to defer).
 

@@ -66,6 +66,36 @@ def test_ivfpq_serve_matches_recompute(spark, built):
     assert _rows(served) == _rows(fresh)
 
 
+def test_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """Index half the corpus, append the other half against the FROZEN
+    geometry, and serving must equal a full rebuild - exact here
+    because the seed-derived centroids/codebooks (16 lowest ids) live
+    entirely in the first half, so freezing them loses nothing."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    first = emb.filter(F.col("vec_id") < n // 2)
+    rest = emb.filter(F.col("vec_id") >= n // 2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    path = str(tmp_path / "idx")
+    ann_index.build_ann_index(first, path, dim=64, bits=6, tables=4,
+                              n_centroids=16, refine_steps=0,
+                              m_sub=4, n_codewords=16)
+    ann_index.append_to_ann_index(rest, path)
+
+    assert spark.read.parquet(f"{path}/pq_codes").count() == n
+    served = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10)
+    fresh = similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6)
+    assert _rows(served) == _rows(fresh)
+    served2 = ann_index.topk_ann_ivfpq_indexed(emb, queries, path,
+                                               k=10, pool=30, nprobe=4)
+    fresh2 = similarity.topk_ann_ivfpq(emb, queries, dim=64, k=10,
+                                       pool=30, n_centroids=16,
+                                       nprobe=4, refine_steps=0)
+    assert _rows(served2) == _rows(fresh2)
+
+
 def test_stored_artifacts_have_scale_shapes(spark, built):
     emb, _, path = built
     n = emb.count()
