@@ -69,6 +69,39 @@ def test_ntile_from_rank_matches_spark_ntile(spark, n_rows, buckets):
         F.col("nt2") != F.col("nt")).count() == 0
 
 
+def test_property_random_frames_match_reference(spark):
+    """Hypothesis-style adversarial coverage with ONE Spark job per
+    case: random (value, weight) frames - heavy ties, negatives, zero
+    weights, tiny and skewed sizes, varying partition counts - must
+    match a pure-Python reference for both global row_number and the
+    inclusive prefix sum."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(6):
+        n = rng.choice([1, 2, 7, 64, 311])
+        np_ = rng.choice([1, 3, 8, 50])
+        rows = [(i, rng.randint(-3, 3), rng.randint(0, 10))
+                for i in range(n)]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "k long, v long, w long") \
+            .repartition(rng.choice([1, 5, 17]))
+        got, n_rows, total = twopass.global_prefix(
+            df, [F.desc("v"), F.asc("k")], sum_col="w",
+            num_partitions=np_)
+        ref = sorted(rows, key=lambda r: (-r[1], r[0]))
+        exp_rank = {r[0]: i + 1 for i, r in enumerate(ref)}
+        cum, exp_cum = 0, {}
+        for r in ref:
+            cum += r[2]
+            exp_cum[r[0]] = cum
+        assert n_rows == n and total == cum
+        for r in got.select("k", twopass.ROW_COL,
+                            twopass.SUM_COL).collect():
+            assert r[twopass.ROW_COL] == exp_rank[r["k"]], (case, r)
+            assert r[twopass.SUM_COL] == exp_cum[r["k"]], (case, r)
+
+
 def test_detector_flags_global_window(spark, frame):
     """single_partition_window_ops must flag the antipattern and stay
     silent on the two-pass plan."""
