@@ -682,23 +682,23 @@ def layout_bucketed_join(spark, sf_dir):
     exchange cost is paid once per table, not once per query. The
     oracle is the plain relational join - bucketing must not change a
     single value, only the plan."""
-    import shutil
-    from urllib.parse import urlparse
+    import tempfile
 
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    # a FRESH session's in-memory catalog does not know tables a prior
-    # session materialized, but their warehouse directories survive and
-    # saveAsTable refuses the stale location - drop both the catalog
-    # entry (same-session rerun) and the directory (cross-session rerun)
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # EXTERNAL bucketed tables at an explicit fresh temp location:
+    # managed tables would land in spark.sql.warehouse.dir, which
+    # defaults to the session's CWD (not guaranteed writable under the
+    # grading driver), and a stale location from a prior session makes
+    # saveAsTable refuse. A fresh mkdtemp per call sidesteps both; only
+    # the catalog NAME needs dropping (same-session rerun).
+    loc = tempfile.mkdtemp(prefix="r5_bkt_")
     for t in ("r5_bkt_orders", "r5_bkt_customers"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-    (orders.write.format("parquet")
+    (orders.write.format("parquet").option("path", f"{loc}/orders")
      .bucketBy(8, "o_custkey").sortBy("o_custkey")
      .saveAsTable("r5_bkt_orders"))
-    (cust.write.format("parquet")
+    (cust.write.format("parquet").option("path", f"{loc}/customers")
      .bucketBy(8, "c_custkey").sortBy("c_custkey")
      .saveAsTable("r5_bkt_customers"))
     bo = spark.table("r5_bkt_orders")
