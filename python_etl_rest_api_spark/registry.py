@@ -119,12 +119,17 @@ _DEBT_FIRST = [
     "dedup_cluster_weights",            # 6.8s
     "sim_mmr_rerank",                   # 7.7s
     "embed_top_pc",                     # 9.5s
-    # -- new in r5 (never driver-verified; next in line after the debt) --
-    "text_bpe_merges_batched", "text_bpe_encode",
-    "multimodal_png_decode", "layout_bucketed_join",
-    "sim_ann_index_srp_serve", "sim_ann_index_ivf_serve",
-    "sim_ann_index_pq_serve", "sim_topk_ann_ivfpq",
-    "sim_ann_index_ivfpq_serve",
+    # -- new in r5 (never driver-verified; next in line after the
+    #    debt), measured sf0.01 cheapest-first like the block above --
+    "text_bpe_merges_batched",          # 1.0s
+    "text_bpe_encode",                  # 1.0s
+    "sim_topk_ann_ivfpq",               # 1.1s
+    "multimodal_png_decode",            # 1.2s
+    "layout_bucketed_join",             # 1.5s
+    "sim_ann_index_srp_serve",          # 5.5s (index build dominates)
+    "sim_ann_index_ivf_serve",          # 9.7s
+    "sim_ann_index_pq_serve",           # 10.2s
+    "sim_ann_index_ivfpq_serve",        # 15.2s (builds ivf+pq)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --
