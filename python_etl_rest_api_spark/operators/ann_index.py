@@ -122,12 +122,22 @@ def append_to_ann_index(new_rows: DataFrame, path: str,
                      .orderBy("centroid_id").collect())
         cent = np.array([r["centroid"] for r in cent_rows],
                         dtype=np.float64)
+        if cent.size == 0:
+            # assignment against zero centroids would die with an
+            # opaque numpy shape error inside the executor UDF
+            raise ValueError(
+                "index has no centroids (built on an empty corpus); "
+                "rebuild with build_ann_index instead of appending")
         (similarity.ivf_assignments(new_rows, cent, nprobe=1,
                                     id_col=id_col, vec_col=vec_col)
          .select(id_col, "centroid_id")
          .write.mode("append").parquet(f"{path}/ivf_assignments"))
     if "pq" in kinds:
         cb = _load_pq_codebooks(spark, path, m.dim, m.m_sub)
+        if cb.shape[1] == 0:
+            raise ValueError(
+                "index has no PQ codewords (built on an empty corpus); "
+                "rebuild with build_ann_index instead of appending")
         (similarity.pq_encode(new_rows, cb, id_col, vec_col)
          .select(id_col, "codes")
          .write.mode("append").parquet(f"{path}/pq_codes"))

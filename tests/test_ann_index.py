@@ -96,6 +96,17 @@ def test_incremental_append_matches_full_rebuild(spark, tmp_path):
     assert _rows(served2) == _rows(fresh2)
 
 
+def test_append_to_empty_built_index_fails_loudly(spark, tmp_path):
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emptyidx")
+    ann_index.build_ann_index(emb.filter(F.lit(False)), path, dim=64)
+    with pytest.raises(ValueError, match="empty corpus"):
+        ann_index.append_to_ann_index(emb.limit(5), path, kinds=("ivf",))
+    with pytest.raises(ValueError, match="empty corpus"):
+        ann_index.append_to_ann_index(emb.limit(5), path, kinds=("pq",))
+
+
 def test_stored_artifacts_have_scale_shapes(spark, built):
     emb, _, path = built
     n = emb.count()
