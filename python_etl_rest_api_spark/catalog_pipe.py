@@ -676,7 +676,11 @@ def stats_ks_drift(spark, sf_dir):
     aggregate, a generated |sources| x |distinct x| grid with
     per-source running-sum windows (each source scans independently; at
     100 TB the grid is bounded by distinct measurement values, not
-    rows), and a max aggregate.
+    rows), and a max aggregate. The corpus-wide ECDF is a TWO-PASS
+    prefix sum (operators/twopass.py) - the distinct-value grid is
+    bounded by the measurement domain, but a long-tailed domain (byte
+    lengths, latencies) can still make a single-partition window the
+    straggler, and the two-pass costs the same at small |x|.
 
     Null measurements are excluded up front: a NULL grid value would
     order NULLS FIRST in Spark but NULLS LAST in DuckDB and silently
@@ -695,11 +699,12 @@ def stats_ks_drift(spark, sf_dir):
            .select("source", "n_s", "n_chars",
                    F.sum(F.coalesce("cnt", F.lit(0))).over(w_s)
                    .alias("cum_s")))
-    w_t = (Window.orderBy("n_chars")
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cumt = (c.groupBy("n_chars").agg(F.sum("cnt").alias("cnt_x"))
-            .select("n_chars",
-                    F.sum("cnt_x").over(w_t).alias("cum_all")))
+    cnt_x = (c.groupBy("n_chars")
+             .agg(F.sum("cnt").cast("long").alias("cnt_x")))
+    cumt_tp, _n, _total = twopass.global_prefix(
+        cnt_x, [F.asc("n_chars")], sum_col="cnt_x")
+    cumt = cumt_tp.select(
+        "n_chars", F.col(twopass.SUM_COL).alias("cum_all"))
     d = (F.abs(F.col("cum_s").cast("double") / F.col("n_s")
                - (F.col("cum_all") - F.col("cum_s")).cast("double")
                / (F.col("n_total") - F.col("n_s"))))

@@ -179,7 +179,8 @@ def test_global_ranks_have_no_single_partition_window(spark):
         single_partition_window_ops,
     )
     for name in ["sample_weighted_systematic", "ntile_customer_deciles",
-                 "orders_rfm_segments", "skew_key_profile"]:
+                 "orders_rfm_segments", "skew_key_profile",
+                 "stats_ks_drift"]:
         hits = single_partition_window_ops(registry.QUERIES[name](spark, SF))
         assert not hits, f"{name}: single-partition window(s): {hits}"
     df = registry.QUERIES["orders_revenue_concentration"](spark, SF)
