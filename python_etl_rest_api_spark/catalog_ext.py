@@ -116,6 +116,107 @@ def dedup_minhash_lsh(spark, sf_dir):
         _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
 
 
+@query("dedup_minhash_recall", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [] END AS shingles
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id, b.band_key FROM sig,
+      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
+                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) > 0
+        AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b FROM cand c
+      JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM ver) AS n_verified
+    )
+    SELECT n_truth, n_candidates, n_verified,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_verified AS DOUBLE) / n_truth END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_verified AS DOUBLE) / n_candidates END
+             AS candidate_precision
+    FROM m
+""")
+def dedup_minhash_recall(spark, sf_dir):
+    """LSH quality harness: measure the MinHash banding's CANDIDATE
+    RECALL against exact brute-force trigram Jaccard (threshold 0.5) on
+    a bounded subset - the dedup counterpart of ann_recall_at_k (recall
+    measured against ground truth, not assumed). Because the verify
+    step uses the same exact Jaccard, the verified pair set is exactly
+    candidates INTERSECT truth: recall = how many true near-dup pairs
+    the 8-hash/4-band banding surfaced at all (the quantity that tunes
+    hashes x bands), candidate_precision = how hard the verify prunes
+    band noise. Ratios are single long/long IEEE divisions - exact on
+    both engines; empty subsets yield NULL ratios identically."""
+    from .operators import dedup as dd
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200))
+    cand, shingled = dd.minhash_candidate_pairs(
+        docs, n=3, num_hashes=8, bands=4)
+    a = shingled.select(F.col("doc_id").alias("id_a"),
+                        F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("id_b"),
+                        F.col("shingles").alias("sh_b"))
+    truth = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     dd.jaccard(F.col("sh_a"), F.col("sh_b"))
+                     .alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.5)
+             .select("id_a", "id_b"))
+    ver = cand.join(truth, ["id_a", "id_b"])
+    counts = (truth.agg(F.count(F.lit(1)).alias("n_truth"))
+              .crossJoin(cand.agg(F.count(F.lit(1))
+                                  .alias("n_candidates")))
+              .crossJoin(ver.agg(F.count(F.lit(1)).alias("n_verified"))))
+    return counts.select(
+        "n_truth", "n_candidates", "n_verified",
+        F.when(F.col("n_truth") > 0,
+               F.col("n_verified").cast("double") / F.col("n_truth"))
+        .alias("recall"),
+        F.when(F.col("n_candidates") > 0,
+               F.col("n_verified").cast("double") / F.col("n_candidates"))
+        .alias("candidate_precision"))
+
+
 @query("dedup_simhash", """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

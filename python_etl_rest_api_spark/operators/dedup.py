@@ -134,21 +134,18 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
-def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3,
-                      num_hashes: int = 8, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
-
-    Plan shape at scale: shingle (narrow) -> sign (one shuffle on id) ->
-    explode bands -> self-join on (band_id, band_key) = shuffle on band
-    keys, never an all-pairs product -> distinct candidate pairs -> verify
-    via joins back to the shingle sets. Skewed buckets (boilerplate docs)
-    are the known hazard - AQE skew-join handles moderate cases.
-
-    Both derived tables feed two join sides -> cached to avoid recomputing
-    the sketch pipeline per side (previous invocation's cache released).
-    """
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 8, bands: int = 4
+                            ) -> tuple[DataFrame, DataFrame]:
+    """Band-collision candidate pairs BEFORE the exact-Jaccard verify:
+    (candidates, cached shingle table). Factored out of
+    :func:`minhash_near_dups` so the recall harness
+    (dedup_minhash_recall) can measure banding coverage - how many true
+    near-dup pairs the LSH surfaces at all - separately from the verify
+    step that restores precision. Both returned frames are cached (they
+    each feed two join sides downstream; previous invocation's cache is
+    released)."""
     _release_prior_cache()
     shingled = _cache(shingled_docs(widen_scan(df), id_col, text_col, n))
     rows_per_band = num_hashes // bands
@@ -172,6 +169,26 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"))
             .distinct())
+    return cand, shingled
+
+
+def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    Plan shape at scale: shingle (narrow) -> sign (one shuffle on id) ->
+    explode bands -> self-join on (band_id, band_key) = shuffle on band
+    keys, never an all-pairs product -> distinct candidate pairs -> verify
+    via joins back to the shingle sets. Skewed buckets (boilerplate docs)
+    are the known hazard - AQE skew-join handles moderate cases.
+
+    Both derived tables feed two join sides -> cached to avoid recomputing
+    the sketch pipeline per side (previous invocation's cache released).
+    """
+    cand, shingled = minhash_candidate_pairs(df, id_col, text_col, n,
+                                             num_hashes, bands)
     sa = shingled.select(F.col(id_col).alias("id_a"),
                          F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"),

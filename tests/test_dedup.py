@@ -147,3 +147,19 @@ def test_containment_asymmetric(spark):
     # and the symmetric Jaccard path would NOT pair them at 0.5
     jac = dedup.minhash_near_dups(docs, threshold=0.5).collect()
     assert jac == []
+
+
+def test_minhash_candidate_pairs_superset_of_verified(spark):
+    """Banding candidates must contain every verified pair (the verify
+    only prunes), and a near-identical pair must be surfaced."""
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + " tail"), (2, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string")
+    cand, _ = dedup.minhash_candidate_pairs(docs)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    verified = {(r["id_a"], r["id_b"])
+                for r in dedup.minhash_near_dups(docs, threshold=0.5).collect()}
+    assert verified <= cand_set
+    assert (0, 1) in cand_set and (0, 1) in verified
+    assert (0, 2) not in verified
