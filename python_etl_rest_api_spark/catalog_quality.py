@@ -408,6 +408,76 @@ def orders_revenue_concentration(spark, sf_dir):
                 / F.sum("decile_revenue").over(wt), 8).alias("cum_share"))
 
 
+@query("text_bigram_logprob", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM t
+    ),
+    cb AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+    cc AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c) AS cc
+           FROM cb GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    lp AS (
+      SELECT cb.bg,
+             ln((c + 1.0) / (cc.cc + (SELECT v FROM vocab))) AS logp
+      FROM cb JOIN cc ON cc.w1 = split_part(cb.bg, ' ', 1)
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp.logp), 8) AS avg_logprob
+    FROM bg JOIN lp ON lp.bg = bg.bg
+    GROUP BY bg.doc_id
+""")
+def text_bigram_logprob(spark, sf_dir):
+    """Per-document mean BIGRAM log-probability with add-one smoothing,
+    P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V) - the
+    step up from text_unigram_logprob that a real quality filter takes:
+    unigram scoring cannot distinguish fluent text from a bag of common
+    words; conditional bigram probability penalizes improbable
+    TRANSITIONS (shuffled or templated text scores low even when every
+    token is frequent). Smoothing keeps unseen transitions finite and
+    V comes from the unigram vocabulary.
+
+    Plan: one adjacent-pair explode (CASE-guarded - Spark's
+    sequence(1, 0) counts DOWN, the BPE lesson), bigram-type and
+    context-count aggregates with map-side combine, the log-prob table
+    broadcast back onto the bigram stream (|bigram types| here is tiny;
+    at 100 TB hash-join on w1 instead), one per-doc aggregate. Docs
+    with fewer than 2 tokens have no bigrams and drop out identically
+    on both engines. Exactness: counts integral, (c+1)/(cc+V) is ONE
+    double division, ln and the per-doc mean order are pinned by
+    ROUND(..., 8) - the unigram entry's recipe."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigr = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "case when size(t) >= 2 then transform(sequence(1, size(t)-1),"
+            " i -> struct(element_at(t, i) as w1,"
+            " element_at(t, i+1) as w2)) else array() end")).alias("b")) \
+        .select("doc_id", "b.w1", "b.w2")
+    cb = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cc = cb.groupBy("w1").agg(F.sum("c").alias("cc"))
+    vocab = (d.select(F.explode(F.split("text", " ")).alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    lp = (cb.join(cc, "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c") + F.lit(1.0))
+                        / (F.col("cc") + F.col("v"))).alias("logp")))
+    return (bigr.join(F.broadcast(lp), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("logp"), 8).alias("avg_logprob")))
+
+
 # ---------------------------------------------------------------------
 # Top principal component: distributed Gram + fixed power iteration
 # ---------------------------------------------------------------------
