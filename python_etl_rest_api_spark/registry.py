@@ -126,6 +126,7 @@ _DEBT_FIRST = [
     "sim_topk_ann_ivfpq",               # 1.1s
     "dedup_minhash_recall",             # 1.2s
     "text_bigram_logprob",              # 1.2s
+    "sketch_count_min",                 # 1.2s
     "multimodal_png_decode",            # 1.2s
     "layout_bucketed_join",             # 1.5s
     "sim_ann_index_srp_serve",          # 5.5s (index build dominates)

@@ -211,3 +211,24 @@ def test_repetition_score_separates_loops_from_prose(spark):
     assert abs(out[1].repetition - 0.75) < 1e-12
     assert out[2].repetition == 0.0
     assert out[3].n_trigrams == 0 and out[3].repetition == 0.0
+
+
+def test_count_min_overestimates_never_under(spark):
+    """CM law: every estimate >= the exact count (min over rows of
+    additive cells can only over-count collisions), checked against a
+    driver-side Counter; and the top-1 heavy hitter is the true one."""
+    from collections import Counter
+
+    from python_etl_rest_api_spark.catalog_scale import sketch_count_min
+
+    rows = sketch_count_min(spark, SF).collect()
+    assert len(rows) == 10
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cnt = Counter(t for d in docs for t in d.text.split(" "))
+    for r in rows:
+        assert cnt[r.tok] == r.exact_count
+        assert r.cm_estimate >= r.exact_count
+        assert r.overestimate == r.cm_estimate - r.exact_count >= 0
+    top_tok, top_c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    got_top = sorted(rows, key=lambda r: (-r.exact_count, r.tok))[0]
+    assert (got_top.tok, got_top.exact_count) == (top_tok, top_c)
