@@ -11,7 +11,7 @@ md5 for portable hashing, integer arithmetic until a single final
 double division, order statistics by explicit rank instead of
 interpolating percentile functions whose rounding differs per engine.
 The reference (a 313-line pandas/FastAPI technical test,
-etl/02_dataclean.py + api/main.py) has none of these; they extend the
+etl/03_transform_and_load.py + api/main.py) has none of these; they extend the
 engine toward the 100 TB curation workload.
 """
 
@@ -1121,9 +1121,9 @@ def sim_topk_ann_ivfpq(spark, sf_dir):
              FROM (SELECT string_split(sym[2:len(sym)-1], '><') AS t, f
                    FROM s2)) GROUP BY pr),
     b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-    SELECT 1 AS step, pair, cnt FROM b1
-    UNION ALL SELECT 2, pair, cnt FROM b2
-    UNION ALL SELECT 3, pair, cnt FROM b3
+    SELECT 1 AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM b1
+    UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
+    UNION ALL SELECT 3, pair, CAST(cnt AS BIGINT) FROM b3
 """)
 def text_bpe_merges(spark, sf_dir):
     """The first 3 BPE merges learned from the documents corpus - the
@@ -1267,7 +1267,8 @@ def _bpe_batched_oracle(rounds: int = 2, round_size: int = 4,
              WHERE TRUE{conds}
              ORDER BY cnt DESC, pair LIMIT 1)""")
             selects.append(f"SELECT {(r - 1) * round_size + k} AS step, "
-                           f"pair, cnt FROM b{r}_{k}")
+                           f"pair, CAST(cnt AS BIGINT) AS cnt "
+                           f"FROM b{r}_{k}")
         repl = "sym"
         for k in range(1, round_size + 1):
             p = f"coalesce((SELECT pair FROM b{r}_{k}), {sent})"

@@ -6,7 +6,7 @@ X^T X building block for PCA / whitening / linear probes over the
 embedding table).
 
 The reference (a 313-line pandas/FastAPI technical test,
-`etl/02_transformations.py`) has no corpus surface; these extend the
+`etl/03_transform_and_load.py`) has no corpus surface; these extend the
 documents/embeddings family under the repo's cross-engine exactness
 recipe: integer token counts (exact), single IEEE divisions (exact,
 correctly rounded in both engines), and where a float reduction's
@@ -286,11 +286,15 @@ def embed_gram_matrix(spark, sf_dir):
       FROM st GROUP BY event_type)
     SELECT e.event_type, COUNT(*) AS n,
            MAX(c.p05) AS p05, MAX(c.p95) AS p95,
-           SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS n_low,
-           SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS n_high,
-           ROUND(AVG(CASE WHEN e.value < c.p05 THEN c.p05
+           CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST(SUM(CAST(FLOOR(1000000 * CASE
+                          WHEN e.value < c.p05 THEN c.p05
                           WHEN e.value > c.p95 THEN c.p95
-                          ELSE e.value END), 8) AS winsor_mean
+                          ELSE e.value END) AS BIGINT))
+                AS BIGINT) AS winsor_sum_micros
     FROM e JOIN cut c ON e.event_type = c.event_type
     GROUP BY e.event_type
 """)
@@ -303,9 +307,16 @@ def events_value_winsorized(spark, sf_dir):
     quantile interpolation, so both engines select literally the same
     stored VALUES; the events_mad_outliers argument). Two exchanges: a
     per-type rank sort, then a broadcast of the |types|-row cutoff
-    table back onto the stream; clamp counts are integers (exact) and
-    only the winsorized mean - a float sum whose order is
-    engine-dependent - is published rounded."""
+    table back onto the stream. Everything published is EXACT integer
+    arithmetic: clamp counts are cast to BIGINT on the oracle side
+    (DuckDB's uncast SUM(CASE->1/0) is HUGEINT, the r5 red), and the
+    winsorized mean is published as winsor_sum_micros - each clamped
+    double floored at micro precision (FLOOR(1e6*w) is the same IEEE
+    double op in both engines, no ROUND half-way hazard) then summed
+    as int64, which is associative and immune to the
+    engine-dependent float summation order that made ROUND(AVG(.),8)
+    an intermittent-red hazard. Consumers derive the mean as
+    winsor_sum_micros / n / 1e6."""
     from .catalog import _events
     from pyspark.sql import Window
 
@@ -331,7 +342,8 @@ def events_value_winsorized(spark, sf_dir):
                        .otherwise(0)).alias("n_low"),
                  F.sum(F.when(F.col("value") > F.col("p95"), 1)
                        .otherwise(0)).alias("n_high"),
-                 F.round(F.avg("w"), 8).alias("winsor_mean")))
+                 F.sum(F.floor(F.lit(1000000.0) * F.col("w")))
+                 .alias("winsor_sum_micros")))
 
 
 # ---------------------------------------------------------------------

@@ -321,10 +321,10 @@ def q11_important_parts(spark, sf_dir):
 @query("q12_tax_priority", """
     SELECT CASE WHEN l.l_tax >= 0.04 THEN 'HIGH-TAX'
                 ELSE 'LOW-TAX' END AS tax_mode,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -336,8 +336,11 @@ def q12_tax_priority(spark, sf_dir):
     missing l_shipmode), counting urgent vs non-urgent order
     priorities into parallel conditional sums — the one-pass pivot
     idiom. The year window is pushed to the lineitem scan; the join
-    carries only (orderkey, tax) against (orderkey, priority). Sums
-    are int64 on both engines."""
+    carries only (orderkey, tax) against (orderkey, priority). The
+    oracle sums are cast to BIGINT: DuckDB types an uncast
+    SUM(CASE->1/0) as HUGEINT (int128) while Spark emits BIGINT, and
+    the driver's value hash is type-sensitive (this exact divergence
+    was the r5 red)."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= "1997-01-01 00:00:00")
                   & (F.col("l_shipdate") < "1998-01-01 00:00:00"))

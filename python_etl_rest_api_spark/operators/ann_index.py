@@ -36,9 +36,17 @@ from pyspark.sql import functions as F
 from . import similarity
 
 META_SCHEMA = ("dim int, bits int, tables int, n_centroids int, "
-               "refine_steps int, m_sub int, n_codewords int")
+               "refine_steps int, m_sub int, n_codewords int, "
+               "kinds string")
 
 ALL_KINDS = ("srp", "ivf", "pq")
+
+
+def _meta_kinds(m) -> tuple[str, ...]:
+    """Index families recorded at build time; indexes written before
+    the meta carried ``kinds`` fall back to assuming all families."""
+    raw = getattr(m, "kinds", None)
+    return tuple(raw.split(",")) if raw else ALL_KINDS
 
 
 def build_ann_index(corpus: DataFrame, path: str, dim: int,
@@ -54,7 +62,7 @@ def build_ann_index(corpus: DataFrame, path: str, dim: int,
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(dim, bits, tables, n_centroids, refine_steps, m_sub,
-          n_codewords)], META_SCHEMA) \
+          n_codewords, ",".join(kinds))], META_SCHEMA) \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     if "srp" in kinds:
         (similarity.srp_buckets(corpus, dim, bits, tables, id_col, vec_col)
@@ -109,9 +117,26 @@ def append_to_ann_index(new_rows: DataFrame, path: str,
     freeze-then-retrain trade, retrain by rebuilding when recall decays.
     Caller contract: ``new_rows`` ids must be disjoint from the indexed
     corpus (duplicate ids would double-serve; enforce upstream with an
-    anti-join on the stored id set)."""
+    anti-join on the stored id set).
+
+    ``kinds`` is validated against the families recorded in the index
+    meta at build time: appending an unbuilt family would otherwise die
+    reading a nonexistent artifact parquet with an opaque
+    AnalysisException instead of a contract error. The default
+    (ALL_KINDS) silently narrows to what was built - append keeps the
+    index exactly as complete as it was."""
     spark = new_rows.sparkSession
     m = _meta(spark, path)
+    built = _meta_kinds(m)
+    if kinds == ALL_KINDS:
+        kinds = built
+    else:
+        missing = [kd for kd in kinds if kd not in built]
+        if missing:
+            raise ValueError(
+                f"index at {path} was built with kinds={built}; "
+                f"cannot append to unbuilt families {missing} - "
+                f"rebuild with build_ann_index to add them")
     if "srp" in kinds:
         (similarity.srp_buckets(new_rows, m.dim, m.bits, m.tables,
                                 id_col, vec_col)

@@ -167,11 +167,22 @@ def execute_jdbc(spark: SparkSession, url: str, statements: list[str],
     """Run DDL/DML statements over a raw ``java.sql.Connection`` through
     the session JVM - the driver-side half of stage-then-merge loads
     (Spark's JDBC writer only speaks INSERT; MERGE/constraint DDL is the
-    server's job). Statements run on ONE connection in order."""
+    server's job). Statements run on ONE connection in order.
+
+    All connection properties except ``driver`` (user, password, ssl
+    options, ...) are forwarded to ``DriverManager.getConnection(url,
+    props)`` - mirroring what :func:`write_jdbc` hands the Spark
+    writer, so the merge half of a stage-then-merge load authenticates
+    the same way the staging write did (a bare getConnection(url) only
+    works for embedded engines like Derby/DuckDB)."""
     props = properties or {}
     if "driver" in props:
         spark._jvm.java.lang.Class.forName(props["driver"])
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    jprops = spark._jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         st = conn.createStatement()
         for sql in statements:
@@ -219,6 +230,12 @@ def merge_jdbc(df: DataFrame, url: str, table: str, keys: list[str],
         raise ValueError(f"merge_jdbc mode must be upsert|ignore, got {mode}")
     cols = df.columns
     non_keys = [c for c in cols if c not in keys]
+    if mode == "upsert" and not non_keys:
+        # Every column is a key: a full-key match has nothing to
+        # update, and 'WHEN MATCHED THEN UPDATE SET ' is a server
+        # syntax error. The NOT-EXISTS insert form IS the correct
+        # upsert here (matched rows are already byte-identical).
+        mode = "ignore"
     staging = staging_table or f"{table}_staging"
     write_jdbc(df, url, staging, mode="overwrite",
                properties=properties, batchsize=batchsize)

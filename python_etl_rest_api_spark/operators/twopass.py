@@ -29,7 +29,7 @@ Cost at scale: one range shuffle of the data (parallel), one
 O(partitions)-row collect, one broadcast join of the offsets, one
 partition-local sort. No stage touches more than 1/P of the data.
 Extends the reference's single-process pandas semantics
-(`/root/reference/etl/02_dataclean.py` has no windows at all) the way a
+(`/root/reference/etl/03_transform_and_load.py` has no windows at all) the way a
 1000-executor cluster has to.
 """
 

@@ -121,3 +121,21 @@ def test_stored_artifacts_have_scale_shapes(spark, built):
     assert cents.count() == 16
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     assert (meta.dim, meta.bits, meta.tables) == (64, 6, 4)
+
+
+def test_append_unbuilt_family_is_contract_error(spark, tmp_path):
+    """An index built with a subset of families records that subset in
+    its meta; appending to an unbuilt family must be a clear ValueError,
+    not an AnalysisException from a missing artifact parquet."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "srp_only")
+    ann_index.build_ann_index(emb.limit(20), path, dim=64,
+                              kinds=("srp",), bits=6)
+    with pytest.raises(ValueError, match="built with kinds"):
+        ann_index.append_to_ann_index(emb.limit(5), path, kinds=("ivf",))
+    # the default (ALL_KINDS) narrows to what was built instead of dying
+    before = spark.read.parquet(f"{path}/srp_buckets").count()
+    ann_index.append_to_ann_index(
+        emb.filter(F.col("vec_id").between(100, 104)), path)
+    after = spark.read.parquet(f"{path}/srp_buckets").count()
+    assert after > before

@@ -106,7 +106,10 @@ def test_winsorized_clamps_bounded(spark):
         # rank-boundary row)
         assert r.n_low <= r.n * 0.05 + 1
         assert r.n_high <= r.n * 0.05 + 1
-        assert r.p05 <= r.winsor_mean <= r.p95
+        # winsor_sum_micros is the exact integer publication of the
+        # mean: floored micros summed as int64 (see catalog_quality).
+        mean = r.winsor_sum_micros / r.n / 1e6
+        assert r.p05 - 1e-6 <= mean <= r.p95 + 1e-6
 
 
 def test_revenue_concentration_is_a_lorenz_curve(spark):

@@ -1,9 +1,21 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs every __spark_entry__.queries() entry at sf0.01 and compares against
-oracle_sql() via DuckDB: row count, column names, and an order-insensitive
-value comparison (exact string repr after column-name sort). Queries with
-no oracle get a rows-only smoke run.
+oracle_sql() via DuckDB: row count, column names, a TYPED schema
+comparison, and an order-insensitive value comparison (exact string repr
+after column-name sort). Queries with no oracle get a rows-only smoke run.
+
+The typed comparison exists because the driver's value hash is
+TYPE-SENSITIVE in a way cell stringification is blind to: round 5 shipped
+a "191/191 clean" stringified sweep into a red driver window because two
+oracles used uncast SUM(CASE->1/0), which DuckDB types HUGEINT (int128)
+while Spark emits BIGINT.  The failure mechanism is the DuckDB->pandas
+conversion: int128 doesn't fit int64, so pandas widens to float64 and the
+hashed cells become '123.0' vs '123'.  That mechanism defines the
+equivalence classes below: all of {i8,i16,i32,i64} hash identically
+(exact ints, same repr), while int-vs-float, float32-vs-float64,
+int128-anywhere, and decimal-SCALE divergence (Decimal('1.20') !=
+Decimal('1.2') as strings) are fatal and fail the sweep.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -11,6 +23,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 
@@ -21,6 +34,65 @@ ONLY = set(sys.argv[2:])
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+_DUCK_SCALAR = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "int128", "UHUGEINT": "int128",
+    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "BLOB": "bin",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "TIMESTAMP_MS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+}
+_SPARK_SCALAR = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "binary": "bin", "timestamp": "ts",
+    "timestamp_ntz": "ts", "void": "null",
+}
+
+
+def _canon_duck(t: str) -> str:
+    """DuckDB type string -> driver-hash equivalence class."""
+    t = str(t).strip()
+    if t.endswith("[]"):
+        return f"list<{_canon_duck(t[:-2])}>"
+    m = re.match(r"DECIMAL\((\d+),\s*(\d+)\)", t)
+    if m:
+        return f"dec(s={m.group(2)})"   # scale is hash-visible, precision not
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return "nested"
+    return _DUCK_SCALAR.get(t, t)
+
+
+def _canon_spark(t: str) -> str:
+    """Spark dtype string -> driver-hash equivalence class."""
+    t = t.strip()
+    m = re.match(r"array<(.*)>$", t)
+    if m:
+        return f"list<{_canon_spark(m.group(1))}>"
+    m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+    if m:
+        return f"dec(s={m.group(2)})"
+    if t.startswith("struct") or t.startswith("map"):
+        return "nested"
+    return _SPARK_SCALAR.get(t, t)
+
+
+def typed_diffs(scols, sdtypes, dcols, dtypes):
+    """Return [(col, spark_class, duck_class)] hash-fatal divergences,
+    including any int128 (HUGEINT) column even if both sides agree."""
+    smap = {c: _canon_spark(t) for c, t in zip(scols, sdtypes)}
+    dmap = {c: _canon_duck(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in smap:
+        if c not in dmap:
+            continue
+        a, b = smap[c], dmap[c]
+        if a != b or "int128" in b or "int128" in a:
+            out.append((c, a, b))
+    return out
 
 
 def norm_cell(v):
@@ -63,6 +135,7 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            sdtypes = [t for _, t in sdf.dtypes]
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {ex}")
@@ -74,9 +147,10 @@ def main():
             continue
         t1 = time.time()
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {ex}")
@@ -84,7 +158,13 @@ def main():
         t_duck = time.time() - t1
         sc, sr = norm_rows(scols, [tuple(r) for r in srows])
         dc, dr = norm_rows(dcols, drows)
-        if sc != dc:
+        tdiffs = typed_diffs(scols, sdtypes, dcols, dtypes)
+        if tdiffs:
+            failures.append(name)
+            print(f"FAIL  {name}: TYPED divergence (driver-hash-fatal): "
+                  + ", ".join(f"{c}: spark={a} duck={b}"
+                              for c, a, b in tdiffs))
+        elif sc != dc:
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sc} duck={dc}")
         elif len(sr) != len(dr):
