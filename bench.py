@@ -34,7 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
 # Headliners: the flagship view, scan-heavy agg, join-heavy top-k, the
 # full ETL clean pipeline, dedup + similarity extension paths, and the

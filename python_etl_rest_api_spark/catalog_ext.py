@@ -989,6 +989,82 @@ def multimodal_png_decode(spark, sf_dir):
     return decode_png_features(synthesize_png_media(spark, n=48))
 
 
+@query("multimodal_jpeg_decode", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 2 + i % 3 AS wb, 1 + i % 2 AS hb FROM m),
+    blk AS (SELECT i, wb, hb, bx, by,
+                   (i*13 + bx*17 + by*29) % 256 AS v
+            FROM dims, range(0, 4) t1(bx), range(0, 2) t2(by)
+            WHERE bx < wb AND by < hb)
+    SELECT i AS media_id,
+           CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           CAST(64 * wb * hb AS BIGINT) AS n_pixels,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_lum,
+           CAST(MAX(v) AS BIGINT) AS peak_lum
+    FROM blk GROUP BY i, wb, hb
+""")
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL transform-coded image codec path (stdlib math + struct,
+    extending multimodal_png_decode to a LOSSY container): genuine
+    ITU T.81 baseline JPEGs - SOI/DQT/SOF0/DHT/SOS markers, 8x8
+    level-shifted DCT, quantization, zigzag, DC-differential + AC
+    run-length Huffman coding with the spec's Annex K tables, 0xFF
+    byte stuffing - decoded back in Arrow batches: marker walk,
+    canonical Huffman rebuild, entropy decode, dequantize, IDCT,
+    pixel stats, all from the byte stream. The synthesized corpus
+    uses constant 8x8 blocks with a uniform quant of 8, for which
+    quantize/dequantize is LOSSLESS (all signal in the DC term,
+    which is exact power-of-two float arithmetic - see
+    operators/multimodal.py), so the decoded sums equal the closed
+    form of (i, bx, by) and the driver value-hashes a true
+    encode->DCT->Huffman->Spark->decode round trip; the general
+    lossy path is bounded in tests/test_multimodal.py. With this,
+    only VIDEO remains on the stub path."""
+    from .operators.multimodal import (decode_jpeg_features,
+                                       synthesize_jpeg_media)
+    tune(spark)
+    return decode_jpeg_features(synthesize_jpeg_media(spark, n=48))
+
+
+@query("multimodal_avi_frames", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 8 + 4 * (i % 3) AS w, 6 + i % 3 AS h,
+                    6 + i % 5 AS nf FROM m),
+    fr AS (SELECT i, w, h, nf, f
+           FROM dims, range(0, 10) t(f)
+           WHERE f < nf AND f % 2 = 0),
+    px AS (SELECT i, w, h, nf, f,
+                  (i*7 + f*31 + x*3 + y*5) % 256 AS v
+           FROM fr, range(0, 16) tx(x), range(0, 8) ty(y)
+           WHERE x < w AND y < h)
+    SELECT i AS media_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(SUM(v) AS BIGINT) AS sum_lum,
+           CAST(MAX(v) AS INTEGER) AS peak_lum
+    FROM px GROUP BY i, f, w, h, nf
+""")
+def multimodal_avi_frames(spark, sf_dir):
+    """REAL video path - the last stubbed modality retired: genuine
+    RIFF/AVI containers (LIST hdrl with avih MainAVIHeader + vids/DIB
+    stream headers, LIST movi of uncompressed 8-bit bottom-up DIB
+    frames with 4-byte row padding, idx1 index), built and parsed with
+    stdlib struct alone, FRAME-SAMPLED (every 2nd frame) in Arrow
+    batches - the north-star video primitive where one payload row
+    explodes into one row per sampled frame and pixels never leave the
+    executor. Uncompressed DIB frames round-trip exactly, so the
+    sampled-frame luminance stats have this closed-form oracle over
+    (i, f, x, y). Codec + sampling: operators/multimodal.py
+    (encode_avi_gray / decode_avi_frames / sample_avi_frames)."""
+    from .operators.multimodal import sample_avi_frames, synthesize_avi_media
+    tune(spark)
+    return sample_avi_frames(synthesize_avi_media(spark, n=48), stride=2)
+
+
 # ---------------------------------------------------------------------
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------

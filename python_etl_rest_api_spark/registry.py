@@ -6,30 +6,31 @@ driver walks the dict in insertion order under a ~50-entry budget, so a
 fixed cheapest-first pin (round 2) permanently exiled the expensive tail
 from verification. Rotation history: r3 spent its window on
 never-verified entries (49 green), r4 refreshed stale currency (50/50
-green, the one historical err fixed). After r4 the cumulative ledger is
-102/179 driver-green and 77 never driver-hashed (all of catalog_tpch
-q2-q22 plus most of the r4 scale/pipe/quality waves).
+green), r5 cleared 48 more of the never-verified queue but went 48/50 -
+the first reds ever: two oracles with uncast SUM(CASE->1/0), which
+DuckDB types HUGEINT (int128) while Spark emits BIGINT under the
+driver's type-sensitive hash. After r5 the cumulative ledger is 150/191
+driver-green with 41 entries non-green (the 2 reds + 39 never checked).
 
-Round-5 pin, per the r4 verdict's top directive ("re-pin with those 77
-first, cheapest-first within so the time-based budget stretches
-furthest"):
+Round-6 pin, per the r5 verdict ("re-pin to close the debt entirely:
+the 4 fixed entries first, then the remaining never-verified
+cheapest-first"):
 
-  1-77   the never-driver-verified entries, ordered by measured
-         sf0.01 cold time (spark + duckdb oracle, from this round's
-         tools/check_oracle.py sweep: 0.3s..9.5s) - the ~50-budget
-         covers everything up to ~1s; the expensive tail
-         (dedup_cluster_weights, sim_mmr_rerank, embed_top_pc ...)
-         lands last and front-runs r6 if the window closes early;
-  78-86  the round-5 additions (batched BPE + BPE encode, PNG decode,
-         the bucketed co-located join, composed IVF-PQ, the four
-         persisted-ANN-index serves) - never verified, next in line;
-  87-89  last green in r2 (two rounds stale);
-  90-139 last green in r3;
-  tail   the 50 entries CORRECTNESS_r04 just confirmed (freshest
-         signal, safe to defer).
-
-Entries not in the pinned list (round-5 additions) keep registration
-order at the end until classified.
+  1-4    the four HUGEINT-fixed entries (the 2 r5 reds + the 2 BPE
+         oracles carrying the same latent bug), now CAST AS BIGINT and
+         typed-sweep green - first so CORRECTNESS_r06 proves the fix;
+  5-37   the remaining never-driver-verified entries, ordered by this
+         round's measured sf0.01 cold time (tools/check_oracle.py
+         typed sweep, 0.2s..8s);
+  38-41  the four persisted-ANN-index serves, CONTIGUOUS at the tail
+         of the debt block: they now share ONE full-family index build
+         per corpus (catalog_ann._shared_index), so the first pays the
+         build (~15s warm) and the rest verify at serve cost (~2s) -
+         43 entries (41 debt + the new multimodal_jpeg_decode and
+         multimodal_avi_frames) <= the ~50 budget, so the whole debt
+         clears in one window with room for green refreshes behind;
+  42+    driver-green entries, stalest-first (r2, r3, r4, r5) - the
+         freshest signal defers to the back.
 """
 
 from . import (  # noqa: F401
@@ -41,98 +42,53 @@ from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
 _DEBT_FIRST = [
-    # -- never driver-verified (77), measured-cheapest-first --
-    "dedup_ratio_by_source",            # 0.3s
-    "docs_source_mix",                  # 0.3s
-    "events_json_key_profile",          # 0.3s
-    "events_seasonality_profile",       # 0.3s
-    "q6_forecast_revenue",              # 0.3s
-    "sample_per_group_topn",            # 0.3s
-    "sample_weighted_systematic",       # 0.3s
-    "skew_key_profile",                 # 0.3s
-    "text_kwic_window",                 # 0.3s
-    "text_length_histogram",            # 0.3s
-    "w7_frame_first_last",              # 0.3s
-    "w8_percent_rank_cume",             # 0.3s
-    "events_user_growth",               # 0.4s
-    "ntile_customer_deciles",           # 0.4s
-    "table_checksum",                   # 0.4s
-    "text_gopher_rules",                # 0.4s
-    "cdc_apply_changes",                # 0.5s
-    "layout_zorder_stats",              # 0.5s
-    "orders_revenue_concentration",     # 0.5s
-    "orders_wow_change",                # 0.5s
-    "q12_tax_priority",                 # 0.5s
-    "q13_order_distribution",           # 0.5s
-    "q14_promo_revenue_share",          # 0.5s
-    "q19_disjunctive_revenue",          # 0.5s
-    "q4_priority_count",                # 0.5s
-    "cdc_snapshot_diff",                # 0.6s
-    "dq_rules_summary",                 # 0.6s
-    "embed_gram_matrix",                # 0.6s
-    "events_linear_trend",              # 0.6s
-    "events_resample_gapfill",          # 0.6s
-    "mix_temperature_weights",          # 0.6s
-    "ngram_bigram_hitters",             # 0.6s
-    "orders_rfm_segments",              # 0.6s
-    "q15_top_supplier",                 # 0.6s
-    "q17_small_qty_revenue",            # 0.6s
-    "q22_dormant_customers",            # 0.6s
-    "text_repetition_score",            # 0.6s
-    "dedup_repeated_spans",             # 0.7s
-    "events_value_winsorized",          # 0.7s
-    "stream_trending_topk",             # 0.7s
-    "text_unigram_logprob",             # 0.7s
-    "events_touch_matrix",              # 0.8s
-    "events_dau_wau",                   # 0.8s
-    "q16_part_supplier_counts",         # 0.8s
-    "q9_product_profit",                # 0.8s
-    "rollup_incremental_merge",         # 0.8s
-    "events_mad_outliers",              # 0.9s
-    "q10_returned_value",               # 0.9s
-    "q11_important_parts",              # 0.9s
-    "scd2_status_history",              # 0.9s
-    "stats_ks_drift",                   # 0.9s
-    "q18_large_orders",                 # 1.0s
-    "q2_min_cost_supplier",             # 1.0s
-    "q7_volume_shipping",               # 1.0s
+    # -- the four HUGEINT-fixed oracles (r5 reds + latent twins) --
+    "q12_tax_priority",                 # 0.9s; r5 red, CAST fixed
+    "events_value_winsorized",          # 0.8s; r5 red, CAST + exact mean
+    "text_bpe_merges",                  # 1.6s; latent HUGEINT cnt, fixed
+    "text_bpe_merges_batched",          # 1.0s; latent HUGEINT cnt, fixed
+    # -- never driver-verified, measured-cheapest-first (r6 sweep) --
+    "sample_stratified_docs",           # 0.2s
+    "events_rolling_1h",                # 0.4s
+    "text_unigram_rarity",              # 0.5s
+    "sketch_count_min",                 # 0.7s
+    "docs_vocab_growth",                # 0.8s
+    "join_bloom_prefilter",             # 0.9s
+    "q18_large_orders",                 # 0.9s
+    "basket_part_pairs",                # 1.0s
+    "events_dwell_time",                # 1.0s
+    "q5_local_supplier_volume",         # 1.0s
     "stats_corr_pairs",                 # 1.0s
-    "q20_promo_suppliers",              # 1.1s
-    "q8_market_share",                  # 1.1s
-    "text_unigram_rarity",              # 1.1s
-    "q21_sole_blamed_supplier",         # 1.2s
-    "events_dwell_time",                # 1.3s
-    "q5_local_supplier_volume",         # 1.3s
-    "sim_topk_ann_pq",                  # 1.3s
-    "events_rolling_1h",                # 1.5s
-    "text_bpe_merges",                  # 1.6s
-    "dedup_containment",                # 1.7s
-    "docs_vocab_growth",                # 1.7s
-    "profile_table_describe",           # 2.0s
-    "multimodal_bmp_decode",            # 2.1s
-    "join_bloom_prefilter",             # 2.3s
-    "orders_cycle_time_stats",          # 2.3s
-    "basket_part_pairs",                # 2.6s
-    "decontam_ngram_overlap",           # 2.6s
-    "ann_recall_at_k",                  # 3.2s
-    "sample_stratified_docs",           # 3.7s
-    "dedup_cluster_weights",            # 6.8s
-    "sim_mmr_rerank",                   # 7.7s
-    "embed_top_pc",                     # 9.5s
-    # -- new in r5 (never driver-verified; next in line after the
-    #    debt), measured sf0.01 cheapest-first like the block above --
-    "text_bpe_merges_batched",          # 1.0s
+    "text_bigram_logprob",              # 1.0s
     "text_bpe_encode",                  # 1.0s
-    "sim_topk_ann_ivfpq",               # 1.1s
-    "dedup_minhash_recall",             # 1.2s
-    "text_bigram_logprob",              # 1.2s
-    "sketch_count_min",                 # 1.2s
-    "multimodal_png_decode",            # 1.2s
+    "orders_cycle_time_stats",          # 1.1s
+    "q7_volume_shipping",               # 1.1s
+    "q21_sole_blamed_supplier",         # 1.2s
+    "q2_min_cost_supplier",             # 1.2s
+    "multimodal_png_decode",            # 1.3s
+    "multimodal_jpeg_decode",           # 1.3s; new r6 (baseline DCT codec)
+    "multimodal_avi_frames",            # ~1.3s; new r6 (RIFF/AVI sampling)
+    "q8_market_share",                  # 1.3s
+    "sim_topk_ann_ivfpq",               # 1.4s
+    "ann_recall_at_k",                  # 1.5s
     "layout_bucketed_join",             # 1.5s
-    "sim_ann_index_srp_serve",          # 5.5s (index build dominates)
-    "sim_ann_index_ivf_serve",          # 9.7s
-    "sim_ann_index_pq_serve",           # 10.2s
-    "sim_ann_index_ivfpq_serve",        # 15.2s (builds ivf+pq)
+    "multimodal_bmp_decode",            # 1.5s
+    "q20_promo_suppliers",              # 1.5s
+    "profile_table_describe",           # 1.7s
+    "sim_topk_ann_pq",                  # 1.8s
+    "dedup_containment",                # 1.9s
+    "decontam_ngram_overlap",           # 2.0s
+    "stats_ks_drift",                   # 2.1s
+    "sim_mmr_rerank",                   # 2.9s
+    "dedup_minhash_recall",             # 3.2s
+    "dedup_cluster_weights",            # 5.7s
+    "embed_top_pc",                     # 7.9s
+    # -- persisted-ANN serves: contiguous so the ONE shared index
+    #    build amortizes across all four (build ~15s once, then ~2s) --
+    "sim_ann_index_srp_serve",
+    "sim_ann_index_ivf_serve",
+    "sim_ann_index_pq_serve",
+    "sim_ann_index_ivfpq_serve",
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --
@@ -155,7 +111,7 @@ _DEBT_FIRST = [
     "d6_view_date_between", "g1_g2_first_valid_fill", "i2_fk_violations",
     "set_union_distinct", "sim_topk_bruteforce", "etl_clean_pipeline",
     "etl_dim_first_seen",
-    # -- green in CORRECTNESS_r04 (freshest signal, deferred) --
+    # -- last green in r4 --
     "multimodal_feature_extract", "etl_critical_quarantine",
     "dedup_ngram_jaccard", "etl_critical_scaled", "etl_clean_scaled",
     "c1_rename_project", "d4_negative_amounts", "d4b_threshold_filter",
@@ -173,6 +129,27 @@ _DEBT_FIRST = [
     "etl_tier_counts", "f1_lenient_numeric_cast", "f2_multiformat_dates",
     "h1_daily_totals", "h6_sum_column", "i3_set_difference",
     "join_outer_coverage", "pivot_status_priority", "set_except_lapsed",
+    # -- last green in r5 (freshest signal, deferred) --
+    "dedup_ratio_by_source", "docs_source_mix", "events_json_key_profile",
+    "events_seasonality_profile", "q6_forecast_revenue",
+    "sample_per_group_topn", "sample_weighted_systematic",
+    "skew_key_profile", "text_kwic_window", "text_length_histogram",
+    "w7_frame_first_last", "w8_percent_rank_cume", "events_user_growth",
+    "ntile_customer_deciles", "table_checksum", "text_gopher_rules",
+    "cdc_apply_changes", "layout_zorder_stats",
+    "orders_revenue_concentration", "orders_wow_change",
+    "q13_order_distribution", "q14_promo_revenue_share",
+    "q19_disjunctive_revenue", "q4_priority_count", "cdc_snapshot_diff",
+    "dq_rules_summary", "embed_gram_matrix", "events_linear_trend",
+    "events_resample_gapfill", "mix_temperature_weights",
+    "ngram_bigram_hitters", "orders_rfm_segments", "q15_top_supplier",
+    "q17_small_qty_revenue", "q22_dormant_customers",
+    "text_repetition_score", "dedup_repeated_spans",
+    "stream_trending_topk", "text_unigram_logprob",
+    "events_touch_matrix", "events_dau_wau", "q16_part_supplier_counts",
+    "q9_product_profit", "rollup_incremental_merge",
+    "events_mad_outliers", "q10_returned_value", "q11_important_parts",
+    "scd2_status_history",
 ]
 
 

@@ -172,3 +172,127 @@ def test_png_decoder_rejects_non_png(spark):
 
     with _pytest.raises(ValueError, match="not a PNG"):
         _decode_png(b"BM" + bytes(64))
+
+
+def test_jpeg_decode_real_roundtrip(spark):
+    """The REAL lossy transform codec path: genuine baseline JPEG
+    payloads (SOI/DQT/SOF0/DHT/SOS markers, DCT + Annex-K Huffman
+    entropy coding); the decoder rebuilds pixels from the byte stream
+    alone and, for the constant-block corpus (all signal in the DC
+    term, uniform quant 8), matches the closed-form synthesis exactly."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_media,
+    )
+
+    media = synthesize_jpeg_media(spark, n=10).cache()
+    payload = bytes(media.filter("media_id = 3").collect()[0]["payload"])
+    # genuine JPEG container: SOI, DQT, SOF0, DHT, SOS markers in order
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in payload
+
+    rows = {r["media_id"]: r for r in decode_jpeg_features(media).collect()}
+    assert len(rows) == 10
+    for i, r in rows.items():
+        wb, hb = 2 + i % 3, 1 + i % 2
+        vals = [(i * 13 + bx * 17 + by * 29) % 256
+                for bx in range(wb) for by in range(hb)]
+        assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
+        assert (r["n_pixels"], r["n_blocks"]) == (64 * wb * hb, wb * hb)
+        assert r["sum_lum"] == 64 * sum(vals)
+        assert r["peak_lum"] == max(vals)
+    media.unpersist()
+
+
+def test_jpeg_lossy_gradient_bounded():
+    """The GENERAL lossy path (nonzero AC coefficients, real quant
+    error): a smooth gradient survives encode->decode within the
+    quantization error bound, proving the AC run-length/EXTEND
+    machinery beyond the oracle's exact constant-block case."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    w, h = 16, 16
+    def pix(x, y):
+        return x * 9 + y * 4          # smooth, max 195, no wraparound
+    data = encode_jpeg_gray(w, h, pix, quant=8)
+    dw, dh, n_pixels, n_blocks, total, peak = decode_jpeg_gray(data)
+    assert (dw, dh, n_pixels, n_blocks) == (w, h, 256, 4)
+    exact = sum(pix(x, y) for x in range(w) for y in range(h))
+    # uniform quant 8 -> per-coefficient error <= 4; the IDCT spreads
+    # it, mean |pixel error| well under 8. Bound: 8/pixel aggregate.
+    assert abs(total - exact) <= 8 * w * h
+    assert abs(peak - 195) <= 16
+
+
+def test_jpeg_decoder_rejects_non_jpeg():
+    import pytest as _pytest
+
+    from python_etl_rest_api_spark.operators.multimodal import decode_jpeg_gray
+
+    with _pytest.raises(ValueError, match="missing SOI"):
+        decode_jpeg_gray(b"\x89PNG" + bytes(64))
+
+
+def test_avi_frame_sampling_real_roundtrip(spark):
+    """The REAL video path: genuine RIFF/AVI containers (hdrl/strl
+    headers, movi '00db' DIB frames, idx1 index); frame sampling
+    explodes each payload row into one row per sampled frame whose
+    stats match the closed-form synthesis."""
+    import struct as structmod
+
+    from python_etl_rest_api_spark.operators.multimodal import (
+        sample_avi_frames,
+        synthesize_avi_media,
+    )
+
+    media = synthesize_avi_media(spark, n=8).cache()
+    payload = bytes(media.filter("media_id = 5").collect()[0]["payload"])
+    # genuine RIFF/AVI container with index
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    (riff_size,) = structmod.unpack_from("<I", payload, 4)
+    assert riff_size == len(payload) - 8
+    for fourcc in (b"avih", b"strh", b"strf", b"movi", b"00db", b"idx1"):
+        assert fourcc in payload
+
+    rows = sample_avi_frames(media, stride=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 8
+    for i, rs in by_media.items():
+        w, h, nf = 8 + 4 * (i % 3), 6 + i % 3, 6 + i % 5
+        expect_frames = [f for f in range(nf) if f % 2 == 0]
+        assert sorted(r["frame_idx"] for r in rs) == expect_frames
+        for r in rs:
+            f = r["frame_idx"]
+            px = [(i * 7 + f * 31 + x * 3 + y * 5) % 256
+                  for x in range(w) for y in range(h)]
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+            assert r["sum_lum"] == sum(px)
+            assert r["peak_lum"] == max(px)
+    media.unpersist()
+
+
+def test_avi_decoder_rejects_non_avi():
+    import pytest as _pytest
+
+    from python_etl_rest_api_spark.operators.multimodal import decode_avi_frames
+
+    with _pytest.raises(ValueError, match="missing RIFF"):
+        decode_avi_frames(b"\xff\xd8" + bytes(64))
+
+
+def test_avi_stride_one_and_frame_count_guard():
+    from python_etl_rest_api_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_gray,
+    )
+
+    data = encode_avi_gray(8, 6, 4, lambda f, x, y: (f + x + y) % 256)
+    out = decode_avi_frames(data, stride=1)
+    assert [t[0] for t in out] == [0, 1, 2, 3]
+    assert all(t[3] == 4 for t in out)
