@@ -1215,6 +1215,52 @@ def skew_salted_agg(spark, sf_dir):
                       F.col("_total_dec").cast("double").alias("total"), "n")
 
 
+@query("skew_salted_join", """
+    WITH f AS (
+      SELECT CASE WHEN o_orderkey % 100 <> 0 THEN 1
+                  ELSE o_custkey END AS c_custkey,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM f JOIN customer c ON f.c_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+""")
+def skew_salted_join(spark, sf_dir):
+    """Completes the skew toolkit's JOIN leg (the agg leg is the
+    skew_plain/salted_agg A/B): ~99% of fact rows are remapped to ONE
+    customer key, the pathological shape where a plain shuffle join
+    lands 99% of the data on a single task and map-side combine cannot
+    help (joins have no partial aggregation). operators/skew.py::
+    salted_join spreads it: fact rows get a deterministic xxhash64 salt
+    in [0, 8), the dim side is replicated once per salt value via a
+    broadcast range cross join, and the join key becomes (key, salt) -
+    the hot key fans over 8 tasks. Exact same rows as the plain join
+    (the DuckDB oracle IS the plain join), proven value-level here and
+    row-level in tests/test_skew_stateful.py.
+
+    100 TB posture: dim replication costs x buckets dim rows shuffled
+    (customers are dim-sized, so 8x a small table), while the fact side
+    gains bucket-fold parallelism on its hottest key - the standard
+    trade when AQE's skewedJoin (which this repo enables) can't see or
+    split the skew (e.g. holistic downstream state). Decimal sums make
+    the published totals bit-identical to the oracle's plain join."""
+    from .operators.skew import salted_join
+    from .functions.cleaning import money
+    o = _t(spark, sf_dir, "orders")
+    fact = o.select(
+        F.when(F.col("o_orderkey") % 100 != 0, F.lit(1))
+        .otherwise(F.col("o_custkey")).cast("long").alias("c_custkey"),
+        "o_totalprice")
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(fact, dim, "c_custkey", buckets=8)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(money("o_totalprice")).cast("double").alias("total")))
+
+
 @query("stream_sliding_panes", """
     WITH panes AS (
       SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'

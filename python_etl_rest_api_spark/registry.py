@@ -26,8 +26,10 @@ cheapest-first"):
          of the debt block: they now share ONE full-family index build
          per corpus (catalog_ann._shared_index), so the first pays the
          build (~15s warm) and the rest verify at serve cost (~2s) -
-         43 entries (41 debt + the new multimodal_jpeg_decode and
-         multimodal_avi_frames) <= the ~50 budget, so the whole debt
+         47 entries (41 debt + the r6 additions: multimodal_jpeg_decode,
+         multimodal_avi_frames, dsir_importance_weights,
+         skew_salted_join, layout_compaction_plan,
+         dedup_semantic_clusters) <= the ~50 budget, so the whole debt
          clears in one window with room for green refreshes behind;
   42+    driver-green entries, stalest-first (r2, r3, r4, r5) - the
          freshest signal defers to the back.
@@ -68,6 +70,10 @@ _DEBT_FIRST = [
     "multimodal_png_decode",            # 1.3s
     "multimodal_jpeg_decode",           # 1.3s; new r6 (baseline DCT codec)
     "multimodal_avi_frames",            # ~1.3s; new r6 (RIFF/AVI sampling)
+    "dsir_importance_weights",          # ~1s; new r6 (DSIR selection)
+    "skew_salted_join",                 # ~1s; new r6 (salted skew join)
+    "layout_compaction_plan",           # ~0.5s; new r6 (bin-pack planner)
+    "dedup_semantic_clusters",          # ~1.5s; new r6 (SemDeDup prune)
     "q8_market_share",                  # 1.3s
     "sim_topk_ann_ivfpq",               # 1.4s
     "ann_recall_at_k",                  # 1.5s
