@@ -242,3 +242,64 @@ def test_gram_matrix_shuffles_cells_not_rows(spark):
     df = embed_gram_matrix(spark, SF)
     assert shuffle_count(df) == 1
     assert read_schema_columns(df) == ["embedding"]
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark):
+    """DSIR importance scoring: the per-token bucket join must
+    broadcast the 256-row log-ratio table - the corpus never shuffles
+    for the join; the only hash exchanges are the two bucket-count
+    aggregates and the per-doc aggregate."""
+    from python_etl_rest_api_spark import registry
+    df = registry.QUERIES["dsir_importance_weights"](spark, SF)
+    assert uses_broadcast_join(df)
+    assert set(read_schema_columns(df)) <= {"doc_id", "source", "text"}
+
+
+def test_semdedup_pairs_shuffle_on_cluster_only(spark):
+    """SemDeDup's structural claim: no cartesian product anywhere (the
+    within-cluster self-join is an equi-join on cid), and the centroid
+    assignment is a zero-shuffle broadcast matmul (no join for it)."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    df = registry.QUERIES["dedup_semantic_clusters"](spark, SF)
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salted join must actually spread the pathological key: the
+    hot key's rows must land in every salt bucket, and the join must
+    be an equi-join on (key, salt) - never a broadcast of the fact."""
+    from pyspark.sql import functions as FF
+    from python_etl_rest_api_spark.operators.skew import salted_join
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    fact = o.select(
+        FF.when(FF.col("o_orderkey") % 100 != 0, FF.lit(1))
+        .otherwise(FF.col("o_custkey")).cast("long").alias("c_custkey"),
+        "o_totalprice")
+    dim = spark.read.parquet(f"{SF}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment")
+    salt_counts = (salted_join(fact, dim, "c_custkey", buckets=8)
+                   .groupBy().agg(FF.count(FF.lit(1))).collect())
+    # row fidelity is asserted value-level by the oracle; here assert
+    # the salt actually fans the hot key across buckets pre-join
+    salted = fact.withColumn(
+        "_salt", FF.pmod(FF.xxhash64(*[FF.col(c) for c in fact.columns]),
+                         FF.lit(8)))
+    n_buckets = (salted.filter(FF.col("c_custkey") == 1)
+                 .select("_salt").distinct().count())
+    assert n_buckets == 8, f"hot key only reached {n_buckets}/8 buckets"
+
+
+def test_compaction_plan_windows_stay_parallel(spark):
+    """The compaction planner is metadata-only and must keep its
+    running-sum window partitioned by day - no Exchange
+    SinglePartition under any Window."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.operators.twopass import (
+        single_partition_window_ops,
+    )
+    df = registry.QUERIES["layout_compaction_plan"](spark, SF)
+    assert not single_partition_window_ops(df)
+    assert set(read_schema_columns(df)) <= {"ts", "event_type", "props"}
