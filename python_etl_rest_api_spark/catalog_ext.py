@@ -1028,6 +1028,57 @@ def multimodal_jpeg_decode(spark, sf_dir):
     return decode_jpeg_features(synthesize_jpeg_media(spark, n=48))
 
 
+@query("multimodal_image_resize", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h FROM m),
+    opx AS (SELECT i, w // 2 AS ow, h // 2 AS oh, ox, oy
+            FROM dims, range(0, 6) tx(ox), range(0, 4) ty(oy)
+            WHERE ox < w // 2 AND oy < h // 2),
+    ch AS (SELECT i, ow, oh, ox, oy,
+             ((i*7 + (2*ox)*3 + (2*oy)*5) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy)*5) % 256
+              + (i*7 + (2*ox)*3 + (2*oy+1)*5) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy+1)*5) % 256) // 4 AS b,
+             ((i*7 + (2*ox)*3 + (2*oy)*5 + 11) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy)*5 + 11) % 256
+              + (i*7 + (2*ox)*3 + (2*oy+1)*5 + 11) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy+1)*5 + 11) % 256) // 4 AS g,
+             ((i*7 + (2*ox)*3 + (2*oy)*5 + 22) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy)*5 + 22) % 256
+              + (i*7 + (2*ox)*3 + (2*oy+1)*5 + 22) % 256
+              + (i*7 + (2*ox+1)*3 + (2*oy+1)*5 + 22) % 256) // 4 AS r
+           FROM opx)
+    SELECT i AS media_id,
+           CAST(ow AS INTEGER) AS width,
+           CAST(oh AS INTEGER) AS height,
+           CAST(ow * oh AS BIGINT) AS n_pixels,
+           CAST(SUM(b) AS BIGINT) AS sum_blue,
+           CAST(SUM(g) AS BIGINT) AS sum_green,
+           CAST(SUM(r) AS BIGINT) AS sum_red,
+           CAST(MAX(b + g + r) AS BIGINT) AS peak_rgb
+    FROM ch GROUP BY i, ow, oh
+""")
+def multimodal_image_resize(spark, sf_dir):
+    """The RESIZE leg of the multimodal north star (decode /
+    feature-extract / resize / frame-sample): genuine BMP payloads are
+    pixel-decoded, 2x2 box-downsampled with EXACT integer arithmetic
+    (per-channel floor((p00+p10+p01+p11)/4), odd edges dropped), then
+    RE-ENCODED as real BMP payloads - a payload-in/payload-out media
+    transform whose output any downstream decode accepts - and finally
+    run through the standard decode_bmp_features pass. Because the box
+    filter is integer-only, the resized image is bit-deterministic and
+    this oracle computes the resized channel sums in closed form from
+    the synthesis formula. Operators: operators/multimodal.py
+    (resize_bmp_half / _resize_half_box); composition proven by
+    decoding what resize re-encoded."""
+    from .operators.multimodal import (decode_bmp_features,
+                                       resize_bmp_half,
+                                       synthesize_bmp_media)
+    tune(spark)
+    return decode_bmp_features(
+        resize_bmp_half(synthesize_bmp_media(spark, n=48)))
+
+
 @query("multimodal_avi_frames", """
     WITH m AS (SELECT unnest(range(0, 48)) AS i),
     dims AS (SELECT i, 8 + 4 * (i % 3) AS w, 6 + i % 3 AS h,

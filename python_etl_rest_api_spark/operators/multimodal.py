@@ -1052,3 +1052,97 @@ def sample_avi_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, AVI_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# IMAGE RESIZE: exact 2x2 box downsample with re-encode round trip
+# ---------------------------------------------------------------------
+#
+# The north star's multimodal list is decode / feature-extract / RESIZE
+# / frame-sample; this is the resize leg, done with the same exactness
+# discipline as the codecs: a 2x2 box filter whose per-channel output
+# is floor((p00+p10+p01+p11)/4) - pure integer arithmetic, so the
+# resized image (not just its stats) is bit-deterministic and the
+# entry's oracle is a closed form. The operator genuinely re-encodes
+# the resized pixels as a new BMP payload, so downstream consumers see
+# a real, decodable image column - resize composes with decode.
+
+RESIZED_MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]), True),
+])
+
+
+def _decode_bmp_pixels(payload: bytes) -> tuple:
+    """Full pixel-grid decode of a 24-bpp BMP: returns (w, h, grid)
+    with grid[y][x] = (b, g, r) in TOP-DOWN row order regardless of the
+    file's bottom-up storage."""
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    grid = []
+    for y in range(height):
+        frow = (height - 1 - y) if h > 0 else y      # bottom-up unless h<0
+        base = off + frow * row_size
+        px = payload[base:base + w * 3]
+        grid.append([(px[3 * x], px[3 * x + 1], px[3 * x + 2])
+                     for x in range(w)])
+    return w, height, grid
+
+
+def _resize_half_box(w: int, h: int, grid) -> tuple:
+    """Exact 2x2 box downsample: output (x, y) = per-channel
+    floor-mean of the four source pixels; odd trailing row/column is
+    dropped (floor output dims). Integer-only - no float resampling."""
+    ow, oh = w // 2, h // 2
+    out = []
+    for oy in range(oh):
+        row = []
+        for ox in range(ow):
+            p00 = grid[2 * oy][2 * ox]
+            p10 = grid[2 * oy][2 * ox + 1]
+            p01 = grid[2 * oy + 1][2 * ox]
+            p11 = grid[2 * oy + 1][2 * ox + 1]
+            row.append(tuple((p00[c] + p10[c] + p01[c] + p11[c]) // 4
+                             for c in range(3)))
+        out.append(row)
+    return ow, oh, out
+
+
+def resize_bmp_half(media: DataFrame) -> DataFrame:
+    """Arrow-batched image resize: decode BMP pixels, 2x2 box
+    downsample, RE-ENCODE as a genuine BMP payload - the output is a
+    real media table (same envelope schema) that any downstream decode
+    accepts, proving resize composes in a pipeline rather than only
+    emitting stats. At 100 TB this is the canonical payload-in/
+    payload-out shape: pixels exist only inside the executor batch."""
+    cols = [f.name for f in RESIZED_MEDIA_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, kind, mime, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["mime"],
+                    pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, kind, mime, None, None))
+                    continue
+                w, h, grid = _decode_bmp_pixels(bytes(payload))
+                ow, oh, out = _resize_half_box(w, h, grid)
+                enc = _encode_bmp(ow, oh, lambda x, y: out[y][x])
+                recs.append((mid, kind, mime, enc, (ow, oh, None)))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, RESIZED_MEDIA_SCHEMA)

@@ -296,3 +296,43 @@ def test_avi_stride_one_and_frame_count_guard():
     out = decode_avi_frames(data, stride=1)
     assert [t[0] for t in out] == [0, 1, 2, 3]
     assert all(t[3] == 4 for t in out)
+
+
+def test_resize_reencode_roundtrip(spark):
+    """Resize must produce REAL decodable BMP payloads whose pixels are
+    the exact integer 2x2 box means of the source, proven by decoding
+    what resize re-encoded and checking the closed form."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        decode_bmp_features,
+        resize_bmp_half,
+        synthesize_bmp_media,
+    )
+
+    media = synthesize_bmp_media(spark, n=8)
+    resized = resize_bmp_half(media).cache()
+    # output payloads are genuine BMPs with the halved geometry
+    r5 = resized.filter("media_id = 5").collect()[0]
+    assert bytes(r5["payload"])[:2] == b"BM"
+    assert (r5["meta"]["width"], r5["meta"]["height"]) == (
+        (8 + 5 % 5) // 2, (6 + 5 % 3) // 2)
+    rows = {r["media_id"]: r
+            for r in decode_bmp_features(resized).collect()}
+    for i, r in rows.items():
+        w, h = 8 + i % 5, 6 + i % 3
+        ow, oh = w // 2, h // 2
+
+        def px(x, y, c):
+            return (i * 7 + x * 3 + y * 5 + c) % 256
+
+        def opx(ox, oy, c):
+            return (px(2*ox, 2*oy, c) + px(2*ox+1, 2*oy, c)
+                    + px(2*ox, 2*oy+1, c) + px(2*ox+1, 2*oy+1, c)) // 4
+
+        assert (r["width"], r["height"]) == (ow, oh)
+        assert r["sum_blue"] == sum(opx(x, y, 0)
+                                    for x in range(ow) for y in range(oh))
+        assert r["sum_green"] == sum(opx(x, y, 11)
+                                     for x in range(ow) for y in range(oh))
+        assert r["sum_red"] == sum(opx(x, y, 22)
+                                   for x in range(ow) for y in range(oh))
+    resized.unpersist()
