@@ -1079,6 +1079,47 @@ def multimodal_image_resize(spark, sf_dir):
         resize_bmp_half(synthesize_bmp_media(spark, n=48)))
 
 
+@query("multimodal_wav_energy", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i, j, ((i*31 + j*7) % 256 - 128) * 256 AS v
+          FROM m, range(0, 112) t(j) WHERE j < 64 + i),
+    zc AS (SELECT a.i,
+                  CAST(SUM(CASE WHEN a.v * b.v < 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS z
+           FROM s a JOIN s b ON a.i = b.i AND b.j = a.j - 1
+           GROUP BY a.i),
+    fe AS (SELECT i, j // 16 AS f, CAST(SUM(v * v) AS BIGINT) AS e
+           FROM s GROUP BY i, j // 16),
+    pk AS (SELECT i, f, e,
+                  row_number() OVER (PARTITION BY i ORDER BY e DESC, f)
+                    AS rn
+           FROM fe),
+    tot AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(SUM(e) AS BIGINT) AS total_energy
+            FROM fe GROUP BY i)
+    SELECT t.i AS media_id, t.n_frames, zc.z AS zero_crossings,
+           t.total_energy,
+           CAST(p.f AS BIGINT) AS peak_frame_idx,
+           p.e AS peak_frame_energy
+    FROM tot t JOIN zc ON zc.i = t.i
+               JOIN pk p ON p.i = t.i AND p.rn = 1
+""")
+def multimodal_wav_energy(spark, sf_dir):
+    """Audio feature extraction beyond amplitude stats: zero-crossing
+    rate and short-time frame energy over REAL RIFF/WAVE payloads -
+    the PCM16 stream is decoded from bytes and reduced with exact
+    integer arithmetic (strict sign-flip count; per-16-sample-frame
+    sum of squares; peak frame = argmax with first-wins ties), so the
+    classic voiced/unvoiced + loudness-localization features carry a
+    closed-form oracle over the synthesis formula with zero float DSP.
+    Operator: operators/multimodal.py::wav_energy_features (Arrow
+    batches; samples never leave the executor)."""
+    from .operators.multimodal import (synthesize_wav_media,
+                                       wav_energy_features)
+    tune(spark)
+    return wav_energy_features(synthesize_wav_media(spark, n=48))
+
+
 @query("multimodal_avi_frames", """
     WITH m AS (SELECT unnest(range(0, 48)) AS i),
     dims AS (SELECT i, 8 + 4 * (i % 3) AS w, 6 + i % 3 AS h,

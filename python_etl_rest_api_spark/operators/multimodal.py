@@ -1146,3 +1146,58 @@ def resize_bmp_half(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, RESIZED_MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# AUDIO FEATURES: zero-crossing rate + short-time frame energy (exact)
+# ---------------------------------------------------------------------
+
+WAV_FRAME = 16          # short-time analysis frame, samples
+
+WAV_ENERGY_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+    T.StructField("total_energy", T.LongType(), True),
+    T.StructField("peak_frame_idx", T.LongType(), True),
+    T.StructField("peak_frame_energy", T.LongType(), True),
+])
+
+
+def wav_energy_features(media: DataFrame) -> DataFrame:
+    """The audio feature-extract leg beyond amplitude stats: decode the
+    PCM16 stream and compute the two classic short-time features with
+    EXACT integer arithmetic - zero-crossing rate (count of strict sign
+    flips s[j-1]*s[j] < 0, the cheap voiced/unvoiced + noisiness
+    proxy) and per-frame energy (sum of s^2 over WAV_FRAME-sample
+    frames; peak frame locates the loudest 2 ms). s^2 <= 2^30 and
+    clips are bounded, so int64 never overflows and every value has a
+    closed-form SQL oracle - no float DSP, no libm divergence.
+    Same Arrow-batched shape as every codec pass: pixels/samples stay
+    inside the executor batch, only (id, counters) leave."""
+    cols = [f.name for f in WAV_ENERGY_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                frames = np.arange(len(s)) // WAV_FRAME
+                n_frames = int(frames[-1]) + 1 if len(s) else 0
+                energy = s * s
+                fe = np.bincount(frames, weights=energy).astype(np.int64)
+                peak_idx = int(np.argmax(fe)) if n_frames else None
+                recs.append((mid, n_frames, zc, int(energy.sum()),
+                             peak_idx,
+                             int(fe[peak_idx]) if n_frames else None))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, WAV_ENERGY_SCHEMA)

@@ -26,12 +26,11 @@ cheapest-first"):
          of the debt block: they now share ONE full-family index build
          per corpus (catalog_ann._shared_index), so the first pays the
          build (~15s warm) and the rest verify at serve cost (~2s) -
-         48 entries (41 debt + the r6 additions: multimodal_jpeg_decode,
-         multimodal_avi_frames, multimodal_image_resize,
-         dsir_importance_weights, skew_salted_join,
-         layout_compaction_plan, dedup_semantic_clusters) <= the ~50
-         budget, so the whole debt clears in one window with room for
-         green refreshes behind;
+         49 entries (41 debt + 8 r6 additions: jpeg/avi/resize/
+         wav-energy multimodal, dsir_importance_weights,
+         skew_salted_join, layout_compaction_plan,
+         dedup_semantic_clusters) <= the ~50 budget, so the whole debt
+         clears in one window with room for green refreshes behind;
   42+    driver-green entries, stalest-first (r2, r3, r4, r5) - the
          freshest signal defers to the back.
 """
@@ -76,6 +75,7 @@ _DEBT_FIRST = [
     "layout_compaction_plan",           # ~0.5s; new r6 (bin-pack planner)
     "dedup_semantic_clusters",          # ~1.5s; new r6 (SemDeDup prune)
     "multimodal_image_resize",          # ~1.5s; new r6 (box resize+reencode)
+    "multimodal_wav_energy",            # ~1s; new r6 (ZCR + frame energy)
     "q8_market_share",                  # 1.3s
     "sim_topk_ann_ivfpq",               # 1.4s
     "ann_recall_at_k",                  # 1.5s

@@ -336,3 +336,31 @@ def test_resize_reencode_roundtrip(spark):
         assert r["sum_red"] == sum(opx(x, y, 22)
                                    for x in range(ow) for y in range(oh))
     resized.unpersist()
+
+
+def test_wav_energy_features_exact(spark):
+    """ZCR + short-time energy from decoded PCM16 bytes must match the
+    closed form of the synthesis formula exactly (integer DSP)."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_energy_features,
+    )
+
+    rows = {r["media_id"]: r
+            for r in wav_energy_features(
+                synthesize_wav_media(spark, n=8)).collect()}
+    assert len(rows) == 8
+    for i, r in rows.items():
+        nf = 64 + i
+        s = [(((i * 31 + j * 7) % 256) - 128) * 256 for j in range(nf)]
+        zc = sum(1 for j in range(1, nf) if s[j - 1] * s[j] < 0)
+        fe = {}
+        for j, v in enumerate(s):
+            fe[j // 16] = fe.get(j // 16, 0) + v * v
+        peak_idx = min((f for f in fe
+                        if fe[f] == max(fe.values())))
+        assert r["n_frames"] == (nf - 1) // 16 + 1
+        assert r["zero_crossings"] == zc
+        assert r["total_energy"] == sum(v * v for v in s)
+        assert (r["peak_frame_idx"], r["peak_frame_energy"]) == (
+            peak_idx, fe[peak_idx])
