@@ -538,7 +538,8 @@ def dedup_semantic_clusters(spark, sf_dir):
     exactly; sqrt is IEEE correctly-rounded, and no float is published."""
     from .operators.similarity import ivf_assignments, seq_cosine_udf
     import numpy as np
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
     seeds = emb.orderBy("vec_id").limit(16).select("embedding").collect()
     cent = np.array([r[0] for r in seeds], dtype=np.float64)
     inv = (ivf_assignments(emb, cent, nprobe=1)

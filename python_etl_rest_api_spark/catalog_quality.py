@@ -258,8 +258,10 @@ def embed_gram_matrix(spark, sf_dir):
                 "i": iu.astype("int32"), "j": ju.astype("int32"),
                 "partial": G[iu, ju]})
 
-    parts = e.select("embedding").mapInPandas(
-        gram, "i int, j int, partial double")
+    # null-vector rows carry no geometry: excluded (null-sweep proof)
+    parts = (e.filter(F.col("embedding").isNotNull())
+             .select("embedding").mapInPandas(
+                 gram, "i int, j int, partial double"))
     return (parts.groupBy("i", "j")
             .agg(F.round(F.sum("partial"), 6).alias("g")))
 
@@ -570,7 +572,7 @@ def embed_top_pc(spark, sf_dir):
                 "j": jj.ravel().astype("int32"),
                 "partial": G.ravel()})
 
-    cells = (e.select("embedding")
+    cells = (e.filter(F.col("embedding").isNotNull()).select("embedding")
              .mapInPandas(gram_full, "i int, j int, partial double")
              .groupBy("i", "j").agg(F.sum("partial").alias("g"))
              .collect())

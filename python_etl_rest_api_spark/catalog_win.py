@@ -262,8 +262,14 @@ def agg_approx_distinct(spark, sf_dir):
     0.02) lands within 5% of the exact count. The oracle asserts
     approx_ok = 1 for every group - a real accuracy bound on the sketch,
     hash-checked by the driver, alongside the exact counts."""
-    ok = (F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
-          / F.col("exact_users") <= F.lit(0.05))
+    # all-null user_id groups have exact_users = 0: the accuracy ratio
+    # is undefined (ANSI divide-by-zero), and the right verdict is
+    # "ok iff the sketch also saw nothing" (null-sweep hardening).
+    ok = F.when(
+        F.col("exact_users") > 0,
+        F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+        / F.col("exact_users") <= F.lit(0.05),
+    ).otherwise(F.col("approx_users") == 0)
     return (_events(spark, sf_dir)
             .groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),

@@ -40,6 +40,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector is NULL before any numpy/fold consumer:
+    partial upstream records must degrade to exclusion from the vector
+    index, not kill the job (null-sweep hardening; np.stack over a
+    batch containing None raises). Null-vector rows carry no geometry,
+    so every consumer's semantics is unchanged on clean data."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "qid") -> DataFrame:
@@ -49,6 +58,8 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     never shuffles. Ranking window partitions by qid (k small -> window
     state tiny); ties broken by neighbor id for determinism.
     """
+    corpus = valid_vectors(corpus, vec_col)
+    queries = valid_vectors(queries, "qv")
     pairs = (corpus.join(F.broadcast(queries),
                          F.col(qid_col) != F.col(id_col))
              .select(qid_col, id_col,
@@ -96,6 +107,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     through the Arrow-batched sequential fold (seq_cosine_udf) — exact
     same values as the expression fold, far cheaper on O(n^2) pairs."""
     base = df if max_id is None else df.filter(F.col(id_col) < max_id)
+    base = valid_vectors(base, vec_col)
     sim = seq_cosine_udf()
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -146,6 +158,8 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
 
     @pandas_udf("array<long>")
     def bucket_keys(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
         mat = np.stack(embs.to_numpy()).astype(np.float64)  # (n, dim)
         proj = np.zeros((mat.shape[0], planes.shape[1]))
         for d in range(planes.shape[0]):      # sequential over dims
@@ -159,6 +173,7 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
         ]
         return pd.Series(out)
 
+    df = valid_vectors(df, vec_col)
     return (df.select(id_col, vec_col,
                       F.posexplode(bucket_keys(F.col(vec_col)))
                       .alias("table_id", "bucket_key")))
@@ -192,6 +207,8 @@ def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
 
     @pandas_udf("array<long>")
     def nearest(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
         mat = np.stack(embs.to_numpy()).astype(np.float64)       # (n, dim)
         v_norm = np.sqrt(_seq_dot(mat, mat))                     # (n,)
         dots = _seq_dot(mat[:, None, :], cm[None, :, :])         # (n, k)
@@ -199,6 +216,7 @@ def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([[int(c) for c in row] for row in top])
 
+    df = valid_vectors(df, vec_col)
     return df.select(id_col, vec_col,
                      F.explode(nearest(F.col(vec_col))).alias("centroid_id"))
 
@@ -211,8 +229,8 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, dim: int,
     iterations — each is one distributed assign (matmul UDF) + one groupBy
     mean per (centroid, position) — the k-means training loop expressed as
     Spark aggregates, driver holding only the (k, dim) codebook."""
-    seeds = (corpus.orderBy(id_col).limit(n_centroids)
-             .select(vec_col).collect())
+    seeds = (valid_vectors(corpus, vec_col).orderBy(id_col)
+             .limit(n_centroids).select(vec_col).collect())
     cent = np.array([r[0] for r in seeds], dtype=np.float64)
     for _ in range(refine_steps):
         assigned = ivf_assignments(corpus, cent, nprobe=1, id_col=id_col,
@@ -368,8 +386,8 @@ def pq_codebooks(corpus: DataFrame, n_codewords: int = 16, m_sub: int = 4,
     order-dependent float means, so the SQL oracle reproduces the
     codebooks exactly). Returns (m_sub, n_codewords, dim/m_sub).
     Driver holds only the codebook (k x dim floats), never the corpus."""
-    seeds = (corpus.orderBy(id_col).limit(n_codewords)
-             .select(vec_col).collect())
+    seeds = (valid_vectors(corpus, vec_col).orderBy(id_col)
+             .limit(n_codewords).select(vec_col).collect())
     cb = np.array([r[0] for r in seeds], dtype=np.float64)   # (K, dim)
     s = dim // m_sub
     if cb.shape[0] == 0:                    # empty corpus: empty codebook
@@ -394,6 +412,8 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
 
     @pandas_udf("array<int>")
     def encode(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype="object")
         mat = np.stack(embs.to_numpy()).astype(np.float64)   # (n, dim)
         n = mat.shape[0]
         codes = np.zeros((n, m_sub), dtype=np.int64)
@@ -406,6 +426,7 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
             codes[:, m] = np.argmin(acc, axis=1)  # first occurrence
         return pd.Series([[int(c) for c in row] for row in codes])
 
+    corpus = valid_vectors(corpus, vec_col)
     return corpus.select(id_col, vec_col, encode(F.col(vec_col))
                          .alias("codes"))
 
@@ -492,6 +513,7 @@ def ivfpq_adc_topk(inv: DataFrame, codes: DataFrame, cb: np.ndarray,
     from pyspark.sql.functions import pandas_udf
 
     s = dim // m_sub
+    queries = valid_vectors(queries, 'qv')
     qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
     if len(qrows) > max_query_batch:
         raise ValueError(
@@ -569,6 +591,7 @@ def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
     # closure-broadcast into the scoring UDF - bounded by design for
     # query BATCHES, so an unbounded query frame must fail loudly here
     # rather than OOM the driver. Large query sets: chunk the callers.
+    queries = valid_vectors(queries, 'qv')
     qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
     if len(qrows) > max_query_batch:
         raise ValueError(
@@ -593,6 +616,8 @@ def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
 
     @pandas_udf("array<double>")
     def adc(codes_col: pd.Series) -> pd.Series:
+        if len(codes_col) == 0:
+            return pd.Series([], dtype="object")
         cmat = np.stack(codes_col.to_numpy()).astype(np.int64)  # (n, m)
         acc = np.zeros((cmat.shape[0], tables.shape[0]))        # (n, Q)
         for m in range(m_sub):                  # sequential over subspaces
