@@ -539,7 +539,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     from .operators.similarity import ivf_assignments, seq_cosine_udf
     import numpy as np
     emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull())
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64))
     seeds = emb.orderBy("vec_id").limit(16).select("embedding").collect()
     cent = np.array([r[0] for r in seeds], dtype=np.float64)
     inv = (ivf_assignments(emb, cent, nprobe=1)

@@ -259,7 +259,7 @@ def embed_gram_matrix(spark, sf_dir):
                 "partial": G[iu, ju]})
 
     # null-vector rows carry no geometry: excluded (null-sweep proof)
-    parts = (e.filter(F.col("embedding").isNotNull())
+    parts = (e.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
              .select("embedding").mapInPandas(
                  gram, "i int, j int, partial double"))
     return (parts.groupBy("i", "j")
@@ -344,7 +344,10 @@ def events_value_winsorized(spark, sf_dir):
                        .otherwise(0)).alias("n_low"),
                  F.sum(F.when(F.col("value") > F.col("p95"), 1)
                        .otherwise(0)).alias("n_high"),
-                 F.sum(F.floor(F.lit(1000000.0) * F.col("w")))
+                 F.sum(F.floor(F.when(
+                     (F.lit(1000000.0) * F.col("w"))
+                     .between(-9.0e18, 9.0e18),
+                     F.lit(1000000.0) * F.col("w"))))
                  .alias("winsor_sum_micros")))
 
 
@@ -572,7 +575,7 @@ def embed_top_pc(spark, sf_dir):
                 "j": jj.ravel().astype("int32"),
                 "partial": G.ravel()})
 
-    cells = (e.filter(F.col("embedding").isNotNull()).select("embedding")
+    cells = (e.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64)).select("embedding")
              .mapInPandas(gram_full, "i int, j int, partial double")
              .groupBy("i", "j").agg(F.sum("partial").alias("g"))
              .collect())

@@ -479,7 +479,7 @@ def events_linear_trend(spark, sf_dir):
     any moment-based grouped statistic."""
     e = _events(spark, sf_dir)
     x = F.hour("ts").cast("long")
-    y = F.col("value").cast("decimal(18,6)")
+    y = F.col("value").try_cast("decimal(18,6)")   # corrupt magnitudes -> NULL
     s = (e.select(F.col("event_type"), x.alias("x"), y.alias("y"))
          .groupBy("event_type")
          .agg(F.count(F.lit(1)).alias("n"),

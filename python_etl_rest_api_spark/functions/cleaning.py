@@ -106,4 +106,8 @@ def money(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
     only at the output boundary.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({precision},{scale})")
+    # try_cast: a corrupt magnitude (1e308, inf, NaN) becomes NULL and
+    # drops out of the exact aggregate instead of throwing an ANSI
+    # overflow mid-job (fuzz-sweep hardening). In-range values cast
+    # identically, so clean-data results and plans are unchanged.
+    return c.try_cast(f"decimal({precision},{scale})")

@@ -37,16 +37,27 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # zero-norm guard: an all-zero (or empty) vector has no direction;
+    # similarity is undefined -> NULL, never an ANSI divide-by-zero
+    # (fuzz-sweep hardening; unreachable on non-degenerate corpora).
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
-def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Drop rows whose vector is NULL before any numpy/fold consumer:
-    partial upstream records must degrade to exclusion from the vector
-    index, not kill the job (null-sweep hardening; np.stack over a
-    batch containing None raises). Null-vector rows carry no geometry,
-    so every consumer's semantics is unchanged on clean data."""
-    return df.filter(F.col(vec_col).isNotNull())
+def valid_vectors(df: DataFrame, vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """Drop rows whose vector is NULL or empty - and, when ``dim`` is
+    given, whose length differs from the index geometry - before any
+    numpy/fold consumer: partial or corrupt upstream records must
+    degrade to exclusion from the vector index, not kill the job
+    (null/fuzz-sweep hardening; np.stack over a batch containing None
+    or ragged lengths raises). Degenerate rows carry no usable
+    geometry, so every consumer's semantics is unchanged on clean
+    data."""
+    cond = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    if dim is not None:
+        cond = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    return df.filter(cond)
 
 
 def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -89,10 +100,30 @@ def seq_cosine_udf():
     def seq_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
+        lens = {len(v) for v in va} | {len(v) for v in vb}
+        if len(lens) != 1 or lens == {0}:
+            # ragged batch (corrupt upstream vectors): score each pair
+            # only when lengths agree and are nonzero; NaN otherwise -
+            # NaN fails every >= threshold comparison, so corrupt rows
+            # self-exclude (fuzz-sweep hardening, never hit on clean
+            # corpora where the fast homogeneous path below runs).
+            out = []
+            for x, y in zip(va, vb):
+                if len(x) == len(y) and len(x) > 0:
+                    xa = np.asarray(x, dtype=np.float64)[None, :]
+                    ya = np.asarray(y, dtype=np.float64)[None, :]
+                    denom = float(np.sqrt(_fold_dot(xa, xa))
+                                  * np.sqrt(_fold_dot(ya, ya)))
+                    out.append(float(_fold_dot(xa, ya)[0]) / denom
+                               if denom > 0 else float("nan"))
+                else:
+                    out.append(float("nan"))
+            return pd.Series(out, dtype="float64")
         a = np.stack(va.to_numpy()).astype(np.float64)
         b = np.stack(vb.to_numpy()).astype(np.float64)
-        sims = _fold_dot(a, b) / (np.sqrt(_fold_dot(a, a))
-                                  * np.sqrt(_fold_dot(b, b)))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = _fold_dot(a, b) / (np.sqrt(_fold_dot(a, a))
+                                      * np.sqrt(_fold_dot(b, b)))
         return pd.Series(sims)
 
     return seq_cosine
@@ -173,7 +204,7 @@ def srp_buckets(df: DataFrame, dim: int, bits: int = 16, tables: int = 1,
         ]
         return pd.Series(out)
 
-    df = valid_vectors(df, vec_col)
+    df = valid_vectors(df, vec_col, dim)
     return (df.select(id_col, vec_col,
                       F.posexplode(bucket_keys(F.col(vec_col)))
                       .alias("table_id", "bucket_key")))
@@ -216,7 +247,7 @@ def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([[int(c) for c in row] for row in top])
 
-    df = valid_vectors(df, vec_col)
+    df = valid_vectors(df, vec_col, int(cm.shape[1]) if cm.size else None)
     return df.select(id_col, vec_col,
                      F.explode(nearest(F.col(vec_col))).alias("centroid_id"))
 
@@ -229,7 +260,7 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, dim: int,
     iterations — each is one distributed assign (matmul UDF) + one groupBy
     mean per (centroid, position) — the k-means training loop expressed as
     Spark aggregates, driver holding only the (k, dim) codebook."""
-    seeds = (valid_vectors(corpus, vec_col).orderBy(id_col)
+    seeds = (valid_vectors(corpus, vec_col, dim).orderBy(id_col)
              .limit(n_centroids).select(vec_col).collect())
     cent = np.array([r[0] for r in seeds], dtype=np.float64)
     for _ in range(refine_steps):
@@ -386,7 +417,7 @@ def pq_codebooks(corpus: DataFrame, n_codewords: int = 16, m_sub: int = 4,
     order-dependent float means, so the SQL oracle reproduces the
     codebooks exactly). Returns (m_sub, n_codewords, dim/m_sub).
     Driver holds only the codebook (k x dim floats), never the corpus."""
-    seeds = (valid_vectors(corpus, vec_col).orderBy(id_col)
+    seeds = (valid_vectors(corpus, vec_col, dim).orderBy(id_col)
              .limit(n_codewords).select(vec_col).collect())
     cb = np.array([r[0] for r in seeds], dtype=np.float64)   # (K, dim)
     s = dim // m_sub
@@ -426,7 +457,7 @@ def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
             codes[:, m] = np.argmin(acc, axis=1)  # first occurrence
         return pd.Series([[int(c) for c in row] for row in codes])
 
-    corpus = valid_vectors(corpus, vec_col)
+    corpus = valid_vectors(corpus, vec_col, int(m_sub * s))
     return corpus.select(id_col, vec_col, encode(F.col(vec_col))
                          .alias("codes"))
 
@@ -513,7 +544,7 @@ def ivfpq_adc_topk(inv: DataFrame, codes: DataFrame, cb: np.ndarray,
     from pyspark.sql.functions import pandas_udf
 
     s = dim // m_sub
-    queries = valid_vectors(queries, 'qv')
+    queries = valid_vectors(queries, 'qv', dim)
     qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
     if len(qrows) > max_query_batch:
         raise ValueError(
@@ -591,7 +622,7 @@ def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
     # closure-broadcast into the scoring UDF - bounded by design for
     # query BATCHES, so an unbounded query frame must fail loudly here
     # rather than OOM the driver. Large query sets: chunk the callers.
-    queries = valid_vectors(queries, 'qv')
+    queries = valid_vectors(queries, 'qv', dim)
     qrows = queries.limit(max_query_batch + 1).orderBy(qid_col).collect()
     if len(qrows) > max_query_batch:
         raise ValueError(

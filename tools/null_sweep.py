@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+DEFAULT_SRC = "/root/testdata/sf0.001"
 
 # Primary keys / join identity columns stay intact: nulling them tests
 # referential chaos, not partial records (and several entries define
@@ -30,12 +30,12 @@ KEEP = {"r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
         "event_id", "doc_id", "vec_id"}
 
 
-def build_null_fixture(spark) -> str:
+def build_null_fixture(spark, src: str = DEFAULT_SRC) -> str:
     from pyspark.sql import functions as F
     dst = tempfile.mkdtemp(prefix="sf_nulls_")
     stage = tempfile.mkdtemp(prefix="sf_nulls_stage_")
     for t in TABLES:
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        df = spark.read.parquet(f"{src}/{t}.parquet")
         key = [f.name for f in df.schema.fields if f.name in KEEP]
         anchor = F.col(key[0]) if key else F.monotonically_increasing_id()
         mask = F.pmod(F.xxhash64(anchor.cast("string"), F.lit(t)),
@@ -56,7 +56,8 @@ def main() -> None:
     from python_etl_rest_api_spark.session import get_spark
 
     spark = get_spark("null-sweep")
-    dst = build_null_fixture(spark)
+    src = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SRC
+    dst = build_null_fixture(spark, src)
     bad = []
     for name, fn in QUERIES.items():
         try:
