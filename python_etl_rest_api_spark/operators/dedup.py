@@ -480,3 +480,68 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                      .otherwise(F.lit(0.0)).alias("containment_b_in_a")))
     return pairs.filter((F.col("containment_a_in_b") >= threshold)
                         | (F.col("containment_b_in_a") >= threshold))
+
+
+def build_band_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     num_hashes: int = 8, bands: int = 4) -> None:
+    """Persist the corpus's MinHash BAND TABLE (id, band_id, band_key)
+    as parquet: the incremental-ingest dedup index. Amortizes the
+    corpus-side sketch cost once; each arriving batch then probes it
+    with an equi-join instead of re-sketching the corpus. band_key is
+    md5-derived (portable), so the on-disk index is engine-neutral and
+    an oracle can recompute it from the raw corpus."""
+    (minhash_bands(df, id_col, text_col, n, num_hashes, bands)
+     .write.mode("overwrite").parquet(path))
+
+
+def probe_band_index(spark, path: str, batch: DataFrame,
+                     corpus: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     num_hashes: int = 8, bands: int = 4,
+                     threshold: float = 0.5) -> DataFrame:
+    """Incremental near-dup check: which NEW docs duplicate the indexed
+    corpus? Sketches ONLY the batch, equi-joins its bands against the
+    persisted index for candidates, then verifies with exact Jaccard -
+    fetching (and shingling) only the corpus docs that actually
+    collided, via a semi-join, so corpus work is proportional to the
+    candidate set, not the corpus. Returns
+    (new_id, corpus_id, jaccard >= threshold).
+
+    This is the ingest-time shape of dedup at 100 TB: the corpus index
+    is built once (build_band_index) and every new shard is a
+    batch-sized sketch plus a band-key equi-join - the corpus text is
+    never rescanned except for the matched handful of docs."""
+    idx = (spark.read.parquet(path)
+           .select(F.col(id_col).alias("corpus_id"),
+                   "band_id", "band_key"))
+    bsh = _cache(shingled_docs(batch, id_col, text_col, n))
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(bsh.select(F.col(id_col),
+                                        F.col("shingles")),
+                             id_col, num_hashes)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)])
+            .alias("band_key"))
+        for b in range(bands)
+    ])
+    bbands = (sig.select(id_col, F.explode(band_structs).alias("band"))
+              .select(F.col(id_col).alias("new_id"),
+                      "band.band_id", "band.band_key"))
+    cand = (bbands.join(idx, ["band_id", "band_key"])
+            .select("new_id", "corpus_id").distinct())
+    matched = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col, "semi")
+    csh = (shingled_docs(matched, id_col, text_col, n)
+           .select(F.col(id_col).alias("corpus_id"),
+                   F.col("shingles").alias("sh_c")))
+    bsh2 = bsh.select(F.col(id_col).alias("new_id"),
+                      F.col("shingles").alias("sh_n"))
+    return (cand.join(bsh2, "new_id").join(csh, "corpus_id")
+            .select("new_id", "corpus_id",
+                    jaccard(F.col("sh_n"), F.col("sh_c")).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

@@ -37,8 +37,8 @@ cheapest-first"):
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_ann, catalog_etl, catalog_ext,
-    catalog_llm, catalog_pipe, catalog_quality, catalog_scale,
-    catalog_tpch, catalog_warehouse, catalog_win,
+    catalog_iter, catalog_llm, catalog_pipe, catalog_quality,
+    catalog_scale, catalog_tpch, catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -97,6 +97,16 @@ _DEBT_FIRST = [
     "sim_ann_index_ivf_serve",
     "sim_ann_index_pq_serve",
     "sim_ann_index_ivfpq_serve",
+    # -- new in r7 (never driver-verified; behind the r6 debt block so
+    #    that debt clears first, cheapest-first among themselves) --
+    "schema_drift_union",               # ~0.3s
+    "events_ewma_daily",                # ~0.8s
+    "stats_welch_ttest",                # ~0.8s
+    "join_interval_overlap",            # ~1s
+    "multimodal_video_motion",          # ~1.3s
+    "dedup_incremental_index",          # ~1.5s
+    "embed_kmeans_train",               # ~3s (3 Lloyd rounds)
+    "graph_pagerank_copurchase",        # ~4s (5 PageRank rounds)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --
