@@ -23,6 +23,17 @@ from .catalog import _events, _t, query
 from .operators import cluster, dedup, graph
 from .operators.similarity import valid_vectors
 
+
+def _umicros(c):
+    """Exact FLOOR-micro conversion with a hostile-value guard: NaN,
+    +/-inf and magnitudes >= 1e12 become NULL (excluded from sums)
+    instead of saturating to Long.MAX and overflowing ANSI-mode SUM.
+    The oracle mirrors the same CASE guard; on clean data it is a
+    no-op."""
+    d = c.cast("double")
+    return F.when(~F.isnan(d) & (F.abs(d) < F.lit(1e12)),
+                  F.floor(F.lit(1000000.0) * d).cast("long"))
+
 # ---------------------------------------------------------------------
 # PageRank over the part co-purchase graph (iterative, integer-exact)
 # ---------------------------------------------------------------------
@@ -124,7 +135,7 @@ def _kmeans_update(n: str, prev: str) -> str:
       WHERE embedding IS NOT NULL AND len(embedding) = 64
         AND len(list_filter(embedding,
               x -> isnan(CAST(x AS DOUBLE))
-                   OR abs(CAST(x AS DOUBLE)) > 1e9)) = 0),
+                   OR abs(CAST(x AS DOUBLE)) > 1e2)) = 0),
     seeds AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
              qvec AS cvec
@@ -155,7 +166,7 @@ def embed_kmeans_train(spark, sf_dir):
     emb = emb.filter(~F.exists(
         "embedding",
         lambda x: F.isnan(x.cast("double"))
-        | (F.abs(x.cast("double")) > F.lit(1e9))))
+        | (F.abs(x.cast("double")) > F.lit(1e2))))
     q = cluster.quantize_int(emb, "embedding")
     out = cluster.kmeans_int(q, k=8, iters=3, id_col="vec_id")
     return out.select(F.col("id").alias("vec_id"),
@@ -258,7 +269,8 @@ def dedup_incremental_index(spark, sf_dir):
 @query("events_ewma_daily", """
     WITH d AS MATERIALIZED (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             COALESCE(SUM(CAST(FLOOR(1000000 * value) AS BIGINT)), 0)
+             COALESCE(SUM(CASE WHEN NOT isnan(value) AND abs(value) < 1e12
+                  THEN CAST(FLOOR(1000000 * value) AS BIGINT) END), 0)
                AS sm
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     s AS MATERIALIZED (
@@ -287,8 +299,8 @@ def events_ewma_daily(spark, sf_dir):
     ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     d = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
          .agg(F.coalesce(
-             F.sum(F.floor(F.lit(1000000.0) * F.col("value"))
-                   .cast("long")), F.lit(0).cast("long")).alias("sm")))
+             F.sum(_umicros(F.col("value"))),
+             F.lit(0).cast("long")).alias("sm")))
     s = (d.groupBy("event_type")
          .agg(F.array_sort(F.collect_list(F.struct("day", "sm")))
               .alias("arr")))
@@ -407,13 +419,14 @@ def schema_drift_union(spark, sf_dir):
 # Welch's t-test between event populations (exact moments)
 # ---------------------------------------------------------------------
 
-_WELCH_M = "CAST(FLOOR(1000000 * value) AS BIGINT)"
+_WELCH_M = ("CASE WHEN NOT isnan(value) AND abs(value) < 1e12 "
+            "THEN CAST(FLOOR(1000000 * value) AS BIGINT) END")
 
 
 @query("stats_welch_ttest", f"""
     WITH g AS MATERIALIZED (
       SELECT event_type,
-             COUNT(value) AS n,
+             COUNT({_WELCH_M}) AS n,
              COALESCE(SUM({_WELCH_M}), 0) AS s,
              COALESCE(SUM(CAST({_WELCH_M} AS DECIMAL(38,0))
                           * CAST({_WELCH_M} AS DECIMAL(38,0))), 0) AS ss
@@ -463,10 +476,10 @@ def stats_welch_ttest(spark, sf_dir):
     inference-stats shape at 100 TB."""
     ev = _events(spark, sf_dir).filter(
         F.col("event_type").isin("click", "view"))
-    m = F.floor(F.lit(1000000.0) * F.col("value")).cast("long")
+    m = _umicros(F.col("value"))
     md = m.cast("decimal(38,0)")
     g = (ev.groupBy("event_type")
-         .agg(F.count("value").alias("n"),
+         .agg(F.count(m).alias("n"),
               F.coalesce(F.sum(m), F.lit(0).cast("long")).alias("s"),
               F.coalesce(F.sum(md * md),
                          F.lit(0).cast("decimal(38,0)")).alias("ss")))
@@ -544,3 +557,320 @@ def multimodal_video_motion(spark, sf_dir):
     from .session import tune
     tune(spark)
     return motion_energy(synthesize_avi_media(spark, n=48))
+
+
+# ---------------------------------------------------------------------
+# Triangle census over the co-purchase graph (oriented two-hop join)
+# ---------------------------------------------------------------------
+
+@query("graph_triangle_census", """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey % 20 = 0
+        AND l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    pr AS MATERIALIZED (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+           JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM pr UNION ALL SELECT b AS v FROM pr)
+      GROUP BY v),
+    w AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS w2 FROM deg),
+    ne AS (SELECT COUNT(*) AS n FROM pr)
+    SELECT CAST(ne.n AS BIGINT) AS n_edges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(w.w2 // 2 AS BIGINT) AS n_wedges,
+           CASE WHEN w.w2 > 0
+                THEN 3.0 * CAST(tri.t AS DOUBLE)
+                     / CAST(w.w2 // 2 AS DOUBLE)
+                ELSE 0.0 END AS transitivity
+    FROM tri, w, ne
+""")
+def graph_triangle_census(spark, sf_dir):
+    """Global triangle count, wedge count and transitivity over the
+    co-purchase graph of a 5% order sample (l_orderkey % 20) - the
+    clustering-structure profile of an item graph. Triangles come from
+    the ORIENTED two-hop join (a<b<c): each triangle counts exactly
+    once and the intermediate is bounded by sum(out_deg^2) where
+    out-degree only counts higher neighbors - the compact-forward
+    pattern that keeps triangle listing feasible on skewed graphs
+    (pre-orient by degree when degrees are wild; the sampled basket
+    graph is tame). Pure integer counting; the one ratio divides two
+    exact integers in double. operators/graph.py (triangle_stats)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 20 == 0)
+        & F.col("l_orderkey").isNotNull()
+        & F.col("l_partkey").isNotNull())
+    return graph.triangle_stats(graph.copurchase_pairs(li))
+
+
+# ---------------------------------------------------------------------
+# Holt linear-trend smoother (coupled level+trend sequential fold)
+# ---------------------------------------------------------------------
+
+@query("events_holt_forecast", """
+    WITH d AS MATERIALIZED (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COALESCE(SUM(CASE WHEN NOT isnan(value) AND abs(value) < 1e12
+                  THEN CAST(FLOOR(1000000 * value) AS BIGINT) END), 0)
+               AS sm
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    s AS MATERIALIZED (
+      SELECT event_type,
+             list(CAST(sm AS DOUBLE) / 1000000 ORDER BY day) AS xs
+      FROM d GROUP BY event_type),
+    f AS (
+      -- state is a 2-element DOUBLE list [level, trend], NOT a struct:
+      -- DuckDB 1.0's list_reduce mis-binds accumulator STRUCT fields
+      -- referenced from later output fields (a.l inside 'b' resolves
+      -- to the current output's 'l'); list indexing is immune.
+      SELECT event_type, CAST(len(xs) AS INTEGER) AS n_days,
+             list_reduce(
+               list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE)]),
+               (a, e) -> [
+                 CAST(0.3 AS DOUBLE) * e[1]
+                 + CAST(0.7 AS DOUBLE) * (a[1] + a[2]),
+                 CAST(0.2 AS DOUBLE)
+                 * ((CAST(0.3 AS DOUBLE) * e[1]
+                     + CAST(0.7 AS DOUBLE) * (a[1] + a[2])) - a[1])
+                 + CAST(0.8 AS DOUBLE) * a[2]]) AS st
+      FROM s)
+    SELECT event_type, n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_next,
+           st[1] + CAST(7.0 AS DOUBLE) * st[2] AS forecast_7d
+    FROM f
+""")
+def events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (level alpha=0.3, trend
+    gamma=0.2) of daily event value per type, with 1-day and 7-day
+    linear forecasts. The coupled (level, trend) state folds
+    SEQUENTIALLY as a struct accumulator - Spark F.aggregate with a
+    struct init mirrors DuckDB list_reduce over {'l','b'} structs
+    element-for-element (init {x1, 0}, identical op order, constants
+    pinned to DOUBLE on the SQL side where bare literals would be
+    DECIMAL) - so level, trend and both forecasts are bit-identical
+    cross-engine. Daily totals are exact FLOOR-micro BIGINTs first;
+    per-type series collapse to one array row each, so the fold is
+    driver-cheap while the daily aggregation stays one shuffle."""
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    d = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.coalesce(
+             F.sum(_umicros(F.col("value"))),
+             F.lit(0).cast("long")).alias("sm")))
+    s = (d.groupBy("event_type")
+         .agg(F.array_sort(F.collect_list(F.struct("day", "sm")))
+              .alias("arr")))
+    xs = F.transform("arr",
+                     lambda st: st["sm"].cast("double") / F.lit(1000000.0))
+
+    def step(acc, x):
+        lnew = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        bnew = (F.lit(0.2)
+                * ((F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"]))
+                   - acc["l"])
+                + F.lit(0.8) * acc["b"])
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    st = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - 1),
+        F.struct(F.element_at(xs, 1).alias("l"),
+                 F.lit(0.0).alias("b")),
+        step)
+    return s.select("event_type",
+                    F.size(xs).cast("int").alias("n_days"),
+                    st["l"].alias("level"), st["b"].alias("trend"),
+                    (st["l"] + st["b"]).alias("forecast_next"),
+                    (st["l"] + F.lit(7.0) * st["b"]).alias("forecast_7d"))
+
+
+# ---------------------------------------------------------------------
+# Training-mix epoch planner (integer token budgeting)
+# ---------------------------------------------------------------------
+
+@query("mix_epoch_plan", """
+    WITH t AS MATERIALIZED (
+      SELECT source,
+             (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 100
+               AS weight_milli,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY source),
+    tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS wsum,
+                   CAST(SUM(avail_tokens) AS BIGINT) AS asum
+            FROM t),
+    plan AS (
+      SELECT t.source, t.weight_milli, t.avail_tokens,
+             CAST((2 * tot.asum * t.weight_milli) // tot.wsum AS BIGINT)
+               AS need_tokens
+      FROM t, tot)
+    SELECT source, CAST(weight_milli AS INTEGER) AS weight_milli,
+           avail_tokens, need_tokens,
+           CAST((need_tokens + avail_tokens - 1) // avail_tokens
+                AS BIGINT) AS epochs,
+           CAST(need_tokens AS DOUBLE) / avail_tokens AS oversample
+    FROM plan
+""")
+def mix_epoch_plan(spark, sf_dir):
+    """Training-mix epoch planner: given per-source token inventories
+    and target mix weights (a config rule here: weight 100..400 milli
+    by source index), compute each source's token NEED for a corpus
+    2x the available total, the repetition factor (epochs =
+    ceil(need/avail), pure integer arithmetic - identical ceil idiom
+    both engines), and the oversample ratio. This is the arithmetic
+    behind 'repeat books 3x, downsample web' data recipes; all
+    counting is exact BIGINT, the single ratio divides exact integers
+    in double. One scan + one broadcast of the 1-row totals."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("text").isNotNull())
+    t = (docs.groupBy("source")
+         .agg(F.sum(F.size(F.split("text", " ")).cast("long"))
+              .alias("avail_tokens"))
+         .withColumn(
+             "weight_milli",
+             (F.substring("source", 4, 10).cast("int") % 4 + 1) * 100))
+    tot = t.agg(F.sum("weight_milli").cast("long").alias("wsum"),
+                F.sum("avail_tokens").cast("long").alias("asum"))
+    plan = (t.crossJoin(F.broadcast(tot))
+            .withColumn("need_tokens", F.expr(
+                "(2 * asum * weight_milli) div wsum").cast("long")))
+    return plan.select(
+        "source", F.col("weight_milli").cast("int").alias("weight_milli"),
+        "avail_tokens", "need_tokens",
+        F.expr("(need_tokens + avail_tokens - 1) div avail_tokens")
+        .cast("long").alias("epochs"),
+        (F.col("need_tokens").cast("double") / F.col("avail_tokens"))
+        .alias("oversample"))
+
+
+# ---------------------------------------------------------------------
+# URL canonicalization (crawl dedup key)
+# ---------------------------------------------------------------------
+
+@query("docs_url_canonicalize", """
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+             || '://WWW.' || source || '-'
+             || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                      WHEN doc_id % 4 = 1 THEN ':8080'
+                      WHEN doc_id % 4 = 2 THEN ':443'
+                      ELSE '' END)
+             || '/Docs/' || CAST(doc_id AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&b=2&a=1'
+                      ELSE '?b=2&a=1' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+               AS url
+      FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u),
+    c AS (
+      SELECT doc_id, url, scheme, path,
+             lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             list_sort(list_filter(string_split(query, '&'),
+               q -> q != '' AND NOT starts_with(q, 'utm_'))) AS params
+      FROM p)
+    SELECT doc_id, url,
+           scheme || '://' || host
+           || (CASE WHEN port != ''
+                     AND NOT (scheme = 'http' AND port = '80')
+                     AND NOT (scheme = 'https' AND port = '443')
+                    THEN ':' || port ELSE '' END)
+           || path
+           || (CASE WHEN len(params) > 0
+                    THEN '?' || array_to_string(params, '&')
+                    ELSE '' END) AS canon_url
+    FROM c
+""")
+def docs_url_canonicalize(spark, sf_dir):
+    """URL canonicalization - the dedup key of a crawl corpus: lowercase
+    scheme+host, strip default ports (:80 http / :443 https; explicit
+    :8080 survives), drop fragments, drop utm_* tracking params, sort
+    surviving params. Inputs are synthesized deterministically from
+    (doc_id, source) to cover every rule (mixed-case hosts, all three
+    port cases, tracking-tagged and untagged queries, fragments);
+    normalization itself is operators/text.py::canonicalize_url - pure
+    regexp/array algebra in whole-stage codegen, no UDF, mirrored
+    function-for-function by the oracle. At 100 TB this runs inside
+    the ingest scan; the canonical string then feeds exact dedup's
+    hash-groupBy."""
+    from .operators.text import canonicalize_url
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS"))
+        .otherwise(F.lit("http")),
+        F.lit("://WWW."), F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/Docs/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(F.lit("?b=2&a=1")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec"))
+        .otherwise(F.lit("")))
+    return (docs.select("doc_id", url.alias("url"))
+            .select("doc_id", "url",
+                    canonicalize_url("url").alias("canon_url")))
+
+
+# ---------------------------------------------------------------------
+# ORC source round trip (columnar-format parity)
+# ---------------------------------------------------------------------
+
+_ORC_CACHE: dict[str, str] = {}
+
+
+@query("source_orc_roundtrip", """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+""")
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source leg: orders is rewritten once per corpus as ORC
+    (Spark's second first-class columnar format), read back, and
+    profiled per (status, priority) with decimal-exact money sums and
+    timestamp min/max - while the ORACLE reads the original PARQUET.
+    Hash equality therefore proves the ORC writer+reader round-trips
+    every value and type (BIGINT keys, DOUBLE money, VARCHAR enums,
+    TIMESTAMP dates) bit-exactly - the format-parity guarantee that
+    lets a lakehouse mix ORC and parquet shards in one table. The
+    rewrite is cached per process (the honest one-time cost of the
+    demo; a real lake already has the ORC files)."""
+    import tempfile as _tf
+    from .session import tune
+    tune(spark)
+    if sf_dir not in _ORC_CACHE:
+        path = _tf.mkdtemp(prefix="orc_orders_")
+        (_t(spark, sf_dir, "orders").write.mode("overwrite").orc(path))
+        _ORC_CACHE[sf_dir] = path
+    o = spark.read.orc(_ORC_CACHE[sf_dir])
+    return (o.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_total"),
+                 F.min("o_orderdate").alias("first_date"),
+                 F.max("o_orderdate").alias("last_date")))

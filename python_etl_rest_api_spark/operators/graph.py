@@ -31,23 +31,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def copurchase_edges(lineitem: DataFrame,
+def copurchase_pairs(lineitem: DataFrame,
                      order_col: str = "l_orderkey",
                      item_col: str = "l_partkey") -> DataFrame:
-    """Distinct undirected co-purchase pairs (a < b) of items appearing in
-    the same order, emitted in BOTH directions as (src, dst) for walks.
-
-    The self-join keys on the order id, so the quadratic blowup is
-    per-basket (a handful of lines), never global; distinct collapses
-    repeat pairs across orders before the edge list is used iteratively.
-    """
+    """Distinct undirected co-purchase pairs (a < b) of items appearing
+    in the same order. The self-join keys on the order id, so the
+    quadratic blowup is per-basket (a handful of lines), never a global
+    cartesian; distinct collapses repeat pairs across orders."""
     a = lineitem.select(F.col(order_col).alias("o"),
                         F.col(item_col).alias("a")).distinct()
     b = lineitem.select(F.col(order_col).alias("o"),
                         F.col(item_col).alias("b")).distinct()
-    pairs = (a.join(b, "o")
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
+    return (a.join(b, "o")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def copurchase_edges(lineitem: DataFrame,
+                     order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey") -> DataFrame:
+    """Co-purchase pairs emitted in BOTH directions as (src, dst) for
+    walk-style algorithms (PageRank and friends)."""
+    pairs = copurchase_pairs(lineitem, order_col, item_col)
     return (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .union(pairs.select(F.col("b").alias("src"),
                                 F.col("a").alias("dst"))))
@@ -104,3 +109,38 @@ def top_ranks(ranks: DataFrame, k: int = 25) -> DataFrame:
             .limit(k)
             .select(F.col("node").alias("part"),
                     F.col("rank").alias("rank_micro")))
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected edge list given as
+    oriented pairs (a < b): triangles via the oriented two-hop join
+    (a<b<c joins (a,b)+(b,c) then probes (a,c)), wedges as
+    sum(deg*(deg-1))/2, and global transitivity = 3*tri/wedges.
+
+    The orientation is the scale trick: joining oriented edges counts
+    each triangle exactly once and bounds the two-hop intermediate by
+    sum over nodes of out_deg^2 where out-degree only counts HIGHER
+    neighbors - the standard compact-forward shape. Degree-skewed
+    graphs should pre-orient by (degree, id) instead of raw id; id
+    order is used here because the co-purchase input is pre-bounded.
+    Returns one row: (n_edges, n_triangles, n_wedges, transitivity).
+    """
+    p = pairs.select("a", "b").distinct().localCheckpoint()
+    hop = (p.alias("e1")
+           .join(p.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+           .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c")))
+    tri = hop.join(p, (hop.a == p.a) & (hop.c == p.b)).count()
+    both = p.select(F.col("a").alias("v")).union(
+        p.select(F.col("b").alias("v")))
+    deg = both.groupBy("v").agg(F.count("*").alias("d"))
+    agg = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("wedge2"))
+    n_edges = p.count()
+    return agg.select(
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(tri).cast("long").alias("n_triangles"),
+        F.expr("wedge2 div 2").cast("long").alias("n_wedges"),
+        F.when(F.col("wedge2") > 0,
+               F.lit(3.0) * F.lit(tri).cast("double")
+               / (F.expr("wedge2 div 2")).cast("double"))
+        .otherwise(F.lit(0.0)).alias("transitivity"))

@@ -357,3 +357,37 @@ def bpe_merges_batched(df: DataFrame, steps: int = 8, round_size: int = 4,
                 break
         syms = syms.select(sym_col.alias("sym"), "f")
     return merges
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an absolute http(s) URL, as a pure JVM
+    expression (no UDF): lowercase scheme and host, strip the scheme's
+    default port (:80 for http, :443 for https; explicit non-default
+    ports survive), drop the fragment, drop utm_* tracking params, sort
+    the remaining query params bytewise, and reassemble. The dedup key
+    for URL-level corpus dedup: crawls see the same page under
+    case-varied hosts, tracking-tagged queries and shuffled param
+    orders, and canonicalization collapses them before any fetch or
+    content hash. Everything is regexp/array algebra, so the whole
+    normalization stays in whole-stage codegen and an oracle can mirror
+    it function-for-function."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = ((port != "")
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    path = F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))

@@ -107,6 +107,11 @@ _DEBT_FIRST = [
     "dedup_incremental_index",          # ~1.5s
     "embed_kmeans_train",               # ~3s (3 Lloyd rounds)
     "graph_pagerank_copurchase",        # ~4s (5 PageRank rounds)
+    "mix_epoch_plan",                   # ~0.5s
+    "events_holt_forecast",             # ~0.8s
+    "docs_url_canonicalize",            # ~0.8s
+    "source_orc_roundtrip",             # ~1s (one-time ORC rewrite)
+    "graph_triangle_census",            # ~1.5s
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

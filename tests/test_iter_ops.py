@@ -231,3 +231,95 @@ def test_motion_energy_closed_form(spark):
             r = by[(i, f)]
             assert (r.sad, r.changed_px, r.width, r.height) \
                 == (sad, changed, w, h)
+
+
+# --------------------------------------------------------------- triangles
+
+def test_triangle_census_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: 1 triangle, wedges =
+    sum(d*(d-1))/2 = (2+2+6+0)/2 = 5, transitivity 0.6."""
+    p = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long")
+    r = graph.triangle_stats(p).first()
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (4, 1, 5)
+    assert abs(r.transitivity - 0.6) < 1e-12
+
+
+def test_triangle_census_no_triangles(spark):
+    p = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    r = graph.triangle_stats(p).first()
+    assert (r.n_triangles, r.n_wedges, r.transitivity) == (0, 0, 0.0)
+
+
+# -------------------------------------------------------------------- holt
+
+def test_holt_recurrence_hand_checked(spark):
+    out = {r.event_type: r for r in ci.events_holt_forecast(spark, SF).collect()}
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .filter(F.col("event_type") == "view")
+          .groupBy(F.to_date("ts").alias("day"))
+          .agg(F.sum(F.floor(1000000.0 * F.col("value"))
+                     .cast("long")).alias("sm"))
+          .orderBy("day").collect())
+    xs = [r.sm / 1000000.0 for r in ev]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        lnew = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.8 * b
+        l = lnew
+    r = out["view"]
+    assert r.n_days == len(xs)
+    assert r.level == l and r.trend == b          # bit-identical fold
+    assert r.forecast_next == l + b
+    assert r.forecast_7d == l + 7.0 * b
+
+
+# --------------------------------------------------------------- mix plan
+
+def test_mix_epoch_plan_arithmetic(spark):
+    rows = ci.mix_epoch_plan(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        num = int(r.source[3:])
+        assert r.weight_milli == (num % 4 + 1) * 100
+        assert r.epochs == -(-r.need_tokens // r.avail_tokens)
+        assert abs(r.oversample - r.need_tokens / r.avail_tokens) < 1e-12
+    total_need = sum(r.need_tokens for r in rows)
+    total_avail = sum(r.avail_tokens for r in rows)
+    # needs sum to ~2x the inventory (integer floor per source)
+    assert 0 <= 2 * total_avail - total_need < 1000 * len(rows)
+
+
+# ---------------------------------------------------------------- url canon
+
+def test_canonicalize_url_rules(spark):
+    from python_etl_rest_api_spark.operators.text import canonicalize_url
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b?utm_source=x&z=1&a=2#frag",
+         "http://www.ex.com/A/b?a=2&z=1"),
+        ("https://Ex.com:443/p", "https://ex.com/p"),
+        ("https://ex.com:8080/p?utm_a=1&utm_b=2", "https://ex.com:8080/p"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),  # non-default kept
+        ("http://ex.com/", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+# ---------------------------------------------------------------------- orc
+
+def test_orc_roundtrip_matches_parquet(spark):
+    out = {(r.o_orderstatus, r.o_orderpriority): r
+           for r in ci.source_orc_roundtrip(spark, SF).collect()}
+    ref = (spark.read.parquet(f"{SF}/orders.parquet")
+           .groupBy("o_orderstatus", "o_orderpriority")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("s"),
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi")))
+    for r in ref.collect():
+        g = out[(r.o_orderstatus, r.o_orderpriority)]
+        assert (g.n_orders, g.sum_total, g.first_date, g.last_date) \
+            == (r.n, r.s, r.lo, r.hi)
