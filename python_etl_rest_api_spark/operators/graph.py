@@ -38,13 +38,15 @@ def copurchase_pairs(lineitem: DataFrame,
     in the same order. The self-join keys on the order id, so the
     quadratic blowup is per-basket (a handful of lines), never a global
     cartesian; distinct collapses repeat pairs across orders."""
-    a = lineitem.select(F.col(order_col).alias("o"),
-                        F.col(item_col).alias("a")).distinct()
-    b = lineitem.select(F.col(order_col).alias("o"),
-                        F.col(item_col).alias("b")).distinct()
-    return (a.join(b, "o")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    # one distinct projection, self-joined: the (order, item) dedup
+    # shuffle is paid once and both join sides read the same exchange
+    # (ReusedExchange in the plan), not two copies of it
+    oi = (lineitem.select(F.col(order_col).alias("o"),
+                          F.col(item_col).alias("i")).distinct())
+    return (oi.alias("x").join(oi.alias("y"), "o")
+            .filter(F.col("x.i") < F.col("y.i"))
+            .select(F.col("x.i").alias("a"), F.col("y.i").alias("b"))
+            .distinct())
 
 
 def copurchase_edges(lineitem: DataFrame,
@@ -60,7 +62,8 @@ def copurchase_edges(lineitem: DataFrame,
 
 def pagerank_int(edges: DataFrame, iters: int = 5,
                  damping_milli: int = 850,
-                 unit: int = 1_000_000) -> DataFrame:
+                 unit: int = 1_000_000,
+                 broadcast_ranks: bool = True) -> DataFrame:
     """PageRank in integer micro-units: rank starts at ``unit`` per node,
     each iteration each node sends ``rank div out_degree`` along its out
     edges and receives
@@ -76,17 +79,28 @@ def pagerank_int(edges: DataFrame, iters: int = 5,
     (no dangling-mass term needed - callers feeding directed graphs with
     sinks should pre-symmetrize or add self-loops).
 
-    Driver loop = pure DataFrame algebra + localCheckpoint per round to
-    truncate lineage; one shuffle per iteration (groupBy dst).
+    Plan shape: the edge list materializes ONCE (localCheckpoint) and
+    each iteration is edge-scan -> broadcast-join the rank table ->
+    one shuffle (groupBy dst). The fixed iteration count needs no
+    convergence check, so the loop body stays LAZY - no per-iteration
+    checkpoint barrier; the whole 5-round recurrence compiles into one
+    pipelined job whose only exchanges are the per-round dst shuffles.
+    (Per-round localCheckpoint cost 3-4x wall: 5 sequential jobs, each
+    re-paying scheduling + materialization; and checkpointed rank
+    tables lose size stats, so the planner stopped broadcasting them
+    and sort-merge-shuffled the EDGES every round.) ``broadcast_ranks``
+    is right while the node table is dimension-sized relative to edges
+    (every real item/page graph); for node sets too big to broadcast,
+    pass False and pre-partition edges by src so the join co-locates.
     """
     teleport = (1000 - damping_milli) * unit // 1000
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     edeg = edges.join(deg, "src").localCheckpoint()
-    ranks = (deg.select(F.col("src").alias("node"),
-                        F.lit(unit).cast("long").alias("rank"))
-             .localCheckpoint())
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(unit).cast("long").alias("rank"))
     for _ in range(iters):
-        contrib = (edeg.join(ranks, edeg.src == ranks.node)
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (edeg.join(r, edeg.src == r.node)
                    .select(F.col("dst"),
                            F.expr("rank div deg").alias("c")))
         ranks = (contrib.groupBy("dst")
@@ -94,8 +108,7 @@ def pagerank_int(edges: DataFrame, iters: int = 5,
                  .select(F.col("dst").alias("node"),
                          (F.lit(teleport)
                           + F.expr(f"({damping_milli} * s) div 1000")
-                          ).cast("long").alias("rank"))
-                 .localCheckpoint())
+                          ).cast("long").alias("rank")))
     return ranks
 
 
