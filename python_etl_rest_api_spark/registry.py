@@ -31,6 +31,13 @@ cheapest-first"):
          skew_salted_join, layout_compaction_plan,
          dedup_semantic_clusters) <= the ~50 budget, so the whole debt
          clears in one window with room for green refreshes behind;
+  50-62  the 13 r7 additions (iterative PageRank + k-means, incremental
+         band-index dedup, EWMA + Holt smoothers, interval-overlap and
+         triangle joins, Welch test, schema-drift union, URL
+         canonicalization, ORC round trip, video motion), cheapest-
+         first among themselves BEHIND the r6 debt block: the window
+         boundary lands ~here, so whatever the budget reaches verifies
+         now and the rest leads the r7 debt queue;
   42+    driver-green entries, stalest-first (r2, r3, r4, r5) - the
          freshest signal defers to the back.
 """
@@ -112,6 +119,9 @@ _DEBT_FIRST = [
     "docs_url_canonicalize",            # ~0.8s
     "source_orc_roundtrip",             # ~1s (one-time ORC rewrite)
     "graph_triangle_census",            # ~1.5s
+    "events_activity_streaks",          # ~0.6s
+    "events_cusum_drift",               # ~0.8s
+    "sketch_hll_cardinality",           # ~1s
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

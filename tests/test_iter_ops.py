@@ -323,3 +323,85 @@ def test_orc_roundtrip_matches_parquet(spark):
         g = out[(r.o_orderstatus, r.o_orderpriority)]
         assert (g.n_orders, g.sum_total, g.first_date, g.last_date) \
             == (r.n, r.s, r.lo, r.hi)
+
+
+# --------------------------------------------------------------------- hll
+
+def test_hll_registers_and_estimate(spark):
+    rows = {r.source: r for r in
+            ci.sketch_hll_cardinality(spark, SF).collect()}
+    assert len(rows) == 20
+    for r in rows.values():
+        # raw estimator with m=64 on ~25 distinct docs is biased but
+        # must land within a sane band of truth
+        assert 0.3 * r.n_true < r.hll_estimate < 3.5 * r.n_true
+        assert 0 <= r.zero_regs <= 64
+
+
+def test_hll_python_mirror(spark):
+    """Recompute one source's registers in pure python from md5 - the
+    sketch must match bit-for-bit."""
+    import hashlib
+    docs = [r.text for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.col("source") == "src3").select("text").collect()
+            if r.text is not None]
+    regs = [0] * 64
+    for t in docs:
+        hx = hashlib.md5(("hll:" + t).encode()).hexdigest()
+        b = int(hx[:2], 16) % 64
+        w = int(hx[2:12], 16)
+        rho = 41 if w == 0 else (40 - w.bit_length() + 1)
+        regs[b] = max(regs[b], rho)
+    row = [r for r in ci.sketch_hll_cardinality(spark, SF).collect()
+           if r.source == "src3"][0]
+    assert row.reg_sum == sum(regs)
+    assert row.reg_dot == sum(r * i for i, r in enumerate(regs))
+    assert row.zero_regs == regs.count(0)
+
+
+# ------------------------------------------------------------------- cusum
+
+def test_cusum_recurrence_hand_checked(spark):
+    out = {(r.event_type, str(r.day)): r
+           for r in ci.events_cusum_drift(spark, SF).collect()}
+    d = (spark.read.parquet(f"{SF}/events.parquet")
+         .filter(F.col("event_type") == "purchase")
+         .groupBy(F.to_date("ts").alias("day"))
+         .agg(F.sum(F.floor(1000000.0 * F.col("value")).cast("long"))
+              .alias("sm"))
+         .orderBy("day").collect())
+    xs = [r.sm for r in d]
+    target = sum(xs) // len(xs)
+    slack = target // 20
+    s = 0
+    for r in d:
+        s = max(0, s + r.sm - target - slack)
+        got = out[("purchase", str(r.day))]
+        assert got.cusum_micros == s
+        assert got.alarm == (s > 5 * slack)
+
+
+# ----------------------------------------------------------------- streaks
+
+def test_activity_streaks_against_python(spark):
+    from collections import defaultdict
+    rows = {r.streak_days: (r.n_users, r.total_streaks)
+            for r in ci.events_activity_streaks(spark, SF).collect()}
+    ud = defaultdict(set)
+    for r in (spark.read.parquet(f"{SF}/events.parquet")
+              .select("user_id", F.to_date("ts").alias("day")).collect()):
+        if r.user_id is not None and r.day is not None:
+            ud[r.user_id].add(r.day)
+    dist = defaultdict(lambda: [0, 0])
+    for u, days in ud.items():
+        ds = sorted(days)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur); cur = 1
+        runs.append(cur)
+        dist[max(runs)][0] += 1
+        dist[max(runs)][1] += len(runs)
+    assert rows == {k: tuple(v) for k, v in dist.items()}

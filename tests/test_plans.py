@@ -303,3 +303,64 @@ def test_compaction_plan_windows_stay_parallel(spark):
     df = registry.QUERIES["layout_compaction_plan"](spark, SF)
     assert not single_partition_window_ops(df)
     assert set(read_schema_columns(df)) <= {"ts", "event_type", "props"}
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The interval-overlap join must execute as an equi-join on
+    (customer, week-bucket) - never a cartesian/BNLJ range probe."""
+    from python_etl_rest_api_spark import catalog_iter as ci
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    plan = simple_plan(ci.join_interval_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_probe_is_equi_join(spark, tmp_path):
+    """Band-index probe: candidates come from an equi-join on
+    (band_id, band_key); no all-pairs product anywhere."""
+    from pyspark.sql import functions as F2
+    from python_etl_rest_api_spark.operators import dedup
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.filter(F2.col("doc_id") % 5 != 0)
+    batch = docs.filter(F2.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "bandidx_plan")
+    dedup.build_band_index(corpus, path)
+    plan = simple_plan(
+        dedup.probe_band_index(spark, path, batch, corpus))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iteration_broadcasts_ranks(spark):
+    """Each PageRank round must broadcast the node-sized rank table,
+    never shuffle the edge list for the join; the only exchanges are
+    the per-round dst aggregations."""
+    from python_etl_rest_api_spark.operators import graph
+    from python_etl_rest_api_spark.plans.explain import simple_plan
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = graph.copurchase_edges(li).localCheckpoint()
+    plan = simple_plan(graph.pagerank_int(edges, iters=3))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_schema_drift_union_prunes_both_scans(spark):
+    """Each generation's scan must read only its own columns."""
+    from python_etl_rest_api_spark import catalog_iter as ci
+    from python_etl_rest_api_spark.plans.explain import read_schema_columns
+    cols = set(read_schema_columns(ci.schema_drift_union(spark, SF)))
+    assert "o_orderstatus" in cols and "o_totalprice" in cols
+    # neither branch may drag the full table: only the 5 output columns
+    assert cols <= {"o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderstatus", "o_orderdate"}
+
+
+def test_url_canonicalize_is_pure_map(spark):
+    """URL canonicalization must be a zero-shuffle JVM map stage."""
+    from python_etl_rest_api_spark import catalog_iter as ci
+    from python_etl_rest_api_spark.plans.explain import (
+        shuffle_count, simple_plan)
+    df = ci.docs_url_canonicalize(spark, SF)
+    assert shuffle_count(df) == 0
+    assert "BatchEvalPython" not in simple_plan(df)
