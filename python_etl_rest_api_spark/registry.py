@@ -44,8 +44,9 @@ cheapest-first"):
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_ann, catalog_etl, catalog_ext,
-    catalog_iter, catalog_llm, catalog_pipe, catalog_quality,
-    catalog_scale, catalog_tpch, catalog_warehouse, catalog_win,
+    catalog_infer, catalog_iter, catalog_llm, catalog_pipe,
+    catalog_quality, catalog_scale, catalog_tpch, catalog_warehouse,
+    catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -122,6 +123,18 @@ _DEBT_FIRST = [
     "events_activity_streaks",          # ~0.6s
     "events_cusum_drift",               # ~0.8s
     "sketch_hll_cardinality",           # ~1s
+    # -- second r7 wave (catalog_infer.py): behind the first wave so
+    #    older debt keeps clearing first, cheapest-first --
+    "stream_dedup_ingest",              # ~0.4s
+    "sketch_kmv_distinct",              # ~0.5s
+    "stats_chi2_independence",          # ~0.6s
+    "stats_acf_daily",                  # ~0.6s
+    "stats_mannwhitney_u",              # ~0.8s
+    "source_parquet_mergeschema",       # ~0.9s (one-time 2-gen write)
+    "layout_partition_pruning",         # ~1s (one-time partitioned write)
+    "basket_association_lift",          # ~1.2s
+    "text_collocations_pmi",            # ~1.5s
+    "embed_knn_classify",               # ~1.5s
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --
