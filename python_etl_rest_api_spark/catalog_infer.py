@@ -35,7 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
-from .operators import similarity
+from .operators import graph, similarity
 from .operators.twopass import ROW_COL, SUM_COL, global_prefix
 from .session import tune
 
@@ -674,3 +674,254 @@ def source_parquet_mergeschema(spark, sf_dir):
                          .alias("priority"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("price_cents").alias("total_cents")))
+
+
+# ---------------------------------------------------------------------
+# k-core decomposition over the co-purchase graph (iterative, integer)
+# ---------------------------------------------------------------------
+
+_KCORE_ROUND = """
+    k{n} AS MATERIALIZED (
+      SELECT src FROM (
+        SELECT src, COUNT(*) AS d FROM e{n} GROUP BY src)
+      WHERE d >= 3),
+    e{m} AS MATERIALIZED (
+      SELECT e.src, e.dst
+      FROM e{n} e JOIN k{n} a ON a.src = e.src
+                  JOIN k{n} b ON b.src = e.dst)"""
+
+
+@query("graph_kcore_decomposition", """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    e0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs),"""
+    + ",".join(_KCORE_ROUND.format(n=i, m=i + 1) for i in range(3))
+    + """
+    SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY src
+""")
+def graph_kcore_decomposition(spark, sf_dir):
+    """3-core pruning (3 fixed rounds) of the part co-purchase graph:
+    each round drops nodes with degree < 3 and restricts edges to the
+    survivors — the classic peeling step whose fixpoint is the k-core.
+    Fixed rounds keep the published state deterministic (the
+    pagerank_int discipline); production iterates with the
+    convergence guard of dedup.connected_components. Publishes each
+    surviving node with its degree after round 3 — pure integer state,
+    value-hash exact.
+
+    Plan per round: one map-side-combined degree aggregation + two
+    key-only join restrictions; localCheckpoint truncates lineage so
+    the 3-round plan never compounds. Edges shuffle as (int, int)
+    pairs. Reference N/A."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    edges = graph.copurchase_edges(li)
+    return (graph.kcore_prune(edges, k=3, rounds=3)
+            .select(F.col("src").alias("part"), "deg"))
+
+
+# ---------------------------------------------------------------------
+# k-anonymity audit with a generalization ladder
+# ---------------------------------------------------------------------
+
+@query("privacy_k_anonymity", """
+    WITH qi AS (
+      SELECT c.c_custkey,
+             c.c_nationkey,
+             n.n_regionkey,
+             c.c_mktsegment,
+             CASE WHEN c.c_acctbal IS NULL THEN 'unknown'
+                  WHEN c.c_acctbal < 0 THEN 'neg'
+                  WHEN c.c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS bal_band
+      FROM customer c LEFT JOIN nation n
+        ON n.n_nationkey = c.c_nationkey),
+    l0 AS (
+      SELECT COUNT(*) AS sz
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band),
+    l1 AS (
+      SELECT COUNT(*) AS sz
+      FROM qi GROUP BY n_regionkey, c_mktsegment, bal_band),
+    s0 AS (
+      SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS at_risk_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+      FROM l0),
+    s1 AS (
+      SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS at_risk_classes,
+             CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_at_risk
+      FROM l1)
+    SELECT * FROM s0 UNION ALL SELECT * FROM s1
+""")
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (k=5) over the customer quasi-identifier
+    (nation, market segment, account-balance band), with one rung of
+    the generalization ladder: level 0 keys on nation, level 1
+    generalizes nation -> region (the standard suppression-vs-
+    generalization trade a privacy-preserving training-data release
+    makes). Publishes, per level: #equivalence classes, #classes below
+    k, and #rows those classes expose. All exact integers.
+
+    Plan: the QI projection is one broadcast dim join (nation);
+    each level is a map-side-combined aggregate over class keys, then
+    a 3-row rollup — the corpus is scanned once per level, classes
+    (not rows) shuffle. At 100 TB the class vocabulary is the QI
+    cross-product, orders of magnitude below the row count.
+    Reference N/A."""
+    tune(spark)
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    qi = (cust.join(F.broadcast(nat),
+                    cust["c_nationkey"] == nat["n_nationkey"], "left")
+          .withColumn("bal_band",
+                      F.when(F.col("c_acctbal").isNull(), "unknown")
+                       .when(F.col("c_acctbal") < 0, "neg")
+                       .when(F.col("c_acctbal") < 5000, "mid")
+                       .otherwise("high"))
+          .select("c_nationkey", "n_regionkey", "c_mktsegment",
+                  "bal_band"))
+
+    def level(cols, lv):
+        sz = qi.groupBy(*cols).agg(F.count(F.lit(1)).alias("sz"))
+        return sz.agg(
+            F.lit(lv).cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+             .alias("at_risk_classes"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+             .alias("rows_at_risk")).select(
+                 "level", "n_classes", "at_risk_classes", "rows_at_risk")
+
+    return level(["c_nationkey", "c_mktsegment", "bal_band"], 0).union(
+        level(["n_regionkey", "c_mktsegment", "bal_band"], 1))
+
+
+# ---------------------------------------------------------------------
+# Differentially-private-shaped counts (deterministic stand-in noise)
+# ---------------------------------------------------------------------
+
+@query("privacy_dp_counts", """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type),
+    z AS (
+      SELECT event_type, true_count,
+             CAST(('0x' || substr(md5('dp:' || event_type), 1, 8))
+                  AS BIGINT) % 21 - 10 AS noise
+      FROM c)
+    SELECT event_type, true_count,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(GREATEST(true_count + noise, 0) AS BIGINT)
+             AS released_count
+    FROM z
+""")
+def privacy_dp_counts(spark, sf_dir):
+    """The release-side plumbing of a differentially-private count
+    query: per-group counts + additive integer noise + clamping at
+    zero. The noise here is a DETERMINISTIC md5-derived stand-in
+    (uniform on [-10, 10]) so the entry is value-hashable and the
+    plumbing — group, perturb, clamp, release — is provable; a real
+    release swaps ONE expression for calibrated Laplace/geometric
+    noise drawn from a secure source (sensitivity 1 per user-count
+    here). true_count is published alongside as the verification
+    witness, which a production release would of course drop.
+
+    Plan: one map-side-combined count, noise is a narrow per-group
+    expression — nothing beyond the aggregate shuffles.
+    Reference N/A."""
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("event_type").isNotNull())
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("true_count")))
+    noise = (F.conv(F.substring(
+                 F.md5(F.concat(F.lit("dp:"), F.col("event_type"))
+                       .cast("binary")), 1, 8), 16, 10)
+             .cast("long") % 21 - 10)
+    return ev.select(
+        "event_type", "true_count", noise.alias("noise"),
+        F.greatest(F.col("true_count") + noise, F.lit(0))
+         .cast("long").alias("released_count"))
+
+
+# ---------------------------------------------------------------------
+# Embedding outlier pruning — exact scaled integer distances
+# ---------------------------------------------------------------------
+
+@query("embed_outlier_prune", """
+    WITH x AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+               AS xm
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      WHERE label IS NOT NULL AND vec_id IS NOT NULL
+        AND len(embedding) = 64),
+    s AS (
+      SELECT label, pos, CAST(SUM(xm) AS BIGINT) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY label, pos),
+    d AS (
+      SELECT x.vec_id, x.label,
+             CAST(SUM(CAST(s.n * x.xm - s.sm AS HUGEINT)
+                      * (s.n * x.xm - s.sm)) AS DECIMAL(38,0))
+               AS dist_sq_scaled
+      FROM x JOIN s ON s.label = x.label AND s.pos = x.pos
+      GROUP BY x.vec_id, x.label),
+    r AS (
+      SELECT vec_id, label, dist_sq_scaled,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist_sq_scaled DESC, vec_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM d)
+    SELECT label, vec_id, dist_sq_scaled
+    FROM r WHERE rk <= (n_label + 9) // 10
+""")
+def embed_outlier_prune(spark, sf_dir):
+    """Centroid-distance outlier pruning per label: drop the ~10%
+    of vectors farthest from their own label's centroid — the
+    curation step that cleans a labeled embedding corpus before
+    training. EXACT integer arithmetic throughout: values quantize to
+    milli-units, and the squared distance to the RATIONAL mean is
+    computed scale-free as sum((n*x_i - s_i)^2) (the stats_acf_daily
+    substitution), published as DECIMAL(38,0) so no engine ever
+    divides or sums floats. The 10% cut uses ceil(n/10) with
+    (dist DESC, vec_id) total order — boundary-deterministic.
+
+    Plan: posexplode shuffles (label, pos) cells, the per-label
+    centroid stats broadcast back onto the cells, ranks window over
+    label partitions (state = label group, never global).
+    Reference N/A."""
+    emb = similarity.valid_vectors(
+        _t(spark, sf_dir, "embeddings"), dim=64)         .filter(F.col("label").isNotNull() & F.col("vec_id").isNotNull())         .filter(~F.exists("embedding", lambda v: v.isNull()))
+    x = (emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos", "val"))
+         .select("vec_id", "label", "pos",
+                 F.floor(F.col("val").cast("double") * 1000)
+                 .cast("long").alias("xm")))
+    s = x.groupBy("label", "pos").agg(F.sum("xm").alias("sm"),
+                                      F.count(F.lit(1)).alias("n"))
+    diff = (F.col("n") * F.col("xm") - F.col("sm")).cast("decimal(19,0)")
+    d = (x.join(F.broadcast(s), ["label", "pos"])
+         .groupBy("vec_id", "label")
+         .agg(F.sum(diff * diff).cast("decimal(38,0)")
+              .alias("dist_sq_scaled")))
+    nl = d.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist_sq_scaled").desc(), F.col("vec_id").asc())
+    return (d.withColumn("rk", F.row_number().over(w))
+            .join(F.broadcast(nl), "label")
+            .filter(F.col("rk") <= (F.col("n_label") + 9) / 10)
+            .select("label", "vec_id", "dist_sq_scaled"))

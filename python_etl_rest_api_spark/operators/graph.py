@@ -157,3 +157,29 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
                F.lit(3.0) * F.lit(tri).cast("double")
                / (F.expr("wedge2 div 2")).cast("double"))
         .otherwise(F.lit(0.0)).alias("transitivity"))
+
+
+def kcore_prune(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Iterative k-core pruning: each round recomputes degrees, drops
+    nodes with degree < k, and restricts edges to surviving endpoints.
+
+    ``rounds`` is FIXED (not run-to-fixpoint) so the published state is
+    deterministic and value-hashable — the same discipline as
+    pagerank_int; a production decomposition loops until no node drops
+    (convergence-guarded like dedup.connected_components). Each round is
+    one degree aggregation + two semi-join-shaped edge restrictions, all
+    shuffling (node, node) pairs only; localCheckpoint truncates the
+    lineage so the plan stays round-sized.
+
+    Expects symmetric edges (both directions present) so the per-src
+    count IS the undirected degree. Returns (src, deg) for nodes
+    surviving ``rounds`` rounds of k-core pruning.
+    """
+    e = edges.localCheckpoint()
+    for _ in range(rounds):
+        keep = (e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k).select("src"))
+        e = (e.join(keep, "src")
+             .join(keep.select(F.col("src").alias("dst")), "dst")
+             .localCheckpoint())
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))

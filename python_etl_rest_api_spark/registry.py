@@ -135,6 +135,10 @@ _DEBT_FIRST = [
     "basket_association_lift",          # ~1.2s
     "text_collocations_pmi",            # ~1.5s
     "embed_knn_classify",               # ~1.5s
+    "privacy_dp_counts",                # ~0.4s
+    "privacy_k_anonymity",              # ~0.6s
+    "embed_outlier_prune",              # ~1s
+    "graph_kcore_decomposition",        # ~2s (3 pruning rounds)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

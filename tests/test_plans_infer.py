@@ -8,6 +8,10 @@ from pyspark.sql import functions as F
 from python_etl_rest_api_spark.catalog_infer import (
     basket_association_lift,
     embed_knn_classify,
+    embed_outlier_prune,
+    graph_kcore_decomposition,
+    privacy_dp_counts,
+    privacy_k_anonymity,
     layout_partition_pruning,
     sketch_kmv_distinct,
     source_parquet_mergeschema,
@@ -119,6 +123,47 @@ def test_mergeschema_loses_nothing(spark):
     n = sum(r["n_orders"] for r in rows)
     assert n == spark.read.parquet(f"{SF}/orders.parquet") \
                    .filter(F.col("o_orderkey").isNotNull()).count()
+
+
+def test_kcore_symmetric_degrees(spark):
+    rows = graph_kcore_decomposition(spark, SF).collect()
+    # symmetric edge restriction keeps the graph undirected: the
+    # degree sum counts each surviving edge twice
+    assert sum(r["deg"] for r in rows) % 2 == 0
+    assert all(r["deg"] >= 1 for r in rows)
+
+
+def test_k_anonymity_generalization_monotone(spark):
+    by_level = {r["level"]: r
+                for r in privacy_k_anonymity(spark, SF).collect()}
+    l0, l1 = by_level[0], by_level[1]
+    # nation -> region generalization merges classes, never splits:
+    # fewer classes, and every level-1 at-risk row was at risk at 0
+    assert l1["n_classes"] <= l0["n_classes"]
+    assert l1["rows_at_risk"] <= l0["rows_at_risk"]
+    assert l0["at_risk_classes"] <= l0["n_classes"]
+
+
+def test_dp_counts_noise_bounded_and_clamped(spark):
+    for r in privacy_dp_counts(spark, SF).collect():
+        assert -10 <= r["noise"] <= 10
+        assert r["released_count"] == max(r["true_count"] + r["noise"], 0)
+
+
+def test_outlier_prune_takes_decile_per_label(spark):
+    from python_etl_rest_api_spark.operators import similarity
+    pruned = {}
+    for r in embed_outlier_prune(spark, SF).collect():
+        pruned[r["label"]] = pruned.get(r["label"], 0) + 1
+    emb = similarity.valid_vectors(
+        spark.read.parquet(f"{SF}/embeddings.parquet"), dim=64).filter(
+        F.col("label").isNotNull() & F.col("vec_id").isNotNull()).filter(
+        ~F.exists("embedding", lambda v: v.isNull()))
+    per_label = {r["label"]: r["n"] for r in
+                 emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    for label, n in per_label.items():
+        assert pruned.get(label, 0) == (n + 9) // 10
 
 
 def test_stream_dedup_bounded_by_raw(spark):
