@@ -45,8 +45,8 @@ cheapest-first"):
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_ann, catalog_etl, catalog_ext,
     catalog_infer, catalog_iter, catalog_llm, catalog_pipe,
-    catalog_quality, catalog_scale, catalog_tpch, catalog_warehouse,
-    catalog_win,
+    catalog_quality, catalog_robust, catalog_scale, catalog_tpch,
+    catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -139,6 +139,11 @@ _DEBT_FIRST = [
     "privacy_k_anonymity",              # ~0.6s
     "embed_outlier_prune",              # ~1s
     "graph_kcore_decomposition",        # ~2s (3 pruning rounds)
+    # -- third r7 wave (catalog_robust.py), cheapest-first --
+    "privacy_l_diversity",              # ~0.4s
+    "sketch_kmv_jaccard",               # ~0.8s
+    "stats_bootstrap_means",            # ~1s (32 replicas, one scan)
+    "stats_theilsen_trend",             # ~7s (days^2 pairs, two-pass)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

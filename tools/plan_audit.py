@@ -44,6 +44,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "range-band join: bounded band documented"},
     "join_asof_attribution": {
         "nested_loop": "as-of range join over broadcast dim"},
+    "embed_knn_classify": {
+        "nested_loop": "evaluation harness: held-out queries broadcast "
+                       "against the corpus via the sim_topk_bruteforce "
+                       "baseline; docstring routes the scale path to "
+                       "the persisted ANN index serve"},
     # windows over BOUNDED aggregates (deciles, per-group top-k of
     # pre-aggregated frames) - input is O(groups), not O(rows)
     "orders_revenue_concentration": {
