@@ -1293,3 +1293,70 @@ def motion_energy(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, MOTION_SCHEMA)
+
+
+AHASH_SIG_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("y", T.IntegerType(), True),
+    T.StructField("rsig", T.LongType(), True),
+])
+
+
+def _bmp_luma_rows(payload: bytes) -> tuple:
+    """Decode a 24-bpp BMP into per-pixel luminance (b+g+r) rows in
+    TOP-DOWN synthesis order (the encoder writes rows bottom-up, so the
+    walk inverts the row index). Returns (w, h, [[lum per x] per y])."""
+    magic, _fsize, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    height = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        # bottom-up storage (positive height): synthesis row y sits at
+        # stored row height-1-y; top-down (negative height) stores y at y
+        stored = height - 1 - y if h > 0 else y
+        base = off + stored * row_size
+        px = payload[base:base + w * 3]
+        rows.append([px[3 * x] + px[3 * x + 1] + px[3 * x + 2]
+                     for x in range(w)])
+    return w, height, rows
+
+
+def ahash_row_signatures(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) fingerprint of each BMP image, emitted as
+    one integer ROW SIGNATURE per scanline: bit x of row y is set iff
+    pixel luminance strictly exceeds the image mean (the comparison is
+    the exact integer cross-multiplication lum * n_pixels > total_lum -
+    no division, so the bit pattern is engine-exact). The row signature
+    doubles as the Hamming-LSH band key: images sharing any
+    (dims, y, rsig) band collide, which is the classic bit-sampling LSH
+    for Hamming space - candidate pairs come from an equi-join, never
+    an all-pairs product. Only O(height) scalar rows leave the executor
+    per image; payload bytes never shuffle."""
+    cols = [f.name for f in AHASH_SIG_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, rows = _bmp_luma_rows(bytes(payload))
+                np_ = w * h
+                total = sum(lum for r in rows for lum in r)
+                for y, r in enumerate(rows):
+                    sig = 0
+                    for x, lum in enumerate(r):
+                        if lum * np_ > total:
+                            sig |= 1 << x
+                    recs.append((mid, w, h, y, sig))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, AHASH_SIG_SCHEMA)

@@ -144,6 +144,7 @@ _DEBT_FIRST = [
     "sketch_kmv_jaccard",               # ~0.8s
     "stats_bootstrap_means",            # ~1s (32 replicas, one scan)
     "stats_theilsen_trend",             # ~7s (days^2 pairs, two-pass)
+    "dedup_image_ahash_lsh",            # ~1.5s (aHash + Hamming LSH)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -67,3 +67,37 @@ def test_bootstrap_replicas_bracket_true_mean(spark):
         assert abs(m - true_micro) <= 0.2 * true_micro
     assert len(set(means)) > 1
     assert all(r["n_eff"] > 0 for r in rows)
+
+
+def test_ahash_row_sigs_match_direct_computation(spark):
+    from python_etl_rest_api_spark.operators.multimodal import (
+        ahash_row_signatures, synthesize_bmp_media)
+    sig = {(r["media_id"], r["y"]): r["rsig"]
+           for r in ahash_row_signatures(
+               synthesize_bmp_media(spark, n=6)).collect()}
+    for i in range(6):
+        w, h = 8 + i % 5, 6 + i % 3
+        lum = {(x, y): ((i*7 + x*3 + y*5) % 256
+                        + (i*7 + x*3 + y*5 + 11) % 256
+                        + (i*7 + x*3 + y*5 + 22) % 256)
+               for x in range(w) for y in range(h)}
+        total = sum(lum.values())
+        for y in range(h):
+            expect = sum((1 << x) for x in range(w)
+                         if lum[(x, y)] * (w * h) > total)
+            assert sig[(i, y)] == expect, (i, y)
+
+
+def test_ahash_lsh_pairs_are_true_near_dups(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        dedup_image_ahash_lsh)
+    rows = dedup_image_ahash_lsh(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming_bits"] <= 16
+        # same-dims requirement of the band join
+        assert (8 + r["id_a"] % 5, 6 + r["id_a"] % 3) == \
+               (r["width"], r["height"])
+        assert (8 + r["id_b"] % 5, 6 + r["id_b"] % 3) == \
+               (r["width"], r["height"])
