@@ -442,3 +442,155 @@ def dedup_image_ahash_lsh(spark, sf_dir):
     return (ham.filter(F.col("hamming_bits") <= 16)
             .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
                     "width", "height", "hamming_bits"))
+
+
+# ---------------------------------------------------------------------
+# BM25 ranked retrieval — exact rational scoring, top-k serve
+# ---------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "spark", "window")
+
+
+@query("search_bm25_topk", f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    tk AS (SELECT doc_id, w FROM toks WHERE w != ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tk GROUP BY doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_len
+            FROM dl),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w),
+    dfr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY w),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(CAST(88 * t.tf * o.total_len
+                       * (2 * (o.n_docs - f.df) + 1) AS HUGEINT)
+                  * 1000000
+                  // ((40 * t.tf * o.total_len + 12 * o.total_len
+                       + 36 * d.dl * o.n_docs) * (2 * f.df + 1))
+                  AS BIGINT) AS s
+      FROM tf t JOIN dl d ON d.doc_id = t.doc_id
+                JOIN dfr f ON f.w = t.w
+                CROSS JOIN tot o),
+    agg AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_micros,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, score_micros, n_terms_matched
+    FROM agg ORDER BY score_micros DESC, doc_id LIMIT 10
+""")
+def search_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval over the document corpus — the IR serving
+    leg of the text family: score every document against the fixed
+    3-term query {vector, spark, window} with k1=1.2, b=0.75 and return
+    the top 10. EXACT arithmetic throughout: clearing denominators
+    turns the tf saturation term into the integer ratio
+    88*tf*L / (40*tf*L + 12*L + 36*dl*N), and the idf uses the
+    RATIO form (N - df + 1/2)/(df + 1/2) = (2(N-df)+1)/(2df+1) — a
+    monotone stand-in for the classic log idf, chosen because ln() is
+    not bit-reproducible across engines (the text_collocations_pmi
+    precedent). Per-term scores publish as floor-micros via a
+    DECIMAL(38,0)/HUGEINT numerator (BIGINT would overflow at sf>=1)
+    divided with Spark `div` == DuckDB `//` (quotient fits int64, where
+    both are exact).
+
+    Plan: one corpus scan feeds both the length table and the
+    tf postings; df and the (N, L) scalars broadcast back onto the
+    postings; the top-10 is TakeOrderedAndProject (per-partition
+    top-k, never a global sort). Query-term postings are the only
+    rows that shuffle. Reference N/A."""
+    tune(spark)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()
+                    & F.col("doc_id").isNotNull()))
+    tk = (docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != ""))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("total_len"))
+    tf = (tk.filter(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sc = (tf.join(dl, "doc_id")
+          .join(F.broadcast(dfr), "w")
+          .crossJoin(F.broadcast(tot))
+          .select("doc_id",
+                  F.expr("""CAST(CAST(88 * tf * total_len
+                                 * (2 * (n_docs - df) + 1)
+                                 AS DECIMAL(38,0)) * 1000000
+                            div ((40 * tf * total_len + 12 * total_len
+                                  + 36 * dl * n_docs) * (2 * df + 1))
+                            AS BIGINT)""").alias("s")))
+    agg = sc.groupBy("doc_id").agg(
+        F.sum("s").alias("score_micros"),
+        F.count(F.lit(1)).alias("n_terms_matched"))
+    return (agg.orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+            .limit(10)
+            .select("doc_id", "score_micros", "n_terms_matched"))
+
+
+# ---------------------------------------------------------------------
+# Watermark late-data accounting — the batch twin of a 1 h watermark
+# ---------------------------------------------------------------------
+
+@query("stream_late_arrivals", """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND ts IS NOT NULL),
+    w AS (
+      SELECT event_type, es,
+             MAX(es) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS hwm
+      FROM e)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN hwm - es > 3600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(MAX(CASE WHEN hwm > es THEN hwm - es ELSE 0 END)
+                AS BIGINT) AS max_lateness_s
+    FROM w GROUP BY event_type
+""")
+def stream_late_arrivals(spark, sf_dir):
+    """Watermark late-data accounting — the deterministic batch twin of
+    ``withWatermark("ts", "1 hour")``: within each user's ARRIVAL order
+    (event_id, the ingestion sequence), an event whose event time
+    trails the user's high-water mark by more than the 1 h watermark
+    delay would have been dropped by the streaming job; this entry
+    counts those drops per event type and the worst lateness observed —
+    the audit a pipeline runs before choosing its watermark delay. The
+    high-water mark is a per-user running MAX over rows 1-preceding, so
+    the first arrival is never late. Exact integer epoch seconds
+    (epoch_us // 1e6 == unix_timestamp, the events_resample_gapfill
+    recipe).
+
+    Plan: one scan, one partitioned window (state = one long per user,
+    streams at any user cardinality), one map-side-combined rollup.
+    The streaming twin is stream_sessionize's readStream shape with
+    withWatermark; this batch form is what the driver can value-hash.
+    Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    e = (_events(spark, sf_dir)
+         .filter(F.col("event_id").isNotNull()
+                 & F.col("user_id").isNotNull()
+                 & F.col("ts").isNotNull())
+         .select("event_id", "user_id", "event_type",
+                 F.unix_timestamp("ts").cast("long").alias("es")))
+    hwm = (W.partitionBy("user_id").orderBy("event_id")
+           .rowsBetween(W.unboundedPreceding, -1))
+    w = e.select("event_type", "es", F.max("es").over(hwm).alias("hwm"))
+    return (w.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("hwm") - F.col("es") > 3600, 1)
+                       .otherwise(0)).alias("n_late"),
+                 F.max(F.when(F.col("hwm") > F.col("es"),
+                              F.col("hwm") - F.col("es"))
+                       .otherwise(0)).alias("max_lateness_s")))

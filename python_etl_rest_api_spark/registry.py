@@ -145,6 +145,8 @@ _DEBT_FIRST = [
     "stats_bootstrap_means",            # ~1s (32 replicas, one scan)
     "stats_theilsen_trend",             # ~7s (days^2 pairs, two-pass)
     "dedup_image_ahash_lsh",            # ~1.5s (aHash + Hamming LSH)
+    "search_bm25_topk",                 # ~1s (rational BM25, top-10)
+    "stream_late_arrivals",             # ~0.6s (watermark audit)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

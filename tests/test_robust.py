@@ -101,3 +101,25 @@ def test_ahash_lsh_pairs_are_true_near_dups(spark):
                (r["width"], r["height"])
         assert (8 + r["id_b"] % 5, 6 + r["id_b"] % 3) == \
                (r["width"], r["height"])
+
+
+def test_bm25_topk_ranked_and_bounded(spark):
+    from python_etl_rest_api_spark.catalog_robust import search_bm25_topk
+    rows = search_bm25_topk(spark, SF).collect()
+    assert 1 <= len(rows) <= 10
+    scores = [(r["score_micros"], r["doc_id"]) for r in rows]
+    # descending by score, ascending doc_id tiebreak == sorted order
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        assert r["score_micros"] > 0
+        assert 1 <= r["n_terms_matched"] <= 3
+
+
+def test_late_arrivals_accounting(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        stream_late_arrivals)
+    for r in stream_late_arrivals(spark, SF).collect():
+        assert 0 <= r["n_late"] <= r["n_events"]
+        assert r["max_lateness_s"] >= 0
+        if r["n_late"] > 0:
+            assert r["max_lateness_s"] > 3600
