@@ -594,3 +594,329 @@ def stream_late_arrivals(spark, sf_dir):
                  F.max(F.when(F.col("hwm") > F.col("es"),
                               F.col("hwm") - F.col("es"))
                        .otherwise(0)).alias("max_lateness_s")))
+
+
+# ---------------------------------------------------------------------
+# AMS sign-sketch: second frequency moment (self-join size) estimate
+# ---------------------------------------------------------------------
+
+@query("sketch_ams_f2", """
+    WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    s AS (
+      SELECT j.j,
+             CASE WHEN CAST(('0x' || substr(md5('ams:' ||
+                      CAST(j.j AS VARCHAR) || ':' ||
+                      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM e, (SELECT unnest(range(0, 16)) AS j) j),
+    c AS (SELECT j, CAST(SUM(sgn) AS BIGINT) AS ctr FROM s GROUP BY j),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(ctr * ctr) // 16 AS BIGINT) AS est_f2
+            FROM c),
+    tru AS (SELECT CAST(SUM(cu * cu) AS BIGINT) AS true_f2
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cu
+                  FROM e GROUP BY user_id))
+    SELECT k, est_f2, true_f2 FROM est CROSS JOIN tru
+""")
+def sketch_ams_f2(spark, sf_dir):
+    """AMS (Alon-Matias-Szegedy) sign sketch for the second frequency
+    moment of user_id — i.e. the SELF-JOIN SIZE of events on user, the
+    quantity a query optimizer needs to cost a skewed join without
+    scanning twice. Each of k=16 estimators keeps one counter
+    ctr_j = sum over rows of s_j(user), s_j = +/-1 from an md5 bit;
+    E[ctr^2] = F2 exactly, and the published estimate is the integer
+    mean of the 16 squares. Counters are plain sums — mergeable across
+    partitions/sketches like the CM/HLL/KMV siblings — and md5 makes
+    the estimate itself value-hashable. True F2 published as witness.
+
+    Plan: the 16x replicate explode is map-side combined to <= 16
+    partial rows per partition before the shuffle; the witness is one
+    map-side-combined group-count. Reference N/A."""
+    tune(spark)
+    e = (_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+         .select("user_id"))
+    s = e.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"))
+    u = _h32("ams:", F.concat(F.col("j").cast("string"), F.lit(":"),
+                              F.col("user_id").cast("string")))
+    sgn = F.when(u % 2 == 0, 1).otherwise(-1)
+    c = s.select("j", sgn.alias("sgn")).groupBy("j").agg(
+        F.sum("sgn").alias("ctr"))
+    est = c.agg(F.count(F.lit(1)).alias("k"),
+                F.expr("sum(ctr * ctr) div 16").cast("long")
+                .alias("est_f2"))
+    tru = (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cu"))
+           .agg(F.sum(F.col("cu") * F.col("cu")).alias("true_f2")))
+    return est.crossJoin(F.broadcast(tru)).select("k", "est_f2",
+                                                  "true_f2")
+
+
+# ---------------------------------------------------------------------
+# Zone-map pruning — the READ side of the z-order layout entry
+# ---------------------------------------------------------------------
+
+@query("layout_zonemap_prune", """
+    WITH z AS (
+      SELECT c_custkey,
+             CAST(c_nationkey % 16 AS BIGINT) AS nb,
+             CAST(LEAST(GREATEST(CAST(floor(c_acctbal / 750) AS BIGINT),
+                                 0), 15) AS BIGINT) AS ab
+      FROM customer),
+    zi AS (
+      SELECT c_custkey, nb, ab,
+             (nb & 1) | ((ab & 1) << 1)
+           | (((nb >> 1) & 1) << 2) | (((ab >> 1) & 1) << 3)
+           | (((nb >> 2) & 1) << 4) | (((ab >> 2) & 1) << 5)
+           | (((nb >> 3) & 1) << 6) | (((ab >> 3) & 1) << 7) AS zval
+      FROM z),
+    st AS (
+      SELECT zval // 16 AS zb,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(nb) AS BIGINT) AS mn,
+             CAST(MAX(nb) AS BIGINT) AS mx,
+             CAST(SUM(CASE WHEN nb = 7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches
+      FROM zi GROUP BY 1)
+    SELECT CAST(zb AS BIGINT) AS zbucket, n_rows,
+           CAST(CASE WHEN mn <= 7 AND 7 <= mx THEN 1 ELSE 0 END
+                AS INTEGER) AS scanned,
+           n_matches
+    FROM st
+""")
+def layout_zonemap_prune(spark, sf_dir):
+    """Zone-map PRUNING — the read side of layout_zorder_stats' write
+    side: rebuild the 16 z-range zones over (nation bucket, balance
+    bucket), keep each zone's min/max of the nation bucket, and decide
+    per zone whether the predicate nb = 7 can skip it (skip iff
+    7 outside [min, max] — the decision a parquet/lakehouse reader
+    makes from footer stats before touching data pages). Publishes per
+    zone: row count, the scan/skip decision, and the matching rows —
+    so the oracle also proves COMPLETENESS (a skipped zone provably
+    holds zero matches; min <= v <= max is implied by v's presence).
+
+    Plan: one scan, one map-side-combined zone aggregate; the
+    decision column is a scalar expression over the zone stats. At
+    100 TB the zone table is O(files), the decision never reads data.
+    Reference N/A."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    nb = (F.col("c_nationkey") % 16).cast("long")
+    ab = F.least(F.greatest(F.floor(F.col("c_acctbal") / 750)
+                            .cast("long"), F.lit(0)), F.lit(15))
+    z = c.select(nb.alias("nb"), ab.alias("ab"))
+    zval = F.expr(
+        "(nb & 1) | ((ab & 1) << 1) | (((nb >> 1) & 1) << 2)"
+        " | (((ab >> 1) & 1) << 3) | (((nb >> 2) & 1) << 4)"
+        " | (((ab >> 2) & 1) << 5) | (((nb >> 3) & 1) << 6)"
+        " | (((ab >> 3) & 1) << 7)")
+    st = (z.select("nb", zval.alias("zval"))
+          .groupBy((F.col("zval") / 16).cast("long").alias("zbucket"))
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.min("nb").alias("mn"), F.max("nb").alias("mx"),
+               F.sum(F.when(F.col("nb") == 7, 1).otherwise(0))
+               .alias("n_matches")))
+    return st.select(
+        "zbucket", "n_rows",
+        F.when((F.col("mn") <= 7) & (F.col("mx") >= 7), 1)
+        .otherwise(0).cast("int").alias("scanned"),
+        "n_matches")
+
+
+# ---------------------------------------------------------------------
+# Randomization (permutation) test — deterministic relabeling
+# ---------------------------------------------------------------------
+
+_PERM_M = ("CASE WHEN value IS NOT NULL AND NOT isnan(value) "
+           "AND value >= 0 AND value < 1e12 "
+           "THEN CAST(floor(value * 1000000.0) AS BIGINT) END")
+
+
+@query("stats_permutation_test", f"""
+    WITH base AS (
+      SELECT event_id, event_type, {_PERM_M} AS m
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+        AND event_id IS NOT NULL),
+    b2 AS (SELECT event_id, event_type, m FROM base WHERE m IS NOT NULL),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(COUNT(*) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN m ELSE 0 END)
+                  AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN m ELSE 0
+                  END) AS BIGINT) AS sb
+      FROM b2),
+    obs AS (
+      SELECT na, nt - na AS nb,
+             CAST(abs(sa // na - sb // (nt - na)) AS BIGINT) AS stat_obs
+      FROM tot),
+    perm AS (
+      SELECT j.j,
+             CASE WHEN CAST(('0x' || substr(md5('perm:' ||
+                      CAST(j.j AS VARCHAR) || ':' ||
+                      CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  * t.nt < t.na * 4294967296 THEN 1 ELSE 0 END AS ga,
+             e.m
+      FROM b2 e CROSS JOIN tot t,
+           (SELECT unnest(range(0, 32)) AS j) j),
+    ps AS (
+      SELECT j,
+             CAST(SUM(ga) AS BIGINT) AS pna,
+             CAST(SUM(1 - ga) AS BIGINT) AS pnb,
+             CAST(SUM(ga * m) AS BIGINT) AS psa,
+             CAST(SUM((1 - ga) * m) AS BIGINT) AS psb
+      FROM perm GROUP BY j),
+    stats AS (
+      SELECT j, CASE WHEN pna > 0 AND pnb > 0
+                     THEN abs(psa // pna - psb // pnb) END AS st
+      FROM ps)
+    SELECT o.na AS n_click, o.nb AS n_purchase,
+           o.stat_obs AS stat_obs_micros,
+           CAST(COUNT(s.st) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN s.st >= o.stat_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge
+    FROM stats s CROSS JOIN obs o
+    GROUP BY o.na, o.nb, o.stat_obs
+""")
+def stats_permutation_test(spark, sf_dir):
+    """Randomization test for the click-vs-purchase mean value gap: 32
+    deterministic relabelings (each row joins pseudo-group A iff its
+    md5(replicate, event_id) hash falls below na/nt — the exact integer
+    cross-multiplication u * nt < na * 2^32, no division) and the
+    fraction of replicates whose |mean gap| reaches the observed one.
+    The statistic is DEFINED as |floor(sA/nA) - floor(sB/nB)| in
+    micro-units (values are non-negative by the guard, so Spark `div`
+    == DuckDB `//`), making every replicate value-hashable; the
+    consumer's p-value is (n_ge + 1)/(n_perms + 1). A production run
+    swaps the hash for a seeded RNG — the plan is unchanged. This is
+    the distribution-free sibling of stats_welch_ttest (parametric) and
+    stats_mannwhitney_u (rank-based).
+
+    Plan: ONE scan; the 32x replicate explode is map-side combined to
+    <= 32 partial rows per partition (the stats_bootstrap_means shape);
+    the observed statistic rides the same scan. Reference N/A."""
+    tune(spark)
+    m = F.when(F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+               & (F.col("value") >= 0) & (F.col("value") < 1e12),
+               F.floor(F.col("value") * 1000000.0).cast("long"))
+    b2 = (_events(spark, sf_dir)
+          .filter(F.col("event_type").isin("click", "purchase")
+                  & F.col("event_id").isNotNull())
+          .select("event_id", "event_type", m.alias("m"))
+          .filter(F.col("m").isNotNull()))
+    tot = b2.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("na"),
+        F.count(F.lit(1)).alias("nt"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("m"))
+              .otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("m"))
+              .otherwise(0)).alias("sb"))
+    obs = tot.select(
+        "na", (F.col("nt") - F.col("na")).alias("nb"),
+        F.abs(F.expr("sa div na") - F.expr("sb div (nt - na)"))
+        .cast("long").alias("stat_obs"))
+    perm = (b2.select("event_id", "m",
+                      F.explode(F.sequence(F.lit(0), F.lit(31)))
+                      .alias("j"))
+            .crossJoin(F.broadcast(tot.select("na", "nt"))))
+    u = _h32("perm:", F.concat(F.col("j").cast("string"), F.lit(":"),
+                               F.col("event_id").cast("string")))
+    ga = F.when(u * F.col("nt") < F.col("na") * 4294967296, 1) \
+          .otherwise(0)
+    ps = (perm.select("j", "m", ga.alias("ga"))
+          .groupBy("j")
+          .agg(F.sum("ga").alias("pna"),
+               F.sum(1 - F.col("ga")).alias("pnb"),
+               F.sum(F.col("ga") * F.col("m")).alias("psa"),
+               F.sum((1 - F.col("ga")) * F.col("m")).alias("psb")))
+    stats = ps.select(
+        F.when((F.col("pna") > 0) & (F.col("pnb") > 0),
+               F.abs(F.expr("psa div pna") - F.expr("psb div pnb")))
+        .alias("st"))
+    return (stats.crossJoin(F.broadcast(obs))
+            .groupBy(F.col("na").alias("n_click"),
+                     F.col("nb").alias("n_purchase"),
+                     F.col("stat_obs").alias("stat_obs_micros"))
+            .agg(F.count("st").alias("n_perms"),
+                 F.sum(F.when(F.col("st") >= F.col("stat_obs"), 1)
+                       .otherwise(0)).alias("n_ge")))
+
+
+# ---------------------------------------------------------------------
+# Multi-source BFS over the co-purchase graph — exact hop levels
+# ---------------------------------------------------------------------
+
+@query("graph_bfs_levels", """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.p AS a, b.p AS b
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS n FROM e),
+    d0 AS MATERIALIZED (SELECT n FROM nodes ORDER BY n LIMIT 5),
+    d1 AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS n FROM e JOIN d0 ON d0.n = e.src
+      WHERE e.dst NOT IN (SELECT n FROM d0)),
+    d2 AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS n FROM e JOIN d1 ON d1.n = e.src
+      WHERE e.dst NOT IN (SELECT n FROM d0)
+        AND e.dst NOT IN (SELECT n FROM d1)),
+    d3 AS MATERIALIZED (
+      SELECT DISTINCT e.dst AS n FROM e JOIN d2 ON d2.n = e.src
+      WHERE e.dst NOT IN (SELECT n FROM d0)
+        AND e.dst NOT IN (SELECT n FROM d1)
+        AND e.dst NOT IN (SELECT n FROM d2)),
+    lv AS (
+      SELECT 0 AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM d0
+      UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM d1
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM d2
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM d3),
+    reach AS (SELECT CAST(SUM(n_nodes) AS BIGINT) AS r FROM lv),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nodes)
+    SELECT CAST(dist AS INTEGER) AS dist, n_nodes FROM lv
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER) AS dist, CAST(t - r AS BIGINT)
+    FROM tot CROSS JOIN reach
+""")
+def graph_bfs_levels(spark, sf_dir):
+    """Multi-source breadth-first search over the part co-purchase
+    graph: the 5 lowest-id nodes seed the frontier, three expansion
+    rounds assign each reached node its exact shortest-path level, and
+    the published histogram counts nodes per level plus the unreached
+    remainder (dist = -1) — the reachability/diameter probe run before
+    choosing walk lengths for graph algorithms. Fixed rounds keep the
+    state deterministic (the kcore_prune / pagerank_int discipline).
+
+    Plan per round: one frontier equi-join + distinct + anti-join
+    against the visited set — only (node, dist) pairs shuffle;
+    localCheckpoint truncates lineage per round. The seed pick is
+    TakeOrderedAndProject. Operator: operators/graph.py::bfs_levels.
+    Reference N/A."""
+    tune(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+    from .operators import graph as G
+    edges = G.copurchase_edges(li).localCheckpoint()
+    nodes = edges.select(F.col("src").alias("n")).distinct()
+    sources = nodes.orderBy("n").limit(5)
+    levels = G.bfs_levels(edges, sources, rounds=3)
+    lv = (levels.groupBy("dist")
+          .agg(F.count(F.lit(1)).alias("n_nodes")))
+    n_total = nodes.count()
+    n_reached = levels.count()
+    # the oracle emits every level 0..rounds even when a frontier is
+    # empty (COUNT over an empty set is still one 0 row) — mirror that
+    grid = spark.createDataFrame([(d,) for d in range(4)], "dist int")
+    lv = (grid.join(lv, "dist", "left")
+          .select("dist", F.coalesce("n_nodes", F.lit(0))
+                  .cast("long").alias("n_nodes")))
+    unreached = spark.createDataFrame(
+        [(-1, n_total - n_reached)], "dist int, n_nodes long")
+    return lv.select(F.col("dist").cast("int"), "n_nodes") \
+             .union(unreached)

@@ -183,3 +183,34 @@ def kcore_prune(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
              .join(keep.select(F.col("src").alias("dst")), "dst")
              .localCheckpoint())
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def bfs_levels(edges: DataFrame, sources: DataFrame,
+               rounds: int = 3) -> DataFrame:
+    """Multi-source breadth-first search, fixed ``rounds`` hops: returns
+    (node, dist) for every node reached within ``rounds`` of any source
+    (dist = hop count of the FIRST round that reached it, i.e. the
+    exact shortest-path level; sources are dist 0).
+
+    ``sources`` must be a (node) frame. Each round expands the frontier
+    through one equi-join and anti-joins the already-visited set — the
+    standard distributed BFS where only (node, dist) pairs shuffle;
+    localCheckpoint truncates lineage per round so the plan stays
+    round-sized. Fixed rounds keep the published state deterministic
+    (the pagerank_int / kcore_prune discipline); production loops until
+    the frontier empties."""
+    visited = (sources.select(F.col(sources.columns[0]).alias("node"))
+               .distinct()
+               .withColumn("dist", F.lit(0).cast("int"))
+               .localCheckpoint())
+    frontier = visited.select("node")
+    for hop in range(1, rounds + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src"),
+                          "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(hop).cast("int"))
+               .localCheckpoint())
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

@@ -147,6 +147,10 @@ _DEBT_FIRST = [
     "dedup_image_ahash_lsh",            # ~1.5s (aHash + Hamming LSH)
     "search_bm25_topk",                 # ~1s (rational BM25, top-10)
     "stream_late_arrivals",             # ~0.6s (watermark audit)
+    "sketch_ams_f2",                    # ~0.7s (16 sign counters)
+    "layout_zonemap_prune",             # ~0.5s (read-side skip audit)
+    "stats_permutation_test",           # ~1.5s (32 relabelings)
+    "graph_bfs_levels",                 # ~4s (3 frontier rounds)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

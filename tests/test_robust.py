@@ -123,3 +123,43 @@ def test_late_arrivals_accounting(spark):
         assert r["max_lateness_s"] >= 0
         if r["n_late"] > 0:
             assert r["max_lateness_s"] > 3600
+
+
+def test_ams_f2_estimate_brackets_truth(spark):
+    from python_etl_rest_api_spark.catalog_robust import sketch_ams_f2
+    r = sketch_ams_f2(spark, SF).collect()[0]
+    assert r["k"] == 16
+    # k=16 AMS: loose bracket, but the estimator must be in the
+    # right order of magnitude of the exact self-join size
+    assert 0.2 * r["true_f2"] <= r["est_f2"] <= 5 * r["true_f2"]
+
+
+def test_zonemap_prune_is_complete(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        layout_zonemap_prune)
+    rows = layout_zonemap_prune(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    assert any(r["scanned"] == 0 for r in rows)  # pruning happens
+    for r in rows:
+        if r["scanned"] == 0:  # a skipped zone may hold NO matches
+            assert r["n_matches"] == 0
+
+
+def test_permutation_test_counts(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        stats_permutation_test)
+    r = stats_permutation_test(spark, SF).collect()[0]
+    assert 1 <= r["n_perms"] <= 32
+    assert 0 <= r["n_ge"] <= r["n_perms"]
+    assert r["stat_obs_micros"] >= 0
+    assert r["n_click"] > 0 and r["n_purchase"] > 0
+
+
+def test_bfs_levels_partition_nodes(spark):
+    from python_etl_rest_api_spark.catalog_robust import graph_bfs_levels
+    rows = {r["dist"]: r["n_nodes"] for r in
+            graph_bfs_levels(spark, SF).collect()}
+    assert set(rows) == {-1, 0, 1, 2, 3}
+    assert rows[0] == 5  # five seeds (graph has >5 nodes at any sf)
+    assert all(v >= 0 for v in rows.values())
