@@ -920,3 +920,148 @@ def graph_bfs_levels(spark, sf_dir):
         [(-1, n_total - n_reached)], "dist int, n_nodes long")
     return lv.select(F.col("dist").cast("int"), "n_nodes") \
              .union(unreached)
+
+
+# ---------------------------------------------------------------------
+# Join-size estimation from heavy-hitter histograms (planner stats)
+# ---------------------------------------------------------------------
+
+@query("stats_join_size_est", """
+    WITH a AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    b AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey),
+    ha AS (SELECT k, c FROM a ORDER BY c DESC, k LIMIT 20),
+    hb AS (SELECT k, c FROM b ORDER BY c DESC, k LIMIT 20),
+    hh AS (SELECT CAST(COALESCE(SUM(ha.c * hb.c), 0) AS BIGINT) AS hot
+           FROM ha JOIN hb ON ha.k = hb.k),
+    ra AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_r,
+                  CAST(COUNT(*) AS BIGINT) AS nd_r
+           FROM a WHERE k NOT IN (SELECT k FROM ha)),
+    rb AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_s,
+                  CAST(COUNT(*) AS BIGINT) AS nd_s
+           FROM b WHERE k NOT IN (SELECT k FROM hb)),
+    est AS (
+      SELECT hh.hot,
+             CAST(CASE WHEN COALESCE(ra.nd_r, 0) = 0
+                         OR COALESCE(rb.nd_s, 0) = 0 THEN 0
+                  ELSE ra.rows_r * rb.rows_s
+                       // GREATEST(ra.nd_r, rb.nd_s) END AS BIGINT)
+               AS cold
+      FROM hh CROSS JOIN ra CROSS JOIN rb),
+    tru AS (
+      SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS true_size
+      FROM a JOIN b ON a.k = b.k)
+    SELECT hot AS est_hot, cold AS est_cold,
+           CAST(hot + cold AS BIGINT) AS est_size, true_size
+    FROM est CROSS JOIN tru
+""")
+def stats_join_size_est(spark, sf_dir):
+    """Join-size estimation from per-side key statistics — what a
+    cost-based optimizer does before picking broadcast vs shuffle vs
+    skew-salting: the top-20 heavy hitters of each side join EXACTLY
+    (hot term = sum of count products over shared hot keys), and the
+    residual mass uses the System-R containment estimate
+    rows_R * rows_S / max(ndv_R, ndv_S) in integer floor division.
+    Estimated here: |events JOIN orders ON user_id = o_custkey| — two
+    genuinely multi-cardinality sides with partial key overlap. The
+    exact join size is published as the accuracy witness (the quantity
+    the estimator exists to avoid computing at 100 TB).
+
+    Plan: two map-side-combined key aggregates; heavy hitters are
+    TakeOrderedAndProject (per-partition heaps); the residual scalars
+    are one anti-join aggregate per side; nothing row-scale shuffles
+    twice. Reference N/A."""
+    tune(spark)
+    a = (_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+         .groupBy(F.col("user_id").alias("k"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    b = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey").isNotNull())
+         .groupBy(F.col("o_custkey").alias("k"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    ha = a.orderBy(F.col("c").desc(), F.col("k")).limit(20) \
+          .localCheckpoint()
+    hb = b.orderBy(F.col("c").desc(), F.col("k")).limit(20) \
+          .localCheckpoint()
+    hh = (ha.alias("x").join(hb.alias("y"), "k")
+          .agg(F.coalesce(F.sum(F.col("x.c") * F.col("y.c")), F.lit(0))
+               .cast("long").alias("hot")))
+    ra = (a.join(ha.select("k"), "k", "left_anti")
+          .agg(F.sum("c").alias("rows_r"),
+               F.count(F.lit(1)).alias("nd_r")))
+    rb = (b.join(hb.select("k"), "k", "left_anti")
+          .agg(F.sum("c").alias("rows_s"),
+               F.count(F.lit(1)).alias("nd_s")))
+    est = (hh.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(rb))
+           .select("hot",
+                   F.when((F.coalesce("nd_r", F.lit(0)) == 0)
+                          | (F.coalesce("nd_s", F.lit(0)) == 0),
+                          F.lit(0))
+                   .otherwise(F.expr(
+                       "(rows_r * rows_s) div greatest(nd_r, nd_s)"))
+                   .cast("long").alias("cold")))
+    tru = (a.alias("x").join(b.alias("y"), "k")
+           .agg(F.coalesce(F.sum(F.col("x.c") * F.col("y.c")),
+                           F.lit(0)).cast("long").alias("true_size")))
+    return (est.crossJoin(F.broadcast(tru))
+            .select(F.col("hot").alias("est_hot"),
+                    F.col("cold").alias("est_cold"),
+                    (F.col("hot") + F.col("cold")).cast("long")
+                    .alias("est_size"),
+                    "true_size"))
+
+
+# ---------------------------------------------------------------------
+# Dynamic partition overwrite — the idempotent-backfill sink primitive
+# ---------------------------------------------------------------------
+
+@query("sink_partition_overwrite", """
+    WITH e AS (
+      SELECT event_type, event_id FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_type != 'click'
+                           OR event_id % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type != 'click'
+                           OR event_id % 2 = 0
+                         THEN event_id ELSE 0 END) AS BIGINT) AS id_sum
+    FROM e GROUP BY event_type
+    HAVING SUM(CASE WHEN event_type != 'click' OR event_id % 2 = 0
+               THEN 1 ELSE 0 END) > 0
+""")
+def sink_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the idempotent-backfill sink a
+    100 TB pipeline re-runs daily: generation 1 writes the full events
+    table partitioned by event_type; generation 2 'corrects' ONLY the
+    click partition (keeping even event_ids) with
+    partitionOverwriteMode=dynamic, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    partition's files untouched. The read-back per-partition counts and
+    id-sums prove both halves: the click partition holds only the
+    corrected rows, and no other partition changed. Static overwrite
+    would have dropped them — that is the failure mode this mode
+    exists to prevent.
+
+    The per-call two-generation write is the honest demo cost (the
+    layout_bucketed_join precedent); at scale the write IS the
+    pipeline. Partition values are non-null by filter so no
+    __HIVE_DEFAULT_PARTITION__ leg. Reference N/A."""
+    import tempfile as _tf
+    tune(spark)
+    e = (_events(spark, sf_dir)
+         .filter(F.col("event_type").isNotNull()
+                 & F.col("event_id").isNotNull())
+         .select("event_type", "event_id"))
+    out = _tf.mkdtemp(prefix="dynpart_") + "/events"
+    (e.write.mode("overwrite").partitionBy("event_type").parquet(out))
+    corrected = e.filter((F.col("event_type") == "click")
+                         & (F.col("event_id") % 2 == 0))
+    (corrected.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("event_id").alias("id_sum")))

@@ -151,6 +151,8 @@ _DEBT_FIRST = [
     "layout_zonemap_prune",             # ~0.5s (read-side skip audit)
     "stats_permutation_test",           # ~1.5s (32 relabelings)
     "graph_bfs_levels",                 # ~4s (3 frontier rounds)
+    "stats_join_size_est",              # ~1s (hot/cold histogram est)
+    "sink_partition_overwrite",         # ~1.5s (2-gen dynamic write)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

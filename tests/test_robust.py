@@ -163,3 +163,30 @@ def test_bfs_levels_partition_nodes(spark):
     assert set(rows) == {-1, 0, 1, 2, 3}
     assert rows[0] == 5  # five seeds (graph has >5 nodes at any sf)
     assert all(v >= 0 for v in rows.values())
+
+
+def test_join_size_estimator_brackets_truth(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        stats_join_size_est)
+    r = stats_join_size_est(spark, SF).collect()[0]
+    assert r["est_size"] == r["est_hot"] + r["est_cold"]
+    assert r["true_size"] > 0
+    # hot keys exact + containment residual: right order of magnitude
+    assert 0.1 * r["true_size"] <= r["est_size"] <= 10 * r["true_size"]
+
+
+def test_partition_overwrite_touches_only_target(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        sink_partition_overwrite)
+    got = {r["event_type"]: (r["n_rows"], r["id_sum"]) for r in
+           sink_partition_overwrite(spark, SF).collect()}
+    src = (spark.read.parquet(f"{SF}/events.parquet")
+           .filter(F.col("event_type").isNotNull()
+                   & F.col("event_id").isNotNull()))
+    for r in (src.withColumn(
+                "keep", (F.col("event_type") != "click")
+                | (F.col("event_id") % 2 == 0))
+              .filter("keep").groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("event_id").alias("s")).collect()):
+        assert got[r["event_type"]] == (r["n"], r["s"])
