@@ -1065,3 +1065,192 @@ def sink_partition_overwrite(spark, sf_dir):
     return (back.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("event_id").alias("id_sum")))
+
+
+# ---------------------------------------------------------------------
+# Matryoshka truncation recall — serve-dim evaluation for embeddings
+# ---------------------------------------------------------------------
+
+_COS_N_SQL = """list_reduce(list_transform(range(1, {n}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, {n}),
+                 i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)),
+                 (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, {n}),
+                 i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                 (x, y) -> x + y)))"""
+
+
+@query("embed_matryoshka_recall", f"""
+    WITH emb AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM emb
+          WHERE vec_id < 3),
+    fullp AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_COS_N_SQL.format(n=65, a='q.qv',
+                                           b='e.embedding')}
+               DESC NULLS LAST, e.vec_id) AS rk
+      FROM emb e JOIN q ON q.qid != e.vec_id),
+    trp AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY {_COS_N_SQL.format(n=33, a='q.qv',
+                                           b='e.embedding')}
+               DESC NULLS LAST, e.vec_id) AS rk
+      FROM emb e JOIN q ON q.qid != e.vec_id),
+    ov AS (
+      SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS overlap10
+      FROM fullp f JOIN trp t ON t.qid = f.qid AND t.vec_id = f.vec_id
+      WHERE f.rk <= 10 AND t.rk <= 10 GROUP BY f.qid)
+    SELECT q.qid, CAST(10 AS INTEGER) AS k,
+           CAST(COALESCE(ov.overlap10, 0) AS BIGINT) AS overlap10
+    FROM q LEFT JOIN ov ON ov.qid = q.qid
+""")
+def embed_matryoshka_recall(spark, sf_dir):
+    """Matryoshka / truncated-dimension serving evaluation: how much of
+    the exact 64-dim cosine top-10 survives if the index serves only
+    the FIRST 32 dimensions (the memory-halving trick
+    matryoshka-trained embedders enable)? Publishes per query the
+    integer overlap@10 between the full-dim and truncated-dim rankings
+    — the number an embedding platform measures before shipping a
+    lower-dim serving tier. Both legs rank by the order-pinned
+    sequential cosine fold (the sim_topk_bruteforce recipe) with
+    (sim DESC NULLS LAST, vec_id) total order, so the two top-10 SETS
+    are engine-identical and the published count is exact even though
+    the sims are floats.
+
+    Plan: the 3-query batch broadcasts against the corpus twice (full
+    and sliced vectors — the corpus never shuffles); ranking windows
+    partition per query. The truncated leg is the cheap one at scale:
+    half the floats per candidate. Reference N/A."""
+    from .operators import similarity
+    tune(spark)
+    emb = (similarity.valid_vectors(
+               _t(spark, sf_dir, "embeddings"), dim=64)
+           .filter(F.col("vec_id").isNotNull())
+           .select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    full = similarity.topk_bruteforce(emb, q, k=10)
+    emb32 = emb.select("vec_id",
+                       F.slice("embedding", 1, 32).alias("embedding"))
+    q32 = q.select("qid", F.slice("qv", 1, 32).alias("qv"))
+    tr = similarity.topk_bruteforce(emb32, q32, k=10)
+    ov = (full.select("qid", "vec_id")
+          .join(tr.select("qid", "vec_id"), ["qid", "vec_id"])
+          .groupBy("qid").agg(F.count(F.lit(1)).alias("overlap10")))
+    return (q.select("qid").join(ov, "qid", "left")
+            .select("qid", F.lit(10).cast("int").alias("k"),
+                    F.coalesce("overlap10", F.lit(0)).cast("long")
+                    .alias("overlap10")))
+
+
+# ---------------------------------------------------------------------
+# Right-to-be-forgotten erasure with a verifiable audit
+# ---------------------------------------------------------------------
+
+@query("privacy_erasure_audit", """
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL AND user_id % 37 = 0),
+    flagged AS (
+      SELECT e.event_type,
+             CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END AS erased
+      FROM events e LEFT JOIN del d ON d.user_id = e.user_id)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(erased) AS BIGINT) AS n_erased,
+           CAST(SUM(1 - erased) AS BIGINT) AS n_after
+    FROM flagged GROUP BY event_type
+""")
+def privacy_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten erasure with a verifiable audit: a
+    deletion list (here: every 37th user — the stand-in for the DSR
+    queue) anti-joins the fact table, and the audit publishes, per
+    event type, rows before / erased / retained, with
+    n_before = n_erased + n_after as the conservation witness. NULL
+    user rows are retained (no subject, nothing to erase) — the
+    LEFT-join flag encodes that without the NOT IN null trap.
+
+    Plan: the deletion list is dimension-sized and broadcasts; the
+    erasure pass is the same broadcast anti-join a 100 TB compaction
+    job runs, and the audit rides it as one map-side-combined
+    aggregate — the fact table is scanned once. Reference N/A."""
+    tune(spark)
+    ev = _events(spark, sf_dir)
+    dl = (ev.filter(F.col("user_id").isNotNull()
+                    & (F.col("user_id") % 37 == 0))
+          .select("user_id").distinct())
+    flagged = (ev.join(F.broadcast(dl.withColumn("_d", F.lit(1))),
+                       "user_id", "left")
+               .select("event_type",
+                       F.when(F.col("_d").isNotNull(), 1).otherwise(0)
+                       .alias("erased")))
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_before"),
+                 F.sum("erased").alias("n_erased"),
+                 F.sum(1 - F.col("erased")).alias("n_after")))
+
+
+# ---------------------------------------------------------------------
+# Capture-recapture population estimate (Chapman estimator)
+# ---------------------------------------------------------------------
+
+@query("stats_capture_recapture", """
+    WITH seen AS (
+      SELECT user_id,
+             MAX(CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 2
+                      = 0 THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN (CAST(ts AS DATE) - DATE '1970-01-01') % 2
+                      = 1 THEN 1 ELSE 0 END) AS s2
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    c AS (SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+                 CAST(SUM(s2) AS BIGINT) AS n2,
+                 CAST(SUM(s1 * s2) AS BIGINT) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS true_pop
+          FROM seen)
+    SELECT n1, n2, m,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+             AS est_pop,
+           true_pop
+    FROM c
+""")
+def stats_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimation (Chapman's estimator):
+    treat even-epoch-day activity as the first capture sample and
+    odd-day activity as the second; the overlap m estimates the total
+    user population as (n1+1)(n2+1)/(m+1) - 1 — the ecology-derived
+    estimator a pipeline uses to size a population it never observes
+    completely (total users, total distinct URLs) from two partial
+    snapshots. Chapman's +1 terms make it zero-overlap-safe, and
+    integer floor division keeps the published estimate exact
+    cross-engine. The exact population rides the same aggregate as
+    witness.
+
+    Plan: one scan, one map-side-combined per-user flag aggregate
+    (two bits of state per user), one scalar rollup. Reference N/A."""
+    tune(spark)
+    eday = F.datediff(F.col("ts").cast("date"),
+                      F.to_date(F.lit("1970-01-01")))
+    seen = (_events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull()
+                    & F.col("ts").isNotNull())
+            .groupBy("user_id")
+            .agg(F.max(F.when(eday % 2 == 0, 1).otherwise(0))
+                 .alias("s1"),
+                 F.max(F.when(eday % 2 == 1, 1).otherwise(0))
+                 .alias("s2")))
+    c = seen.agg(F.sum("s1").alias("n1"), F.sum("s2").alias("n2"),
+                 F.sum(F.col("s1") * F.col("s2")).alias("m"),
+                 F.count(F.lit(1)).alias("true_pop"))
+    return c.select(
+        "n1", "n2", "m",
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("long")
+        .alias("est_pop"),
+        "true_pop")

@@ -153,6 +153,9 @@ _DEBT_FIRST = [
     "graph_bfs_levels",                 # ~4s (3 frontier rounds)
     "stats_join_size_est",              # ~1s (hot/cold histogram est)
     "sink_partition_overwrite",         # ~1.5s (2-gen dynamic write)
+    "privacy_erasure_audit",            # ~0.5s (broadcast anti-join)
+    "stats_capture_recapture",          # ~0.5s (Chapman estimate)
+    "embed_matryoshka_recall",          # ~2s (two bruteforce legs)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -190,3 +190,37 @@ def test_partition_overwrite_touches_only_target(spark):
               .agg(F.count(F.lit(1)).alias("n"),
                    F.sum("event_id").alias("s")).collect()):
         assert got[r["event_type"]] == (r["n"], r["s"])
+
+
+def test_matryoshka_overlap_bounded(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        embed_matryoshka_recall)
+    rows = embed_matryoshka_recall(spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r["overlap10"] <= r["k"] == 10
+
+
+def test_erasure_conservation(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        privacy_erasure_audit)
+    rows = privacy_erasure_audit(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert sum(r["n_before"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["n_before"] == r["n_erased"] + r["n_after"]
+    # a deletion-list user leaves NO retained rows anywhere
+    retained_del = (ev.filter(F.col("user_id").isNotNull()
+                              & (F.col("user_id") % 37 == 0)).count())
+    assert sum(r["n_erased"] for r in rows) == retained_del
+
+
+def test_capture_recapture_identity(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        stats_capture_recapture)
+    r = stats_capture_recapture(spark, SF).collect()[0]
+    assert r["m"] <= min(r["n1"], r["n2"])
+    assert max(r["n1"], r["n2"]) <= r["true_pop"] <= r["n1"] + r["n2"]
+    assert r["est_pop"] >= 0
+    # both samples near-census here, so the estimate is tight
+    assert abs(r["est_pop"] - r["true_pop"]) <= 0.5 * r["true_pop"]
