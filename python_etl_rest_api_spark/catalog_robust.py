@@ -1254,3 +1254,155 @@ def stats_capture_recapture(spark, sf_dir):
         F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("long")
         .alias("est_pop"),
         "true_pop")
+
+
+# ---------------------------------------------------------------------
+# Column concentration profile — Gini impurity, exactly rational
+# ---------------------------------------------------------------------
+
+@query("profile_column_gini", """
+    WITH g1 AS (SELECT col_name,
+                  CAST((SELECT COUNT(*) FROM events
+                        WHERE event_type IS NOT NULL) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(c * c) AS BIGINT) AS sum_c2
+           FROM (SELECT 'event_type' AS col_name, COUNT(*) AS c
+                 FROM events WHERE event_type IS NOT NULL
+                 GROUP BY event_type) GROUP BY col_name),
+    g2 AS (SELECT col_name,
+                  CAST((SELECT COUNT(*) FROM documents
+                        WHERE lang IS NOT NULL) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(c * c) AS BIGINT) AS sum_c2
+           FROM (SELECT 'lang' AS col_name, COUNT(*) AS c
+                 FROM documents WHERE lang IS NOT NULL
+                 GROUP BY lang) GROUP BY col_name),
+    g3 AS (SELECT col_name,
+                  CAST((SELECT COUNT(*) FROM documents
+                        WHERE source IS NOT NULL) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                  CAST(SUM(c * c) AS BIGINT) AS sum_c2
+           FROM (SELECT 'source' AS col_name, COUNT(*) AS c
+                 FROM documents WHERE source IS NOT NULL
+                 GROUP BY source) GROUP BY col_name),
+    allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+             UNION ALL SELECT * FROM g3)
+    SELECT col_name, n_rows, n_distinct,
+           CAST(CASE WHEN n_rows > 0
+                THEN (n_rows * n_rows - sum_c2) * 1000000
+                     // (n_rows * n_rows) ELSE 0 END AS BIGINT)
+             AS gini_micros
+    FROM allg
+""")
+def profile_column_gini(spark, sf_dir):
+    """Categorical-column concentration profile via GINI IMPURITY
+    1 - sum((c_i/N)^2) = (N^2 - sum(c_i^2)) / N^2 — chosen over Shannon
+    entropy precisely because it is EXACTLY RATIONAL (entropy's ln() is
+    not bit-reproducible cross-engine), published in integer
+    floor-micros. High gini = well-spread vocabulary, ~0 = a
+    near-constant column — the profiling signal that drives dictionary
+    encoding, partition-key choice, and training-mix balance checks.
+    Covers events.event_type, documents.lang, documents.source.
+
+    Plan: one map-side-combined value-count aggregate per column, then
+    an O(distinct) rollup; only value counts shuffle. Reference N/A
+    (the reference profiles with pandas df.describe, SURVEY.md A2).
+    """
+    tune(spark)
+
+    def gini(df, col):
+        c = (df.filter(F.col(col).isNotNull()).groupBy(col)
+             .agg(F.count(F.lit(1)).alias("c")))
+        return c.agg(
+            F.lit(col).alias("col_name"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2")).select(
+            "col_name", "n_rows", "n_distinct",
+            F.when(F.col("n_rows") > 0,
+                   F.expr("""(n_rows * n_rows - sum_c2) * 1000000
+                             div (n_rows * n_rows)"""))
+            .otherwise(0).cast("long").alias("gini_micros"))
+
+    ev = _events(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return (gini(ev, "event_type")
+            .union(gini(docs, "lang"))
+            .union(gini(docs, "source")))
+
+
+# ---------------------------------------------------------------------
+# Functional-dependency discovery — schema profiling for the catalog
+# ---------------------------------------------------------------------
+
+@query("profile_functional_deps", """
+    WITH cand AS (
+      SELECT 'c_custkey->c_mktsegment' AS dep,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_lhs,
+             CAST(COUNT(DISTINCT (CAST(c_custkey AS VARCHAR) || '|' ||
+                   COALESCE(c_mktsegment, ''))) AS BIGINT) AS n_pairs
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment',
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(c_nationkey AS VARCHAR) || '|' ||
+                   COALESCE(c_mktsegment, ''))) AS BIGINT)
+      FROM customer WHERE c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT 'o_orderkey->o_orderstatus',
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(o_orderkey AS VARCHAR) || '|' ||
+                   COALESCE(o_orderstatus, ''))) AS BIGINT)
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'o_custkey->o_orderpriority',
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|' ||
+                   COALESCE(o_orderpriority, ''))) AS BIGINT)
+      FROM orders WHERE o_custkey IS NOT NULL)
+    SELECT dep, n_lhs, n_pairs,
+           CAST(CASE WHEN n_lhs = n_pairs THEN 1 ELSE 0 END AS INTEGER)
+             AS holds
+    FROM cand
+""")
+def profile_functional_deps(spark, sf_dir):
+    """Functional-dependency DISCOVERY over candidate column pairs: the
+    dependency A -> B holds exactly when |distinct A| =
+    |distinct (A, B)| (every determinant value maps to one dependent
+    value) — the profiling pass a catalog runs to find natural keys,
+    denormalization opportunities, and broken invariants (a violated
+    'key -> attribute' FD is a data bug). Candidates here mix true FDs
+    (a primary key determines everything) with expected non-FDs
+    (nation does not determine market segment); nulls on the dependent
+    side coalesce to a sentinel so a null is one more value, not an
+    ignored row.
+
+    Plan: each candidate is a pair of map-side partial distinct
+    aggregates over one scan of its table; only distinct keys shuffle.
+    At 100 TB the same check runs on a sample first, exact-confirming
+    survivors only. Reference N/A."""
+    tune(spark)
+
+    def fd(df, lhs, rhs, name):
+        base = df.filter(F.col(lhs).isNotNull())
+        pair = F.concat(F.col(lhs).cast("string"), F.lit("|"),
+                        F.coalesce(F.col(rhs).cast("string"),
+                                   F.lit("")))
+        return base.agg(
+            F.lit(name).alias("dep"),
+            F.countDistinct(F.col(lhs)).alias("n_lhs"),
+            F.countDistinct(pair).alias("n_pairs")).select(
+            "dep", "n_lhs", "n_pairs",
+            F.when(F.col("n_lhs") == F.col("n_pairs"), 1).otherwise(0)
+            .cast("int").alias("holds"))
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (fd(cust, "c_custkey", "c_mktsegment",
+               "c_custkey->c_mktsegment")
+            .union(fd(cust, "c_nationkey", "c_mktsegment",
+                      "c_nationkey->c_mktsegment"))
+            .union(fd(orders, "o_orderkey", "o_orderstatus",
+                      "o_orderkey->o_orderstatus"))
+            .union(fd(orders, "o_custkey", "o_orderpriority",
+                      "o_custkey->o_orderpriority")))

@@ -156,6 +156,8 @@ _DEBT_FIRST = [
     "privacy_erasure_audit",            # ~0.5s (broadcast anti-join)
     "stats_capture_recapture",          # ~0.5s (Chapman estimate)
     "embed_matryoshka_recall",          # ~2s (two bruteforce legs)
+    "profile_column_gini",              # ~0.6s (3 value-count aggs)
+    "profile_functional_deps",          # ~0.8s (4 distinct-pair aggs)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -224,3 +224,27 @@ def test_capture_recapture_identity(spark):
     assert r["est_pop"] >= 0
     # both samples near-census here, so the estimate is tight
     assert abs(r["est_pop"] - r["true_pop"]) <= 0.5 * r["true_pop"]
+
+
+def test_gini_bounds_and_known_concentration(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        profile_column_gini)
+    rows = {r["col_name"]: r for r in
+            profile_column_gini(spark, SF).collect()}
+    assert set(rows) == {"event_type", "lang", "source"}
+    for r in rows.values():
+        # gini in [0, (1 - 1/n_distinct)] scaled to micros
+        assert 0 <= r["gini_micros"] <= 1_000_000
+        ub = (r["n_distinct"] - 1) * 1_000_000 // r["n_distinct"] \
+            if r["n_distinct"] else 0
+        assert r["gini_micros"] <= ub + 1
+
+
+def test_functional_deps_key_holds_nonkey_breaks(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        profile_functional_deps)
+    rows = {r["dep"]: r["holds"] for r in
+            profile_functional_deps(spark, SF).collect()}
+    assert rows["c_custkey->c_mktsegment"] == 1   # PK determines all
+    assert rows["o_orderkey->o_orderstatus"] == 1
+    assert rows["c_nationkey->c_mktsegment"] == 0  # 25 nations, 5 segs
