@@ -1406,3 +1406,168 @@ def profile_functional_deps(spark, sf_dir):
                       "o_orderkey->o_orderstatus"))
             .union(fd(orders, "o_custkey", "o_orderpriority",
                       "o_custkey->o_orderpriority")))
+
+
+# ---------------------------------------------------------------------
+# Referential-health dashboard — orphan audit across every FK edge
+# ---------------------------------------------------------------------
+
+@query("dq_referential_health", """
+    WITH fks AS (
+      SELECT 'orders.o_custkey->customer' AS fk,
+             CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM (SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL) o
+      LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT l_orderkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL) l
+      LEFT JOIN orders p ON p.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT l_partkey FROM lineitem
+            WHERE l_partkey IS NOT NULL) l
+      LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM (SELECT l_suppkey FROM lineitem
+            WHERE l_suppkey IS NOT NULL) l
+      LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                  END) AS BIGINT)
+      FROM (SELECT c_nationkey FROM customer
+            WHERE c_nationkey IS NOT NULL) c
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0
+                  END) AS BIGINT)
+      FROM (SELECT s_nationkey FROM supplier
+            WHERE s_nationkey IS NOT NULL) s
+      LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey)
+    SELECT fk, n_child, n_orphans,
+           CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INTEGER)
+             AS healthy
+    FROM fks
+""")
+def dq_referential_health(spark, sf_dir):
+    """Referential-integrity DASHBOARD: one orphan audit per foreign-key
+    edge of the star schema (orders->customer, lineitem->{orders, part,
+    supplier}, {customer, supplier}->nation) — the nightly data-quality
+    rollup that generalizes i2_fk_violations' single-edge check into
+    the health view an on-call engineer reads. Publishes child
+    cardinality, orphan count, and the pass flag per edge. NULL FKs are
+    excluded (nullability is d1's validity check, not referential
+    health).
+
+    Plan: each edge is one LEFT join against a parent that is either
+    dimension-sized (broadcast: customer, part, supplier, nation) or
+    key-projected (orders), with a map-side-combined count rollup — the
+    child fact table is scanned once per edge with only its key column
+    read (columnar pruning). Reference: the FK relationships implied by
+    /root/reference/etl/03_transform_and_load.py's star inserts.
+    """
+    tune(spark)
+
+    def edge(child, ck, parent, pk, name):
+        c = child.filter(F.col(ck).isNotNull()).select(ck)
+        p = parent.select(F.col(pk).alias("_pk")).distinct()
+        j = c.join(F.broadcast(p), F.col(ck) == F.col("_pk"), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .alias("n_orphans")).select(
+            "fk", "n_child", "n_orphans",
+            F.when(F.col("n_orphans") == 0, 1).otherwise(0)
+            .cast("int").alias("healthy"))
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return (edge(t("orders"), "o_custkey", t("customer"), "c_custkey",
+                 "orders.o_custkey->customer")
+            .union(edge(t("lineitem"), "l_orderkey", t("orders"),
+                        "o_orderkey", "lineitem.l_orderkey->orders"))
+            .union(edge(t("lineitem"), "l_partkey", t("part"),
+                        "p_partkey", "lineitem.l_partkey->part"))
+            .union(edge(t("lineitem"), "l_suppkey", t("supplier"),
+                        "s_suppkey", "lineitem.l_suppkey->supplier"))
+            .union(edge(t("customer"), "c_nationkey", t("nation"),
+                        "n_nationkey", "customer.c_nationkey->nation"))
+            .union(edge(t("supplier"), "s_nationkey", t("nation"),
+                        "n_nationkey", "supplier.s_nationkey->nation")))
+
+
+# ---------------------------------------------------------------------
+# Inter-arrival time histogram — exact log2 buckets via bin() length
+# ---------------------------------------------------------------------
+
+@query("events_interarrival_hist", """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS es
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             es - lag(es) OVER (PARTITION BY user_id
+                                ORDER BY es, event_type) AS gap
+      FROM e),
+    b AS (
+      SELECT event_type, gap,
+             CAST(length(bin(gap + 1)) AS INTEGER) AS bucket
+      FROM g WHERE gap IS NOT NULL)
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_s
+    FROM b GROUP BY event_type, bucket
+""")
+def events_interarrival_hist(spark, sf_dir):
+    """Inter-arrival-time distribution per event type in EXACT log2
+    buckets: per-user consecutive gaps (event-time order with
+    event_type tiebreak so ties are total), bucketed by the bit length
+    of gap+1 — length(bin(x)) is the integer floor(log2(x)) + 1 on both
+    engines, giving the doubling histogram (1 s, 2-3 s, 4-7 s, ...)
+    that sessionization-gap and watermark-delay choices are read off,
+    with zero float logarithms. Min/max gap per cell witness the
+    bucket boundaries.
+
+    Plan: one partitioned lag window (state = one row per user), one
+    map-side-combined (type, bucket) aggregate — the doubling histogram
+    has O(log range) cells per type regardless of input size.
+    Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    e = (_events(spark, sf_dir)
+         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+                 & F.col("event_type").isNotNull())
+         .select("user_id", "event_type",
+                 F.unix_timestamp("ts").cast("long").alias("es")))
+    w = W.partitionBy("user_id").orderBy("es", "event_type")
+    g = e.select("event_type",
+                 (F.col("es") - F.lag("es").over(w)).alias("gap"))
+    b = (g.filter(F.col("gap").isNotNull())
+         .select("event_type", "gap",
+                 F.length(F.bin(F.col("gap") + 1)).cast("int")
+                 .alias("bucket")))
+    return (b.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("gap").alias("min_gap_s"),
+                 F.max("gap").alias("max_gap_s")))

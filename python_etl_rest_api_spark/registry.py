@@ -158,6 +158,8 @@ _DEBT_FIRST = [
     "embed_matryoshka_recall",          # ~2s (two bruteforce legs)
     "profile_column_gini",              # ~0.6s (3 value-count aggs)
     "profile_functional_deps",          # ~0.8s (4 distinct-pair aggs)
+    "dq_referential_health",            # ~1.2s (6 FK orphan audits)
+    "events_interarrival_hist",         # ~0.7s (log2 gap buckets)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -248,3 +248,28 @@ def test_functional_deps_key_holds_nonkey_breaks(spark):
     assert rows["c_custkey->c_mktsegment"] == 1   # PK determines all
     assert rows["o_orderkey->o_orderstatus"] == 1
     assert rows["c_nationkey->c_mktsegment"] == 0  # 25 nations, 5 segs
+
+
+def test_referential_health_edges(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        dq_referential_health)
+    rows = {r["fk"]: r for r in dq_referential_health(spark, SF)
+            .collect()}
+    assert len(rows) == 6
+    for r in rows.values():
+        assert 0 <= r["n_orphans"] <= r["n_child"]
+        assert r["healthy"] == (1 if r["n_orphans"] == 0 else 0)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    assert rows["lineitem.l_orderkey->orders"]["n_child"] == \
+        li.filter(F.col("l_orderkey").isNotNull()).count()
+
+
+def test_interarrival_buckets_bound_gaps(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        events_interarrival_hist)
+    for r in events_interarrival_hist(spark, SF).collect():
+        b = r["bucket"]
+        lo, hi = (1 << (b - 1)) - 1, (1 << b) - 2
+        # bucket b holds gaps with bit_length(gap+1) == b
+        assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi
+        assert r["n"] >= 1
