@@ -1571,3 +1571,98 @@ def events_interarrival_hist(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("gap").alias("min_gap_s"),
                  F.max("gap").alias("max_gap_s")))
+
+
+# ---------------------------------------------------------------------
+# Kaplan-Meier survival table — repeat-purchase time-to-event
+# ---------------------------------------------------------------------
+
+@query("stats_survival_table", """
+    WITH o AS (
+      SELECT o_custkey,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_orderkey IS NOT NULL),
+    horizon AS (SELECT MAX(d) AS dmax FROM o),
+    cust AS (
+      SELECT o.o_custkey,
+             MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+             MAX(CASE WHEN rn = 2 THEN d END) AS d2
+      FROM o GROUP BY o.o_custkey),
+    t AS (
+      SELECT CASE WHEN d2 IS NOT NULL
+                  THEN LEAST((d2 - d1) // 7, 20)
+                  ELSE LEAST((h.dmax - d1) // 7, 20) END AS w,
+             CASE WHEN d2 IS NOT NULL AND (d2 - d1) // 7 < 20
+                  THEN 1 ELSE 0 END AS ev
+      FROM cust CROSS JOIN horizon h),
+    cnt AS (
+      SELECT w, CAST(SUM(ev) AS BIGINT) AS n_events,
+             CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+      FROM t GROUP BY w),
+    km AS (
+      SELECT w, n_events, n_censored,
+             CAST(SUM(n_events + n_censored)
+                  OVER (ORDER BY w DESC) AS BIGINT) AS n_at_risk
+      FROM cnt)
+    SELECT CAST(w AS BIGINT) AS week, n_at_risk, n_events, n_censored
+    FROM km
+""")
+def stats_survival_table(spark, sf_dir):
+    """Kaplan-Meier life table for repeat purchase: per customer, the
+    weeks from first to second order (event) or to the observation
+    horizon (right-censored), capped at week 20. Publishes the KM
+    table itself — per week: customers still at risk, second orders
+    observed, censorings — all exact integers; the survival CURVE is
+    the running product of (1 - d_w/n_w), left to the consumer because
+    a float product is the one non-reproducible step. Censoring uses
+    the global max order date as the horizon (administrative
+    censoring), the standard retention-analysis shape.
+
+    Plan: per-customer first/second pick is one partitioned window
+    (state = 2 rows per customer); the at-risk column is a suffix sum
+    over the <= 21 WEEK-BUCKET rows of the aggregated table — a
+    bounded-aggregate window (the orders_revenue_concentration
+    precedent), never a row-scale one. Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey").isNotNull()
+                 & F.col("o_orderdate").isNotNull()
+                 & F.col("o_orderkey").isNotNull())
+         .select("o_custkey",
+                 F.datediff(F.col("o_orderdate").cast("date"),
+                            F.to_date(F.lit("1970-01-01"))).alias("d"),
+                 "o_orderdate", "o_orderkey"))
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+    ranked = o.withColumn("rn", rn).filter(F.col("rn") <= 2)
+    cust = (ranked.groupBy("o_custkey")
+            .agg(F.max(F.when(F.col("rn") == 1, F.col("d")))
+                 .alias("d1"),
+                 F.max(F.when(F.col("rn") == 2, F.col("d")))
+                 .alias("d2")))
+    horizon = o.agg(F.max("d").alias("dmax"))
+    t = (cust.crossJoin(F.broadcast(horizon))
+         .select(
+             F.when(F.col("d2").isNotNull(),
+                    F.least(F.expr("(d2 - d1) div 7"), F.lit(20)))
+             .otherwise(F.least(F.expr("(dmax - d1) div 7"),
+                                F.lit(20))).alias("w"),
+             F.when(F.col("d2").isNotNull()
+                    & (F.expr("(d2 - d1) div 7") < 20), 1)
+             .otherwise(0).alias("ev")))
+    cnt = (t.groupBy("w")
+           .agg(F.sum("ev").alias("n_events"),
+                F.sum(1 - F.col("ev")).alias("n_censored")))
+    wsuf = W.orderBy(F.col("w").desc()) \
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (cnt.withColumn(
+                "n_at_risk",
+                F.sum(F.col("n_events") + F.col("n_censored"))
+                .over(wsuf).cast("long"))
+            .select(F.col("w").cast("long").alias("week"),
+                    "n_at_risk", "n_events", "n_censored"))

@@ -40,6 +40,13 @@ cheapest-first"):
          now and the rest leads the r7 debt queue;
   42+    driver-green entries, stalest-first (r2, r3, r4, r5) - the
          freshest signal defers to the back.
+
+Late round-6 additions (third r7 wave and after, catalog_robust.py +
+the privacy/curation entries in catalog_infer.py) are appended at the
+tail of the never-verified queue, cheapest-first within their wave:
+the r6 debt block still clears first and the new entries lead the r7
+debt queue, all typed-sweep green at pin time (catalog size at the
+r6 close: 250 oracle-paired entries).
 """
 
 from . import (  # noqa: F401
@@ -160,6 +167,7 @@ _DEBT_FIRST = [
     "profile_functional_deps",          # ~0.8s (4 distinct-pair aggs)
     "dq_referential_health",            # ~1.2s (6 FK orphan audits)
     "events_interarrival_hist",         # ~0.7s (log2 gap buckets)
+    "stats_survival_table",             # ~0.8s (KM life table)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -273,3 +273,23 @@ def test_interarrival_buckets_bound_gaps(spark):
         # bucket b holds gaps with bit_length(gap+1) == b
         assert lo <= r["min_gap_s"] <= r["max_gap_s"] <= hi
         assert r["n"] >= 1
+
+
+def test_survival_table_accounting(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        stats_survival_table)
+    rows = sorted(stats_survival_table(spark, SF).collect(),
+                  key=lambda r: r["week"])
+    n_cust = (spark.read.parquet(f"{SF}/orders.parquet")
+              .filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull()
+                      & F.col("o_orderkey").isNotNull())
+              .select("o_custkey").distinct().count())
+    # every customer appears exactly once as event or censoring
+    assert sum(r["n_events"] + r["n_censored"] for r in rows) == n_cust
+    # at-risk is the suffix sum and decreases monotonically
+    assert rows[0]["n_at_risk"] == n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_at_risk"] == \
+            a["n_at_risk"] - a["n_events"] - a["n_censored"]
+    assert all(0 <= r["week"] <= 20 for r in rows)

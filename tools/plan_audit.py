@@ -53,6 +53,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     # pre-aggregated frames) - input is O(groups), not O(rows)
     "orders_revenue_concentration": {
         "single_partition_window": "cum share over 10 decile rows"},
+    "stats_survival_table": {
+        "single_partition_window": "at-risk suffix sum over <= 21 "
+                                   "week-bucket aggregate rows"},
     "mix_temperature_weights": {
         "single_partition_window": "fold over |sources| rows"},
     "hist_price_bins": {
