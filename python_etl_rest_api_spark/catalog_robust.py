@@ -1666,3 +1666,86 @@ def stats_survival_table(spark, sf_dir):
                 .over(wsuf).cast("long"))
             .select(F.col("w").cast("long").alias("week"),
                     "n_at_risk", "n_events", "n_censored"))
+
+
+# ---------------------------------------------------------------------
+# Markov stationary distribution — integer power iteration on the
+# event-type transition chain
+# ---------------------------------------------------------------------
+
+_MARKOV_ROUND = """
+    p{m} AS MATERIALIZED (
+      SELECT tr.t AS s,
+             CAST(SUM(p.pi * tr.c // tr.rs) AS BIGINT) AS pi
+      FROM trans tr JOIN p{n} p ON p.s = tr.s
+      GROUP BY tr.t)"""
+
+
+@query("events_markov_stationary", """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IS NOT NULL),
+    cnt AS (
+      SELECT prev AS s, event_type AS t,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type),
+    rsum AS (SELECT s, CAST(SUM(c) AS BIGINT) AS rs
+             FROM cnt GROUP BY s),
+    trans AS MATERIALIZED (
+      SELECT cnt.s, cnt.t, cnt.c, rsum.rs
+      FROM cnt JOIN rsum ON rsum.s = cnt.s),
+    p0 AS MATERIALIZED (
+      SELECT s, CAST(1000000 AS BIGINT) AS pi
+      FROM (SELECT DISTINCT s FROM trans)),"""
+    + ",".join(_MARKOV_ROUND.format(n=i, m=i + 1) for i in range(5))
+    + """
+    SELECT s AS event_type, pi AS pi_micros FROM p5
+""")
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-behaviour Markov chain:
+    count per-user consecutive event-type transitions, then run FIVE
+    integer power-iteration rounds pi'(t) = sum_s (pi(s) * c_st) div
+    rowsum(s) from the uniform start — the steady-state visit profile
+    that weights states by where behaviour settles, not where it
+    starts. The pagerank_int discipline end to end: BIGINT micro-unit
+    mass with truncating division only (Spark `div` == DuckDB `//` on
+    the non-negative operands), so the 5-round fixpoint value-hashes;
+    truncation sheds < |states| micros of mass per round,
+    deterministically on both engines.
+
+    Plan: transition counts are one partitioned lag window + one
+    map-side-combined aggregate; each iteration joins the
+    |states|^2-row transition matrix against the |states|-row mass
+    vector (both broadcast-sized for any realistic state vocabulary)
+    and shuffles |states| rows. Fixed rounds keep the loop lazy — one
+    pipelined job, no per-round checkpoint. Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    seq = (_events(spark, sf_dir)
+           .filter(F.col("user_id").isNotNull()
+                   & F.col("ts").isNotNull()
+                   & F.col("event_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+           .select("event_type",
+                   F.lag("event_type").over(
+                       W.partitionBy("user_id")
+                       .orderBy("ts", "event_id")).alias("prev")))
+    cnt = (seq.filter(F.col("prev").isNotNull())
+           .groupBy(F.col("prev").alias("s"),
+                    F.col("event_type").alias("t"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    rsum = cnt.groupBy("s").agg(F.sum("c").alias("rs"))
+    trans = cnt.join(rsum, "s").localCheckpoint()
+    pi = (trans.select("s").distinct()
+          .withColumn("pi", F.lit(1000000).cast("long")))
+    for _ in range(5):
+        pi = (trans.join(F.broadcast(pi), "s")
+              .select(F.col("t"), F.expr("(pi * c) div rs").alias("m"))
+              .groupBy("t").agg(F.sum("m").cast("long").alias("pi"))
+              .select(F.col("t").alias("s"), "pi"))
+    return pi.select(F.col("s").alias("event_type"),
+                     F.col("pi").alias("pi_micros"))

@@ -168,6 +168,7 @@ _DEBT_FIRST = [
     "dq_referential_health",            # ~1.2s (6 FK orphan audits)
     "events_interarrival_hist",         # ~0.7s (log2 gap buckets)
     "stats_survival_table",             # ~0.8s (KM life table)
+    "events_markov_stationary",         # ~1.5s (5 power iterations)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

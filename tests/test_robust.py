@@ -293,3 +293,16 @@ def test_survival_table_accounting(spark):
         assert b["n_at_risk"] == \
             a["n_at_risk"] - a["n_events"] - a["n_censored"]
     assert all(0 <= r["week"] <= 20 for r in rows)
+
+
+def test_markov_stationary_mass_conserved_within_truncation(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        events_markov_stationary)
+    rows = events_markov_stationary(spark, SF).collect()
+    n_states = len(rows)
+    assert 1 <= n_states <= 5
+    total = sum(r["pi_micros"] for r in rows)
+    start = n_states * 1_000_000
+    # truncating division sheds < n_states^2 micros per round, 5 rounds
+    assert start - 5 * n_states * n_states <= total <= start
+    assert all(r["pi_micros"] > 0 for r in rows)
