@@ -1749,3 +1749,107 @@ def events_markov_stationary(spark, sf_dir):
               .select(F.col("t").alias("s"), "pi"))
     return pi.select(F.col("s").alias("event_type"),
                      F.col("pi").alias("pi_micros"))
+
+
+# ---------------------------------------------------------------------
+# Good-Turing unseen-mass estimate — LM smoothing statistics
+# ---------------------------------------------------------------------
+
+@query("text_good_turing", """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks WHERE w != '' GROUP BY w),
+    cc AS (SELECT
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM tf)
+    SELECT n_tokens, vocab, n1, n2,
+           CAST(n1 * 1000000 // n_tokens AS BIGINT)
+             AS unseen_mass_micros
+    FROM cc
+""")
+def text_good_turing(spark, sf_dir):
+    """Good-Turing unseen-mass estimate over the corpus vocabulary:
+    the probability mass an LM should reserve for words it has never
+    seen is N1/N (singleton types over total tokens — Good 1953), with
+    the doubleton count N2 published alongside (the pair drives the
+    full Good-Turing discount ladder). Exact integers end to end; the
+    mass publishes as floor-micros. On a tiny closed vocabulary the
+    singleton count collapses toward zero — exactly the signal that
+    distinguishes a saturated corpus from an open-vocabulary one when
+    sizing tokenizer and LM smoothing for a 100 TB text pipeline.
+
+    Plan: one corpus scan -> token counts (map-side combined) -> one
+    count-of-counts rollup; only the vocabulary shuffles.
+    Reference N/A."""
+    tune(spark)
+    tf = (_t(spark, sf_dir, "documents")
+          .filter(F.col("text").isNotNull())
+          .select(F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    cc = tf.agg(F.sum("c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("vocab"),
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                .alias("n1"),
+                F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                .alias("n2"))
+    return cc.select(
+        "n_tokens", "vocab", "n1", "n2",
+        F.expr("n1 * 1000000 div n_tokens").cast("long")
+        .alias("unseen_mass_micros"))
+
+
+# ---------------------------------------------------------------------
+# Encoding-quality audit — mojibake / control-character screening
+# ---------------------------------------------------------------------
+
+@query("text_encoding_quality", """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                  '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(SUM(CASE WHEN text LIKE '%' || chr(65533) || '%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+           CAST(SUM(CASE WHEN regexp_matches(text,
+                  '[\\x{00C2}\\x{00C3}]')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake_marks
+    FROM documents
+    WHERE text IS NOT NULL AND source IS NOT NULL
+    GROUP BY source
+""")
+def text_encoding_quality(spark, sf_dir):
+    """Encoding-quality screening per source — the ingest gate that
+    catches broken decode pipelines before they poison a training
+    corpus: documents carrying raw C0 control characters (tab/LF/CR
+    excluded), U+FFFD replacement characters (a decoder already gave
+    up), or the U+00C2/U+00C3 marks characteristic of UTF-8 bytes
+    re-decoded as Latin-1 (classic mojibake). Counts per source, all
+    exact integers; a source with a spike fails ingest review.
+
+    Plan: three narrow regex/contains predicates inside one map-side-
+    combined per-source aggregate — one scan, no UDF, whole-stage
+    codegen. Reference N/A (the reference ingests a known-clean CSV).
+    """
+    tune(spark)
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull()
+                    & F.col("source").isNotNull()))
+    ctrl = F.when(
+        F.col("text").rlike("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"), 1) \
+        .otherwise(0)
+    repl = F.when(F.col("text").contains("�"), 1).otherwise(0)
+    moji = F.when(F.col("text").rlike("[\\x{00C2}\\x{00C3}]"), 1) \
+            .otherwise(0)
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ctrl).alias("n_control"),
+                 F.sum(repl).alias("n_replacement"),
+                 F.sum(moji).alias("n_mojibake_marks")))

@@ -169,6 +169,8 @@ _DEBT_FIRST = [
     "events_interarrival_hist",         # ~0.7s (log2 gap buckets)
     "stats_survival_table",             # ~0.8s (KM life table)
     "events_markov_stationary",         # ~1.5s (5 power iterations)
+    "text_good_turing",                 # ~0.7s (count-of-counts)
+    "text_encoding_quality",            # ~0.6s (3 regex predicates)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -306,3 +306,38 @@ def test_markov_stationary_mass_conserved_within_truncation(spark):
     # truncating division sheds < n_states^2 micros per round, 5 rounds
     assert start - 5 * n_states * n_states <= total <= start
     assert all(r["pi_micros"] > 0 for r in rows)
+
+
+def test_good_turing_count_of_counts(spark):
+    from python_etl_rest_api_spark.catalog_robust import text_good_turing
+    r = text_good_turing(spark, SF).collect()[0]
+    assert r["n1"] + 2 * r["n2"] <= r["n_tokens"]
+    assert r["n1"] + r["n2"] <= r["vocab"] <= r["n_tokens"]
+    assert r["unseen_mass_micros"] == r["n1"] * 1_000_000 // r["n_tokens"]
+
+
+def test_encoding_quality_counts_bounded(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        text_encoding_quality)
+    rows = text_encoding_quality(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for c in ("n_control", "n_replacement", "n_mojibake_marks"):
+            assert 0 <= r[c] <= r["n_docs"]
+
+
+def test_encoding_quality_detects_planted_mojibake(spark):
+    # unit-level: the predicates fire on known-bad strings
+    df = spark.createDataFrame(
+        [("s", "ok text"), ("s", "bad \x01 ctrl"), ("s", "repl �"),
+         ("s", "moji Ã© byte")], "source string, text string")
+    # the entry's predicates, re-applied to the planted rows
+    from pyspark.sql import functions as FF
+    ctrl = FF.when(df["text"].rlike("[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+                   1).otherwise(0)
+    repl = FF.when(df["text"].contains("�"), 1).otherwise(0)
+    moji = FF.when(df["text"].rlike("[\\x{00C2}\\x{00C3}]"), 1) \
+             .otherwise(0)
+    r = df.agg(FF.sum(ctrl).alias("c"), FF.sum(repl).alias("r"),
+               FF.sum(moji).alias("m")).collect()[0]
+    assert (r["c"], r["r"], r["m"]) == (1, 1, 1)
