@@ -1853,3 +1853,129 @@ def text_encoding_quality(spark, sf_dir):
                  F.sum(ctrl).alias("n_control"),
                  F.sum(repl).alias("n_replacement"),
                  F.sum(moji).alias("n_mojibake_marks")))
+
+
+# ---------------------------------------------------------------------
+# Sequence-completeness DQ — line numbers must be 1..n per order
+# ---------------------------------------------------------------------
+
+@query("dq_sequence_gaps", """
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL),
+    per AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd,
+             CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+             CAST(MAX(l_linenumber) AS BIGINT) AS mx
+      FROM l GROUP BY l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_dupes,
+           CAST(SUM(CASE WHEN mn != 1 OR mx != nd THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_gaps,
+           CAST(SUM(CASE WHEN nd = n AND mn = 1 AND mx = n
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous
+    FROM per
+""")
+def dq_sequence_gaps(spark, sf_dir):
+    """Sequence-completeness audit: within each order, line numbers
+    must be exactly 1..n — duplicates (count > distinct) and gaps
+    (min != 1 or max != distinct) are each counted, the failure mode
+    of retried/partially-applied multi-row writes that row counts
+    alone never catch. One row out: orders total / with dupes / with
+    gaps / fully contiguous. Exact integers.
+
+    Plan: one map-side-combined per-order aggregate (count, distinct,
+    min, max — the distinct expands per-order, bounded by line count),
+    then a scalar rollup. Reference N/A."""
+    tune(spark)
+    per = (_t(spark, sf_dir, "lineitem")
+           .filter(F.col("l_orderkey").isNotNull()
+                   & F.col("l_linenumber").isNotNull())
+           .groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.countDistinct("l_linenumber").alias("nd"),
+                F.min("l_linenumber").cast("long").alias("mn"),
+                F.max("l_linenumber").cast("long").alias("mx")))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("nd") < F.col("n"), 1).otherwise(0))
+         .alias("n_with_dupes"),
+        F.sum(F.when((F.col("mn") != 1) | (F.col("mx") != F.col("nd")),
+                     1).otherwise(0)).alias("n_with_gaps"),
+        F.sum(F.when((F.col("nd") == F.col("n")) & (F.col("mn") == 1)
+                     & (F.col("mx") == F.col("n")), 1).otherwise(0))
+         .alias("n_contiguous"))
+
+
+# ---------------------------------------------------------------------
+# Pareto frontier (skyline query) — bucket-pruned exact 2-D skyline
+# ---------------------------------------------------------------------
+
+@query("select_pareto_frontier", """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+      WHERE p_partkey IS NOT NULL AND p_retailprice IS NOT NULL
+        AND p_size IS NOT NULL)
+    SELECT p_partkey, price_cents, size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+        AND (b.price_cents < a.price_cents OR b.size < a.size))
+""")
+def select_pareto_frontier(spark, sf_dir):
+    """Pareto frontier / SKYLINE query over parts on (price low, size
+    low) — the multi-objective selection operator relational engines
+    lack natively: a part survives iff no other part is at most as
+    expensive AND at most as large with at least one strict
+    improvement. The ORACLE states the semantics naively (NOT EXISTS a
+    dominator); the Spark plan is the distributed two-phase skyline:
+    (1) bucket prices, take each bucket's min size, and prefix-min
+    over the BUCKET aggregates (bounded row count) — any part whose
+    size is >= the min size of a strictly cheaper bucket is provably
+    dominated and pruned without a comparison join; (2) the surviving
+    candidates (frontier plus same-bucket collisions, orders of
+    magnitude fewer than the input) verify dominance pairwise via a
+    broadcast join. Sound because domination is transitive: every
+    dominated row is dominated by a frontier member, and frontier
+    members are never pruned. Exact integer coordinates (price in
+    floor-cents), duplicates of a frontier point all survive (no
+    strict improvement between them) — deterministic output set.
+
+    Plan: one scan -> bucket aggregate (map-side combined) -> window
+    over ~100 bucket rows -> broadcast candidate self-join.
+    Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_partkey").isNotNull()
+                 & F.col("p_retailprice").isNotNull()
+                 & F.col("p_size").isNotNull())
+         .select("p_partkey",
+                 F.floor(F.col("p_retailprice") * 100).cast("long")
+                 .alias("price_cents"),
+                 F.col("p_size").cast("long").alias("size")))
+    b = p.withColumn("b", F.expr("price_cents div 100"))
+    bm = b.groupBy("b").agg(F.min("size").alias("bmin"))
+    wch = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    cheaper = bm.withColumn("cheap_min", F.min("bmin").over(wch))
+    cand = (b.join(F.broadcast(cheaper.select("b", "cheap_min")), "b")
+            .filter(F.col("cheap_min").isNull()
+                    | (F.col("size") < F.col("cheap_min")))
+            .select("p_partkey", "price_cents", "size")
+            .localCheckpoint())
+    dom = cand.select(F.col("price_cents").alias("qp"),
+                      F.col("size").alias("qs"))
+    return cand.join(
+        F.broadcast(dom),
+        (F.col("qp") <= F.col("price_cents"))
+        & (F.col("qs") <= F.col("size"))
+        & ((F.col("qp") < F.col("price_cents"))
+           | (F.col("qs") < F.col("size"))),
+        "left_anti")

@@ -171,6 +171,8 @@ _DEBT_FIRST = [
     "events_markov_stationary",         # ~1.5s (5 power iterations)
     "text_good_turing",                 # ~0.7s (count-of-counts)
     "text_encoding_quality",            # ~0.6s (3 regex predicates)
+    "dq_sequence_gaps",                 # ~0.7s (per-order contiguity)
+    "select_pareto_frontier",           # ~1s (bucket-pruned skyline)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -341,3 +341,35 @@ def test_encoding_quality_detects_planted_mojibake(spark):
     r = df.agg(FF.sum(ctrl).alias("c"), FF.sum(repl).alias("r"),
                FF.sum(moji).alias("m")).collect()[0]
     assert (r["c"], r["r"], r["m"]) == (1, 1, 1)
+
+
+def test_sequence_gaps_partition_orders(spark):
+    from python_etl_rest_api_spark.catalog_robust import dq_sequence_gaps
+    r = dq_sequence_gaps(spark, SF).collect()[0]
+    assert r["n_contiguous"] <= r["n_orders"]
+    assert r["n_with_dupes"] <= r["n_orders"]
+    assert r["n_with_gaps"] <= r["n_orders"]
+    # clean orders are exactly those with neither dupes nor gaps
+    assert r["n_contiguous"] >= r["n_orders"] \
+        - r["n_with_dupes"] - r["n_with_gaps"]
+
+
+def test_pareto_frontier_matches_naive(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        select_pareto_frontier)
+    got = {(r["p_partkey"], r["price_cents"], r["size"])
+           for r in select_pareto_frontier(spark, SF).collect()}
+    pts = [(r["p_partkey"], r["price_cents"], r["size"])
+           for r in (spark.read.parquet(f"{SF}/part.parquet")
+                     .filter(F.col("p_partkey").isNotNull()
+                             & F.col("p_retailprice").isNotNull()
+                             & F.col("p_size").isNotNull())
+                     .select("p_partkey",
+                             F.floor(F.col("p_retailprice") * 100)
+                             .cast("long").alias("price_cents"),
+                             F.col("p_size").cast("long").alias("size"))
+                     .collect())]
+    naive = {p for p in pts
+             if not any(q[1] <= p[1] and q[2] <= p[2]
+                        and (q[1] < p[1] or q[2] < p[2]) for q in pts)}
+    assert got == naive and got

@@ -56,6 +56,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "stats_survival_table": {
         "single_partition_window": "at-risk suffix sum over <= 21 "
                                    "week-bucket aggregate rows"},
+    "select_pareto_frontier": {
+        "single_partition_window": "prefix-min over ~100 price-bucket "
+                                   "aggregate rows",
+        "nested_loop": "dominance verify among bucket-pruned skyline "
+                       "candidates (bounded, broadcast)"},
     "mix_temperature_weights": {
         "single_partition_window": "fold over |sources| rows"},
     "hist_price_bins": {
