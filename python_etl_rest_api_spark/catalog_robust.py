@@ -1979,3 +1979,195 @@ def select_pareto_frontier(spark, sf_dir):
         & ((F.col("qp") < F.col("price_cents"))
            | (F.col("qs") < F.col("size"))),
         "left_anti")
+
+
+# ---------------------------------------------------------------------
+# Cohort LTV matrix — acquisition month x age, exact revenue cents
+# ---------------------------------------------------------------------
+
+@query("orders_cohort_ltv", """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL),
+    first AS (
+      SELECT o_custkey,
+             MIN(year(d) * 12 + month(d)) AS m0
+      FROM o GROUP BY o_custkey),
+    cells AS (
+      SELECT f.m0 AS cohort_month,
+             (year(o.d) * 12 + month(o.d)) - f.m0 AS age_months,
+             o.cents
+      FROM o JOIN first f ON f.o_custkey = o.o_custkey)
+    SELECT CAST(cohort_month AS BIGINT) AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM cells
+    WHERE age_months <= 11
+    GROUP BY cohort_month, age_months
+""")
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers are grouped by their
+    acquisition month (first order) and revenue is laid out by age in
+    months since acquisition, first year — the LTV triangle a growth
+    team reads cumulative payback off (the cumulative sum is the
+    consumer's fold; publishing per-cell keeps every value an exact
+    integer and the output window-free). Extends
+    events_retention_cohorts (activity counts) with the REVENUE
+    dimension in exact floor-cents; months index as year*12+month so
+    the age subtraction is pure integer arithmetic.
+
+    Plan: first-order month is one map-side-combined min aggregate;
+    the cohort join is cust-key equi (AQE-broadcastable at dimension
+    scale); cells aggregate map-side. At 100 TB the matrix is
+    O(months^2) rows regardless of input. Reference N/A."""
+    tune(spark)
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey").isNotNull()
+                 & F.col("o_orderdate").isNotNull()
+                 & F.col("o_totalprice").isNotNull())
+         .select("o_custkey",
+                 (F.year(F.col("o_orderdate").cast("date")) * 12
+                  + F.month(F.col("o_orderdate").cast("date")))
+                 .alias("m"),
+                 F.floor(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents")))
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    cells = (o.join(first, "o_custkey")
+             .select(F.col("m0").alias("cohort_month"),
+                     (F.col("m") - F.col("m0")).alias("age_months"),
+                     "cents")
+             .filter(F.col("age_months") <= 11))
+    return (cells.groupBy(F.col("cohort_month").cast("long")
+                          .alias("cohort_month"),
+                          F.col("age_months").cast("long")
+                          .alias("age_months"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("revenue_cents")))
+
+
+# ---------------------------------------------------------------------
+# Zipf rank-frequency table — corpus law check, exact integers
+# ---------------------------------------------------------------------
+
+@query("text_zipf_topk", """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+           FROM toks WHERE w != '' GROUP BY w),
+    top AS (SELECT w, freq FROM tf ORDER BY freq DESC, w LIMIT 20),
+    r AS (SELECT w, freq,
+                 row_number() OVER (ORDER BY freq DESC, w) AS rank
+          FROM top)
+    SELECT CAST(rank AS BIGINT) AS rank, w AS term, freq,
+           CAST(rank * freq AS BIGINT) AS rank_x_freq
+    FROM r
+""")
+def text_zipf_topk(spark, sf_dir):
+    """Zipf rank-frequency table for the corpus head: the top-20 terms
+    with their ranks and the rank x frequency product — under Zipf's
+    law the product is roughly constant, and systematic deviation is
+    the fingerprint of template/boilerplate corpora (the thing a
+    pretraining mix audit looks for). Total order (freq DESC, term)
+    makes ranks deterministic; all integers, no log-log fit floats.
+
+    Plan: token counts map-side combine; the top-20 is
+    TakeOrderedAndProject; the rank window runs over 20 collected
+    rows. Reference N/A."""
+    from pyspark.sql import Window as W
+    tune(spark)
+    tf = (_t(spark, sf_dir, "documents")
+          .filter(F.col("text").isNotNull())
+          .select(F.explode(F.split("text", " ")).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    top = (tf.orderBy(F.col("freq").desc(), F.col("w")).limit(20)
+           .localCheckpoint())
+    r = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("freq").desc(),
+                                              F.col("w"))))
+    return r.select(F.col("rank").cast("long").alias("rank"),
+                    F.col("w").alias("term"), "freq",
+                    (F.col("rank") * F.col("freq")).cast("long")
+                    .alias("rank_x_freq"))
+
+
+# ---------------------------------------------------------------------
+# Embedding centroid drift — train/serve skew monitor, exact integers
+# ---------------------------------------------------------------------
+
+@query("embed_centroid_drift", """
+    WITH x AS (
+      SELECT vec_id, label, vec_id % 2 AS half, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+               AS xm
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+      WHERE label IS NOT NULL AND vec_id IS NOT NULL
+        AND len(embedding) = 64),
+    s AS (
+      SELECT label, half, pos,
+             CAST(SUM(xm) AS BIGINT) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY label, half, pos),
+    p AS (
+      SELECT a.label, a.pos,
+             a.sm AS s0, a.n AS n0, b.sm AS s1, b.n AS n1
+      FROM s a JOIN s b
+        ON b.label = a.label AND b.pos = a.pos
+       AND a.half = 0 AND b.half = 1),
+    d AS (
+      SELECT label,
+             CAST(MAX(n0) AS BIGINT) AS n_even,
+             CAST(MAX(n1) AS BIGINT) AS n_odd,
+             CAST(SUM(CAST((s0 * n1 - s1 * n0) AS HUGEINT)
+                      * (s0 * n1 - s1 * n0)) AS DECIMAL(38,0))
+               AS drift_sq_scaled
+      FROM p GROUP BY label)
+    SELECT label, n_even, n_odd, drift_sq_scaled FROM d
+""")
+def embed_centroid_drift(spark, sf_dir):
+    """Train/serve skew monitor for embeddings: per label, the squared
+    distance between the centroid of the even-id half and the odd-id
+    half of the corpus (the two-sample split standing in for
+    yesterday's index vs today's traffic). EXACT arithmetic: values
+    quantize to milli-units and the distance between the two RATIONAL
+    means sums (s0*n1 - s1*n0)^2 per dimension — the cross-multiplied
+    mean-difference that never divides (the embed_outlier_prune
+    substitution, two-sample form), published as DECIMAL(38,0) scaled
+    by (n0*n1)^2. A label whose drift spikes between snapshots is
+    re-indexed.
+
+    Plan: posexplode shuffles (label, half, pos) cells once; the two
+    halves align with one partial-aggregate equi-join; output is
+    O(labels). Reference N/A."""
+    from .operators import similarity
+    tune(spark)
+    emb = (similarity.valid_vectors(
+               _t(spark, sf_dir, "embeddings"), dim=64)
+           .filter(F.col("label").isNotNull()
+                   & F.col("vec_id").isNotNull())
+           .filter(~F.exists("embedding", lambda v: v.isNull())))
+    x = (emb.select("label", (F.col("vec_id") % 2).alias("half"),
+                    F.posexplode("embedding").alias("pos", "val"))
+         .select("label", "half", "pos",
+                 F.floor(F.col("val").cast("double") * 1000)
+                 .cast("long").alias("xm")))
+    s = (x.groupBy("label", "half", "pos")
+         .agg(F.sum("xm").alias("sm"), F.count(F.lit(1)).alias("n")))
+    a = s.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("sm").alias("s0"), F.col("n").alias("n0"))
+    b = s.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("sm").alias("s1"), F.col("n").alias("n1"))
+    diff = (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")) \
+        .cast("decimal(19,0)")
+    return (a.join(b, ["label", "pos"])
+            .groupBy("label")
+            .agg(F.max("n0").alias("n_even"),
+                 F.max("n1").alias("n_odd"),
+                 F.sum(diff * diff).cast("decimal(38,0)")
+                 .alias("drift_sq_scaled")))

@@ -173,6 +173,9 @@ _DEBT_FIRST = [
     "text_encoding_quality",            # ~0.6s (3 regex predicates)
     "dq_sequence_gaps",                 # ~0.7s (per-order contiguity)
     "select_pareto_frontier",           # ~1s (bucket-pruned skyline)
+    "orders_cohort_ltv",                # ~0.8s (cohort x age cents)
+    "text_zipf_topk",                   # ~0.7s (top-20 rank-freq)
+    "embed_centroid_drift",             # ~1.2s (two-sample centroids)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

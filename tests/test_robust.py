@@ -373,3 +373,34 @@ def test_pareto_frontier_matches_naive(spark):
              if not any(q[1] <= p[1] and q[2] <= p[2]
                         and (q[1] < p[1] or q[2] < p[2]) for q in pts)}
     assert got == naive and got
+
+
+def test_cohort_ltv_conserves_first_year_revenue(spark):
+    from python_etl_rest_api_spark.catalog_robust import orders_cohort_ltv
+    rows = orders_cohort_ltv(spark, SF).collect()
+    assert all(0 <= r["age_months"] <= 11 for r in rows)
+    # age-0 cell per cohort holds at least one order (the acquisition)
+    age0 = {r["cohort_month"] for r in rows if r["age_months"] == 0}
+    cohorts = {r["cohort_month"] for r in rows}
+    assert age0 == cohorts
+    assert all(r["revenue_cents"] > 0 for r in rows)
+
+
+def test_zipf_head_is_ranked(spark):
+    from python_etl_rest_api_spark.catalog_robust import text_zipf_topk
+    rows = sorted(text_zipf_topk(spark, SF).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r["rank_x_freq"] == r["rank"] * r["freq"] for r in rows)
+
+
+def test_centroid_drift_zero_on_identical_halves(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        embed_centroid_drift)
+    rows = embed_centroid_drift(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_even"] > 0 and r["n_odd"] > 0
+        assert int(r["drift_sq_scaled"]) >= 0

@@ -56,6 +56,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "stats_survival_table": {
         "single_partition_window": "at-risk suffix sum over <= 21 "
                                    "week-bucket aggregate rows"},
+    "text_zipf_topk": {
+        "single_partition_window": "rank over the 20 TakeOrdered head "
+                                   "rows"},
     "select_pareto_frontier": {
         "single_partition_window": "prefix-min over ~100 price-bucket "
                                    "aggregate rows",
