@@ -613,7 +613,10 @@ def layout_partition_pruning(spark, sf_dir):
         "event_date", F.col("ts").cast("date"))
     out = tempfile.mkdtemp(prefix="part_prune_")
     (ev.write.mode("overwrite").partitionBy("event_date").parquet(out))
-    back = spark.read.parquet(out)
+    # explicit schema: a 0-row upstream writes no partition dirs, and
+    # schema inference over the bare _SUCCESS marker throws — the read
+    # side of a partitioned layout must never depend on data presence
+    back = spark.read.schema(ev.schema).parquet(out)
     return (back.filter(F.col("event_date")
                         .isin("2024-01-05", "2024-01-06", "2024-01-07"))
             .groupBy("event_date")

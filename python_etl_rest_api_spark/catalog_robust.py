@@ -1061,7 +1061,9 @@ def sink_partition_overwrite(spark, sf_dir):
     (corrected.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("event_type").parquet(out))
-    back = spark.read.parquet(out)
+    # explicit schema so a 0-row generation (empty-input robustness)
+    # reads back as an empty frame instead of failing inference
+    back = spark.read.schema(e.schema).parquet(out)
     return (back.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("event_id").alias("id_sum")))
