@@ -2173,3 +2173,79 @@ def embed_centroid_drift(spark, sf_dir):
                  F.max("n1").alias("n_odd"),
                  F.sum(diff * diff).cast("decimal(38,0)")
                  .alias("drift_sq_scaled")))
+
+
+# ---------------------------------------------------------------------
+# Corrupt-record CSV ingestion — PERMISSIVE parse with quarantine
+# ---------------------------------------------------------------------
+
+@query("source_csv_corrupt_records", """
+    WITH m AS (SELECT unnest(range(0, 100)) AS i),
+    cls AS (
+      SELECT i,
+             CASE WHEN i % 7 = 3 THEN 'bad_type'
+                  WHEN i % 7 = 5 THEN 'bad_arity'
+                  ELSE 'good' END AS kind
+      FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN kind != 'good' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN kind = 'good' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN kind = 'good' THEN i * 3 + 50 ELSE 0 END)
+                AS BIGINT) AS good_amount_cents
+    FROM cls
+""")
+def source_csv_corrupt_records(spark, sf_dir):
+    """PERMISSIVE CSV ingestion with a corrupt-record quarantine
+    column: a deterministic 100-line fixture plants two malformation
+    classes — a non-numeric amount (type violation) every i%7==3 and a
+    wrong column count (arity violation) every i%7==5 — and the read
+    carries them into `_corrupt_record` instead of failing the job or
+    silently nulling fields. Publishes total/corrupt/good row counts
+    and the exact cents sum of the rows that survive — the quarantine
+    split every 100 TB CSV backfill needs (extends A1/A2's clean-file
+    scan; reference /root/reference/etl/03_transform_and_load.py
+    ingests a known-clean CSV). The oracle derives all four numbers in
+    closed form from the planting rule.
+
+    Plan: one file scan with an explicit schema (no inference pass);
+    the fixture frame is cached before filtering because Spark
+    disallows queries selecting ONLY the internal corrupt column from
+    the raw scan. At scale the corrupt slice writes to a quarantine
+    sink (etl_critical_quarantine's split)."""
+    import os
+    import tempfile as _tf
+    from pyspark.sql import types as T
+    tune(spark)
+    lines = ["id,name,amount"]
+    for i in range(100):
+        if i % 7 == 3:
+            lines.append(f"{i},row{i},abc")           # type violation
+        elif i % 7 == 5:
+            lines.append(f"{i},row{i},{i*3+50},extra")  # arity violation
+        else:
+            lines.append(f"{i},row{i},{i*3+50}")
+    d = _tf.mkdtemp(prefix="csv_corrupt_")
+    path = os.path.join(d, "rows.csv")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    df = (spark.read.schema(schema)
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(path)
+          .cache())
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(~bad, F.col("amount")).otherwise(0))
+         .alias("good_amount_cents"))

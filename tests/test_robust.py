@@ -404,3 +404,14 @@ def test_centroid_drift_zero_on_identical_halves(spark):
     for r in rows:
         assert r["n_even"] > 0 and r["n_odd"] > 0
         assert int(r["drift_sq_scaled"]) >= 0
+
+
+def test_csv_corrupt_records_quarantine(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        source_csv_corrupt_records)
+    r = source_csv_corrupt_records(spark, SF).collect()[0]
+    assert r["n_rows"] == 100
+    assert r["n_corrupt"] == sum(1 for i in range(100) if i % 7 in (3, 5))
+    assert r["n_good"] == r["n_rows"] - r["n_corrupt"]
+    assert r["good_amount_cents"] == sum(
+        i * 3 + 50 for i in range(100) if i % 7 not in (3, 5))
