@@ -2249,3 +2249,53 @@ def source_csv_corrupt_records(spark, sf_dir):
         F.sum(F.when(~bad, 1).otherwise(0)).alias("n_good"),
         F.sum(F.when(~bad, F.col("amount")).otherwise(0))
          .alias("good_amount_cents"))
+
+
+# ---------------------------------------------------------------------
+# Audio decimation round trip — the resample leg for the audio modality
+# ---------------------------------------------------------------------
+
+@query("multimodal_audio_decimate", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i, (64 + i) // 2 AS hf,
+                 list_transform(range(0, 64 + i),
+                   j -> (((i * 31 + j * 7) % 256) - 128) * 256) AS a
+          FROM m),
+    h AS (SELECT i, hf,
+                 list_transform(range(0, hf),
+                   t -> (a[2 * t + 1] + a[2 * t + 2]) // 2) AS d
+          FROM s)
+    SELECT i AS media_id,
+           4000 AS sample_rate,
+           1 AS n_channels,
+           CAST(hf AS BIGINT) AS n_frames,
+           CAST(hf * 250 AS BIGINT) AS duration_us,
+           CAST(list_max(list_transform(d, x -> abs(x))) AS BIGINT)
+             AS peak_amplitude,
+           CAST(list_sum(list_transform(d, x -> abs(x))) AS BIGINT)
+             AS total_abs_amplitude
+    FROM h
+""")
+def multimodal_audio_decimate(spark, sf_dir):
+    """Audio RESAMPLE round trip — the decimate twin of
+    multimodal_image_resize, completing decode / feature-extract /
+    resize / sample across both pixel and PCM modalities: genuine
+    RIFF/WAVE payloads are sample-decoded, 2:1 box-decimated with the
+    EXACT integer filter floor((s_2t + s_2t+1)/2) (Python's flooring
+    // matches DuckDB's // on signed samples; odd tail drops), then
+    RE-ENCODED as real half-rate WAVs — payload-in/payload-out — and
+    finally run through the standard decode_wav_features pass. Because
+    the filter is integer-only, the decimated clip is
+    bit-deterministic and this oracle computes the decoded features in
+    closed form from the synthesis formula. Operator:
+    operators/multimodal.py::decimate_wav_half.
+
+    Plan: two chained mapInPandas passes (decimate, decode) — payload
+    bytes never leave the executor; only O(clips) scalar feature rows
+    shuffle. Reference N/A."""
+    from .operators.multimodal import (decimate_wav_half,
+                                       decode_wav_features,
+                                       synthesize_wav_media)
+    tune(spark)
+    return decode_wav_features(
+        decimate_wav_half(synthesize_wav_media(spark, n=48)))

@@ -1360,3 +1360,40 @@ def ahash_row_signatures(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, AHASH_SIG_SCHEMA)
+
+
+def decimate_wav_half(media: DataFrame) -> DataFrame:
+    """Audio RESAMPLE leg (the resize twin for the audio modality):
+    decode each PCM16 RIFF/WAVE payload, downsample 2:1 with the exact
+    integer box filter floor((s_2t + s_2t+1) / 2) (Python // floors
+    toward -inf, matching DuckDB's // on the signed samples; a trailing
+    odd sample drops), and RE-ENCODE a genuine WAV at half the frame
+    rate — payload-in/payload-out, so any downstream decode accepts the
+    result. Bit-deterministic because the filter is integer-only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload = []
+            for payload in pdf["payload"]:
+                if payload is None:
+                    out_payload.append(None)
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    sr = w.getframerate()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = struct.unpack(f"<{nf}h", raw)
+                half = [(s[2 * t] + s[2 * t + 1]) // 2
+                        for t in range(nf // 2)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(max(sr // 2, 1))
+                    w.writeframes(struct.pack(f"<{len(half)}h", *half))
+                out_payload.append(buf.getvalue())
+            pdf = pdf.copy()
+            pdf["payload"] = out_payload
+            yield pdf
+
+    return media.mapInPandas(batches, media.schema)

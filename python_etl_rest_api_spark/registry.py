@@ -177,6 +177,7 @@ _DEBT_FIRST = [
     "text_zipf_topk",                   # ~0.7s (top-20 rank-freq)
     "embed_centroid_drift",             # ~1.2s (two-sample centroids)
     "source_csv_corrupt_records",       # ~0.5s (PERMISSIVE quarantine)
+    "multimodal_audio_decimate",        # ~1s (decimate + decode)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -415,3 +415,19 @@ def test_csv_corrupt_records_quarantine(spark):
     assert r["n_good"] == r["n_rows"] - r["n_corrupt"]
     assert r["good_amount_cents"] == sum(
         i * 3 + 50 for i in range(100) if i % 7 not in (3, 5))
+
+
+def test_audio_decimate_matches_direct(spark):
+    from python_etl_rest_api_spark.catalog_robust import (
+        multimodal_audio_decimate)
+    rows = {r["media_id"]: r for r in
+            multimodal_audio_decimate(spark, SF).collect()}
+    assert len(rows) == 48
+    for i in (0, 7, 47):
+        nf = 64 + i
+        s = [(((i * 31 + j * 7) % 256) - 128) * 256 for j in range(nf)]
+        d = [(s[2 * t] + s[2 * t + 1]) // 2 for t in range(nf // 2)]
+        r = rows[i]
+        assert r["sample_rate"] == 4000 and r["n_frames"] == nf // 2
+        assert r["peak_amplitude"] == max(abs(x) for x in d)
+        assert r["total_abs_amplitude"] == sum(abs(x) for x in d)
