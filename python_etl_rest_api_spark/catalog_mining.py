@@ -1,0 +1,507 @@
+"""Round-7 catalog entries, fourth wave: market-style OHLC bars,
+sequence-path mining, distribution audits (Benford, Gini/Lorenz, ABC),
+privacy-preserving pseudonymized joins, the hashing-trick featurizer,
+and the JSON-lines source round trip that completes the four-format
+source matrix (CSV / parquet / ORC / JSONL).
+
+The reference (/root/reference/ — a 313-line pandas ETL + FastAPI app,
+etl/03_transform_and_load.py + api/first100.py) has none of these; they
+extend the engine along the north-star axes under the repo's exactness
+discipline:
+
+- every published column in this wave is BIGINT / INTEGER / VARCHAR /
+  TIMESTAMP — zero float-published columns, so no entry can enter
+  COVERAGE.md hazard class 6;
+- money and event values are floored to integer cents / micros per row
+  BEFORE any aggregation (the winsorize/permutation-test recipe);
+- global rank / prefix-share computations (Gini, ABC) go through
+  operators/twopass.global_prefix, never an unpartitioned window, so
+  the plans survive a 1000-executor scale-up;
+- floor divisions run on BIGINT (or are cast to HUGEINT on the DuckDB
+  side first: DuckDB's ``//`` over DECIMAL operands performs DECIMAL
+  division, not floor — the BM25 lesson, re-verified this round);
+- every oracle integer SUM is CAST AS BIGINT (DuckDB types them
+  HUGEINT, which the driver's type-sensitive hash rejects).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _events, _t, query
+from .operators.twopass import ROW_COL, SUM_COL, global_prefix
+from .session import tune
+
+# Deterministic per-row event value in integer micro-units - identical
+# guard + flooring on both engines (the stats_permutation_test recipe).
+_VMIC_SQL = ("CASE WHEN value IS NOT NULL AND NOT isnan(value) "
+             "AND value >= 0 AND value < 1e12 "
+             "THEN CAST(floor(value * 1000000.0) AS BIGINT) END")
+
+
+def _vmic():
+    return (F.when(F.col("value").isNotNull()
+                   & ~F.isnan(F.col("value"))
+                   & (F.col("value") >= 0) & (F.col("value") < 1e12),
+                   F.floor(F.col("value") * 1000000.0).cast("long")))
+
+
+def _h32(prefix: str, col):
+    """Deterministic 32-bit hash: first 8 hex chars of md5(prefix||col)
+    as a BIGINT in [0, 2^32). Same recipe as sketch_kmv_distinct /
+    privacy_dp_counts, so the Spark and DuckDB sides agree bit-for-bit.
+    """
+    return (F.conv(F.substring(
+                F.md5(F.concat(F.lit(prefix), col.cast("string"))
+                      .cast("binary")), 1, 8), 16, 10)
+            .cast("long"))
+
+
+# ---------------------------------------------------------------------
+# OHLC hourly bars — open/high/low/close per (event_type, hour)
+# ---------------------------------------------------------------------
+
+@query("events_ohlc_hourly", f"""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+             {_VMIC_SQL} AS vmic
+      FROM events WHERE event_type IS NOT NULL),
+    f AS (SELECT * FROM e WHERE vmic IS NOT NULL),
+    r AS (
+      SELECT event_type, hr, vmic,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM f)
+    SELECT event_type, hr,
+           COUNT(*) AS n_events,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN vmic END) AS BIGINT)
+             AS open_micros,
+           CAST(MAX(vmic) AS BIGINT) AS high_micros,
+           CAST(MIN(vmic) AS BIGINT) AS low_micros,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN vmic END) AS BIGINT)
+             AS close_micros
+    FROM r GROUP BY event_type, hr
+""")
+def events_ohlc_hourly(spark, sf_dir):
+    """Financial-style OHLC candles over the event stream: per
+    (event_type, hour) the first (open), max (high), min (low), and
+    last (close) value, in exact integer micros. First/last are
+    resolved by a window PARTITIONED on the bar key with the
+    (ts, event_id) total order — one hash shuffle on the bar key which
+    the following groupBy reuses (same keys, no second exchange), so
+    the plan is a single-shuffle bar builder that scales with bars,
+    not rows-per-bar arriving at one task. Extends the reference's
+    aggregate surface (etl/03_transform_and_load.py builds only
+    groupby sums) to order-sensitive aggregates."""
+    e = _events(spark, sf_dir)
+    base = (e.filter(F.col("event_type").isNotNull())
+            .select("event_type",
+                    F.date_trunc("hour", "ts").alias("hr"),
+                    "ts", "event_id", _vmic().alias("vmic"))
+            .filter(F.col("vmic").isNotNull()))
+    wa = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = (base.withColumn("rn_a", F.row_number().over(wa))
+         .withColumn("rn_d", F.row_number().over(wd)))
+    return (r.groupBy("event_type", "hr")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max(F.when(F.col("rn_a") == 1, F.col("vmic")))
+                 .alias("open_micros"),
+                 F.max("vmic").alias("high_micros"),
+                 F.min("vmic").alias("low_micros"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("vmic")))
+                 .alias("close_micros")))
+
+
+# ---------------------------------------------------------------------
+# Top event-type paths — 3-step sequence mining per user
+# ---------------------------------------------------------------------
+
+@query("events_top_paths", """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    p AS (
+      SELECT event_type || ' > ' || lead(event_type, 1) OVER w
+             || ' > ' || lead(event_type, 2) OVER w AS path
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT path, COUNT(*) AS n FROM p
+      WHERE path IS NOT NULL GROUP BY path)
+    SELECT path, n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER)
+             AS rk
+    FROM c QUALIFY rk <= 20
+""")
+def events_top_paths(spark, sf_dir):
+    """Sequential-pattern head: the 20 most common 3-step event-type
+    paths (clickstream n-grams) across per-user journeys. The lead
+    window is PARTITIONED by user (parallel); the path count is a
+    partial+final aggregate over a path-vocabulary-sized key space; the
+    top-20 is TakeOrderedAndProject (per-partition heads + driver
+    merge), so no stage ever single-partitions the corpus. NULL
+    propagation (F.concat, not concat_ws) drops the <3-step tails in
+    both engines identically."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (e.filter(F.col("event_type").isNotNull()
+                      & F.col("user_id").isNotNull())
+             .select("user_id", "event_type", "ts", "event_id")
+             .withColumn("path", F.concat(
+                 F.col("event_type"), F.lit(" > "),
+                 F.lead("event_type", 1).over(w), F.lit(" > "),
+                 F.lead("event_type", 2).over(w)))
+             .filter(F.col("path").isNotNull()))
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "path").limit(20)
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return top.select("path", "n",
+                      F.row_number().over(wr).cast("int").alias("rk"))
+
+
+# ---------------------------------------------------------------------
+# Benford first-digit audit — fraud-screen distribution check
+# ---------------------------------------------------------------------
+
+_BENFORD_SQL = """CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+    WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79
+    WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51
+    ELSE 46 END"""
+
+
+@query("stats_benford_first_digit", f"""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total
+          FROM c)
+    SELECT digit, n,
+           CAST(n * 1000 // total AS BIGINT) AS obs_permille,
+           CAST({_BENFORD_SQL} AS BIGINT) AS exp_permille,
+           CAST(n * 1000 // total - {_BENFORD_SQL} AS BIGINT)
+             AS dev_permille
+    FROM t
+""")
+def stats_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals: observed
+    per-digit frequency in permille vs the Benford expectation
+    (round(log10(1+1/d)*1000) as integer literals, identical on both
+    sides), published as exact integer permille via BIGINT floor
+    division. The only window runs over the 9 aggregated digit rows —
+    a constant-size frame whatever the corpus. The first digit is
+    taken from the integer part's decimal string (identical substr in
+    both engines), never via float log10, whose boundary cells
+    (1000.0) are representation-hazardous."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("long")
+                             .cast("string"), 1, 1).alias("digit")))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn(
+        "total", F.sum("n").over(
+            Window.partitionBy(F.lit(1))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)).cast("long"))
+    exp = (F.when(F.col("digit") == "1", 301)
+           .when(F.col("digit") == "2", 176)
+           .when(F.col("digit") == "3", 125)
+           .when(F.col("digit") == "4", 97)
+           .when(F.col("digit") == "5", 79)
+           .when(F.col("digit") == "6", 67)
+           .when(F.col("digit") == "7", 58)
+           .when(F.col("digit") == "8", 51)
+           .otherwise(46).cast("long"))
+    return t.select(
+        "digit", "n",
+        F.expr("n * 1000 div total").alias("obs_permille"),
+        exp.alias("exp_permille"),
+        (F.expr("n * 1000 div total") - exp).alias("dev_permille"))
+
+
+# ---------------------------------------------------------------------
+# Gini / Lorenz inequality of customer spend — two-pass global rank
+# ---------------------------------------------------------------------
+
+@query("stats_gini_lorenz", """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT spend_cents,
+             row_number() OVER (ORDER BY spend_cents, o_custkey) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(spend_cents) OVER () AS BIGINT) AS tot
+      FROM spend),
+    s AS (
+      SELECT MAX(n) AS n, MAX(tot) AS tot,
+             CAST(SUM(CAST(i AS DECIMAL(19,0))
+                      * CAST(spend_cents AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS s_iw,
+             CAST(SUM(CASE WHEN i > n - n // 10 THEN spend_cents
+                           ELSE 0 END) AS BIGINT) AS top_cents
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           tot AS total_cents,
+           CAST(CAST((2 * s_iw - (CAST(n AS DECIMAL(19,0)) + 1)
+                      * CAST(tot AS DECIMAL(19,0))) * 1000000
+                     AS HUGEINT)
+                // CAST(CAST(n AS DECIMAL(19,0))
+                        * CAST(tot AS DECIMAL(19,0)) AS HUGEINT)
+                AS BIGINT) AS gini_micros,
+           CAST(top_cents * 1000 // tot AS BIGINT)
+             AS top_decile_permille
+    FROM s
+""")
+def stats_gini_lorenz(spark, sf_dir):
+    """Inequality profile of customer spend: the exact Gini
+    coefficient in integer micro-units via the rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    exact-cents spend, plus the Lorenz top-decile share in permille.
+    The global rank comes from operators/twopass.global_prefix (range
+    shuffle + partition-local windows + broadcast offsets), never an
+    unpartitioned window, and global_prefix returns n and the total as
+    driver literals for free — so the only distributed aggregate left
+    is the single sum(i*x_i), carried in DECIMAL(38,0) (BIGINT
+    overflows beyond ~sf1; DuckDB's ``//`` needs HUGEINT operands for
+    true floor — both sides therefore floor-divide a >=0 numerator,
+    where Spark's truncating div agrees)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")
+                        * 100).cast("long").alias("spend_cents")))
+    g, n, tot = global_prefix(
+        spend, [F.col("spend_cents"), F.col("o_custkey")],
+        sum_col="spend_cents")
+    cut = n - n // 10
+    aggd = g.agg(
+        F.sum(F.col(ROW_COL).cast("decimal(19,0)")
+              * F.col("spend_cents").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").alias("s_iw"),
+        F.sum(F.when(F.col(ROW_COL) > cut, F.col("spend_cents"))
+              .otherwise(0)).cast("long").alias("top_cents"))
+    return aggd.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.lit(tot).cast("long").alias("total_cents"),
+        F.expr(
+            f"CAST((2 * s_iw - CAST('{(n + 1) * tot}' AS DECIMAL(38,0)))"
+            f" * 1000000 div CAST('{n * tot}' AS DECIMAL(38,0))"
+            f" AS BIGINT)").alias("gini_micros"),
+        F.expr(f"CAST(top_cents * 1000 div {tot} AS BIGINT)")
+        .alias("top_decile_permille"))
+
+
+# ---------------------------------------------------------------------
+# ABC (Pareto-class) inventory classification — two-pass prefix share
+# ---------------------------------------------------------------------
+
+@query("orders_abc_classes", """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT rev_cents,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC,
+                                       l_partkey) AS BIGINT) AS csum,
+             CAST(SUM(rev_cents) OVER () AS BIGINT) AS tot
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN csum * 100 <= 80 * tot THEN 'A'
+                  WHEN csum * 100 <= 95 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_cents, tot
+      FROM r)
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(rev_cents) * 1000 // CAST(MAX(tot) AS HUGEINT)
+                AS BIGINT) AS share_permille
+    FROM cls GROUP BY abc_class
+""")
+def orders_abc_classes(spark, sf_dir):
+    """ABC inventory classification: parts whose descending cumulative
+    revenue share reaches 80% are class A, 95% class B, the tail C —
+    the classic Pareto cut, decided by exact integer cross-
+    multiplication (csum*100 <= 80*tot), never a float share. The
+    descending cumulative sum is the two-pass global prefix scan over
+    the part-level aggregate (vocabulary-sized input, range-shuffled,
+    partition-local windows); the totals it returns fold into the
+    class predicate as literals."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * 100).cast("long").alias("rev_cents")))
+    g, n, tot = global_prefix(
+        rev, [F.col("rev_cents").desc(), F.col("l_partkey")],
+        sum_col="rev_cents")
+    cls = g.withColumn(
+        "abc_class",
+        F.when(F.col(SUM_COL) * 100 <= 80 * tot, "A")
+        .when(F.col(SUM_COL) * 100 <= 95 * tot, "B")
+        .otherwise("C"))
+    return (cls.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev_cents").cast("long").alias("revenue_cents"))
+            .withColumn("share_permille",
+                        F.expr(f"CAST(revenue_cents * 1000 div {tot} "
+                               f"AS BIGINT)")))
+
+
+# ---------------------------------------------------------------------
+# Pseudonymized join — GDPR-style keyed tokenization keeps joins alive
+# ---------------------------------------------------------------------
+
+@query("privacy_pseudonymize_join", """
+    WITH ct AS (
+      SELECT sha256('pseud:v1:' || CAST(c_custkey AS VARCHAR))
+               AS token, c_mktsegment
+      FROM customer),
+    ot AS (
+      SELECT sha256('pseud:v1:' || CAST(o_custkey AS VARCHAR))
+               AS token,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS spend_cents
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT ot.token, ct.c_mktsegment, ot.n_orders, ot.spend_cents
+      FROM ot JOIN ct ON ot.token = ct.token)
+    SELECT substr(token, 1, 12) AS token_prefix, c_mktsegment,
+           n_orders, spend_cents,
+           CAST(row_number() OVER (ORDER BY n_orders DESC, token)
+                AS INTEGER) AS rk
+    FROM j QUALIFY rk <= 10
+""")
+def privacy_pseudonymize_join(spark, sf_dir):
+    """Pseudonymization that preserves referential integrity: both
+    sides replace the raw customer key with a salted SHA-256 token
+    (versioned salt 'pseud:v1:'), then join ON THE TOKENS — proving an
+    anonymized lake still supports cross-table analytics without ever
+    materializing the raw key. Orders pre-aggregate per token before
+    the join (token-vocabulary-sized build side); the top-10 head is
+    TakeOrderedAndProject. Published token prefixes are 48 bits — a
+    display handle, not a reversible key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    tok = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit("pseud:v1:"), col.cast("string")), 256)
+    ct = c.select(tok(F.col("c_custkey")).alias("token"),
+                  "c_mktsegment")
+    ot = (o.select(tok(F.col("o_custkey")).alias("token"),
+                   "o_totalprice")
+          .groupBy("token")
+          .agg(F.count(F.lit(1)).alias("n_orders"),
+               F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+               .cast("long").alias("spend_cents")))
+    j = ot.join(ct, "token")
+    top = j.orderBy(F.col("n_orders").desc(), "token").limit(10)
+    w = Window.orderBy(F.col("n_orders").desc(), "token")
+    return top.select(
+        F.substring("token", 1, 12).alias("token_prefix"),
+        "c_mktsegment", "n_orders", "spend_cents",
+        F.row_number().over(w).cast("int").alias("rk"))
+
+
+# ---------------------------------------------------------------------
+# Hashing-trick featurizer — fixed-width bag-of-words without a vocab
+# ---------------------------------------------------------------------
+
+@query("text_hashing_features", """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+    b AS (
+      SELECT source,
+             CAST(('0x' || substr(md5('feat:' || term), 1, 8))::BIGINT
+                  % 64 AS INTEGER) AS bucket
+      FROM tok WHERE term <> ''),
+    c AS (SELECT source, bucket, COUNT(*) AS n
+          FROM b GROUP BY source, bucket)
+    SELECT source, bucket, n,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY n DESC, bucket)
+                AS INTEGER) AS rk
+    FROM c QUALIFY rk <= 3
+""")
+def text_hashing_features(spark, sf_dir):
+    """The hashing trick (feature hashing): tokens map straight to a
+    fixed 64-bucket feature space via md5 — no vocabulary pass, no
+    dictionary broadcast, which is why it is THE featurizer for
+    unbounded token streams at 100 TB. Published head: each source's 3
+    hottest feature buckets. The bucket hash is the repo's md5-conv
+    recipe (bit-identical in both engines); counts shuffle on
+    (source, bucket) — 64*sources cells — and the rank window runs per
+    source over <=64 aggregated rows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (d.filter(F.col("source").isNotNull()
+                    & F.col("text").isNotNull())
+           .select("source",
+                   F.explode(F.split("text", " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    b = tok.select(
+        "source",
+        (_h32("feat:", F.col("term")) % 64).cast("int").alias("bucket"))
+    c = (b.groupBy("source", "bucket")
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "bucket")
+    return (c.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 3))
+
+
+# ---------------------------------------------------------------------
+# JSON-lines source round trip — completes the 4-format source matrix
+# ---------------------------------------------------------------------
+
+_JSON_CACHE: dict[str, str] = {}
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+@query("source_json_roundtrip", f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(SUM({_VMIC_SQL}) AS BIGINT) AS sum_value_micros,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+""")
+def source_json_roundtrip(spark, sf_dir):
+    """JSON-lines source leg: events is rewritten once per corpus as
+    JSONL with an explicit microsecond timestampFormat (the default
+    format truncates to millis — silent precision loss this entry
+    exists to rule out), read back under an EXPLICIT schema (no
+    inference pass over the data), and profiled per event_type — while
+    the ORACLE reads the original PARQUET. Hash equality proves the
+    JSONL writer+reader round-trips BIGINT ids, shortest-repr DOUBLE
+    values, VARCHAR enums, and microsecond TIMESTAMPs bit-exactly:
+    the format-parity guarantee for JSON landing zones. Completes the
+    source matrix: CSV (A1), parquet (everywhere), ORC
+    (source_orc_roundtrip), JSONL (here)."""
+    e = _events(spark, sf_dir)
+    if sf_dir not in _JSON_CACHE:
+        path = tempfile.mkdtemp(prefix="json_events_")
+        (e.write.mode("overwrite")
+         .option("timestampFormat", _TS_FMT).json(path))
+        _JSON_CACHE[sf_dir] = path
+    tune(spark)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    j = (spark.read.schema(schema)
+         .option("timestampFormat", _TS_FMT)
+         .json(_JSON_CACHE[sf_dir]))
+    return (j.filter(F.col("event_type").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"),
+                 F.sum(_vmic()).cast("long").alias("sum_value_micros"),
+                 F.max("event_id").cast("long").alias("max_event_id")))

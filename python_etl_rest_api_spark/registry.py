@@ -51,9 +51,9 @@ r6 close: 250 oracle-paired entries).
 
 from . import (  # noqa: F401
     catalog, catalog_agg, catalog_ann, catalog_etl, catalog_ext,
-    catalog_infer, catalog_iter, catalog_llm, catalog_pipe,
-    catalog_quality, catalog_robust, catalog_scale, catalog_tpch,
-    catalog_warehouse, catalog_win,
+    catalog_infer, catalog_iter, catalog_llm, catalog_mining,
+    catalog_pipe, catalog_quality, catalog_robust, catalog_scale,
+    catalog_tpch, catalog_warehouse, catalog_win,
 )
 from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
@@ -178,6 +178,15 @@ _DEBT_FIRST = [
     "embed_centroid_drift",             # ~1.2s (two-sample centroids)
     "source_csv_corrupt_records",       # ~0.5s (PERMISSIVE quarantine)
     "multimodal_audio_decimate",        # ~1s (decimate + decode)
+    # -- fourth r7 wave (catalog_mining.py), cheapest-first --
+    "stats_benford_first_digit",        # ~0.4s (9-digit audit)
+    "text_hashing_features",            # ~0.7s (64-bucket featurizer)
+    "events_top_paths",                 # ~0.8s (3-step path heads)
+    "privacy_pseudonymize_join",        # ~0.8s (token-joined top-10)
+    "events_ohlc_hourly",               # ~1.1s (bar-key window+agg)
+    "stats_gini_lorenz",                # ~2s (two-pass rank identity)
+    "orders_abc_classes",               # ~3s (two-pass Pareto cut)
+    "source_json_roundtrip",            # ~3s (one-time JSONL write)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

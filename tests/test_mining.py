@@ -1,0 +1,136 @@
+"""Plan-shape + invariant tests for the catalog_mining entries: OHLC
+bars keep their order invariants on a PARTITIONED window, the path
+miner and featurizer bound their rank frames, the Gini/ABC prefix
+scans never build a single-partition window over row-scaled input, and
+the JSONL round trip value-matches the parquet truth end to end."""
+
+from pyspark.sql import functions as F
+
+from python_etl_rest_api_spark.catalog_mining import (
+    events_ohlc_hourly,
+    events_top_paths,
+    orders_abc_classes,
+    privacy_pseudonymize_join,
+    source_json_roundtrip,
+    stats_benford_first_digit,
+    stats_gini_lorenz,
+    text_hashing_features,
+)
+from python_etl_rest_api_spark.catalog import _events
+from python_etl_rest_api_spark.operators.twopass import (
+    single_partition_window_ops,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ohlc_invariants_and_partitioned_window(spark):
+    df = events_ohlc_hourly(spark, SF)
+    # the bar windows are keyed on (event_type, hr): nothing may run
+    # on a single partition
+    assert single_partition_window_ops(df) == []
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["low_micros"] <= r["open_micros"] <= r["high_micros"]
+        assert r["low_micros"] <= r["close_micros"] <= r["high_micros"]
+        assert r["n_events"] >= 1
+        if r["n_events"] == 1:
+            assert r["open_micros"] == r["close_micros"] \
+                == r["high_micros"] == r["low_micros"]
+
+
+def test_top_paths_bounded_head(spark):
+    df = events_top_paths(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r["rk"])
+    assert 1 <= len(rows) <= 20
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert r["path"].count(" > ") == 2
+
+
+def test_benford_permille_budget(spark):
+    df = stats_benford_first_digit(spark, SF)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 9
+    total_obs = sum(r["obs_permille"] for r in rows)
+    # floor division loses at most 1 permille per digit
+    assert 1000 - len(rows) <= total_obs <= 1000
+    for r in rows:
+        assert r["dev_permille"] == r["obs_permille"] - r["exp_permille"]
+        assert r["digit"] in set("123456789")
+
+
+def test_gini_bounds_and_no_global_window(spark):
+    df = stats_gini_lorenz(spark, SF)
+    assert single_partition_window_ops(df) == []
+    r = df.collect()[0]
+    assert 0 <= r["gini_micros"] < 1_000_000
+    # the top decile owns at least its proportional share
+    assert 100 <= r["top_decile_permille"] <= 1000
+    assert r["n_customers"] > 0 and r["total_cents"] > 0
+
+
+def test_abc_classes_partition_totals(spark):
+    df = orders_abc_classes(spark, SF)
+    assert single_partition_window_ops(df) == []
+    rows = {r["abc_class"]: r for r in df.collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    share = sum(r["share_permille"] for r in rows.values())
+    assert 1000 - len(rows) <= share <= 1000
+    # A is the 80% head: it must hold the largest revenue share
+    if len(rows) > 1:
+        assert rows["A"]["share_permille"] == max(
+            r["share_permille"] for r in rows.values())
+
+
+def test_pseudonymize_token_contract(spark):
+    df = privacy_pseudonymize_join(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r["rk"])
+    assert 1 <= len(rows) <= 10
+    ns = [r["n_orders"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r["token_prefix"]) == 12
+        assert set(r["token_prefix"]) <= set("0123456789abcdef")
+        assert r["spend_cents"] > 0
+
+
+def test_hashing_features_bucket_space(spark):
+    df = text_hashing_features(spark, SF)
+    rows = df.collect()
+    assert rows
+    per_source: dict[str, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 64
+        per_source.setdefault(r["source"], []).append(r["rk"])
+    for rks in per_source.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 3
+
+
+def test_json_roundtrip_matches_parquet_truth(spark):
+    df = source_json_roundtrip(spark, SF)
+    got = {r["event_type"]: r for r in df.collect()}
+    e = _events(spark, SF)
+    vmic = F.when(
+        F.col("value").isNotNull() & ~F.isnan(F.col("value"))
+        & (F.col("value") >= 0) & (F.col("value") < 1e12),
+        F.floor(F.col("value") * 1000000.0).cast("long"))
+    want = {r["event_type"]: r for r in (
+        e.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("first_ts"),
+             F.max("ts").alias("last_ts"),
+             F.sum(vmic).cast("long").alias("sum_value_micros"),
+             F.max("event_id").cast("long").alias("max_event_id"))
+        .collect())}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        for c in ("n_events", "first_ts", "last_ts",
+                  "sum_value_micros", "max_event_id"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
