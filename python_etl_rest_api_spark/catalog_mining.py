@@ -505,3 +505,278 @@ def source_json_roundtrip(spark, sf_dir):
                  F.max("ts").alias("last_ts"),
                  F.sum(_vmic()).cast("long").alias("sum_value_micros"),
                  F.max("event_id").cast("long").alias("max_event_id")))
+
+
+# ---------------------------------------------------------------------
+# Walsh-Hadamard band energy — integer-exact spectral audio features
+# ---------------------------------------------------------------------
+
+@query("multimodal_wht_bands", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i, j, ((i*31 + j*7) % 256 - 128) * 256 AS v
+          FROM m, range(0, 64) t(j)),
+    co AS (
+      SELECT i, k,
+             CAST(SUM(CASE WHEN bit_count(j & k) % 2 = 1
+                           THEN -v ELSE v END) AS BIGINT) AS c
+      FROM s, range(0, 64) tk(k) GROUP BY i, k)
+    SELECT i AS media_id, CAST(k // 16 AS INTEGER) AS band,
+           CAST(SUM(c * c) AS BIGINT) AS energy
+    FROM co GROUP BY i, k // 16
+""")
+def multimodal_wht_bands(spark, sf_dir):
+    """Spectral audio features WITHOUT float DSP: the Walsh-Hadamard
+    transform is the orthogonal transform whose basis is only +/-1, so
+    the 64 coefficients of each clip's PCM16 head are exact integer
+    sums and the 4 published band energies (sum of coeff^2 per 16
+    natural-order coefficients) value-hash across engines. Executors
+    run the O(n log n) integer FWHT butterfly inside the Arrow batch
+    (operators/multimodal.py::wht_band_energies); the oracle evaluates
+    the O(n^2) DEFINITION H[k,j] = (-1)^popcount(k AND j) — agreement
+    proves the fast transform, the way an FFT kernel is validated.
+    Parseval (sum c^2 = 64 * sum v^2) is asserted in tests."""
+    from .operators.multimodal import (synthesize_wav_media,
+                                       wht_band_energies)
+    tune(spark)
+    return wht_band_energies(synthesize_wav_media(spark, n=48))
+
+
+# ---------------------------------------------------------------------
+# Hourly activity bitmaps — bitset aggregation for behavioral cohorts
+# ---------------------------------------------------------------------
+
+@query("events_hourly_bitmap", """
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(bit_or(CAST(1 AS BIGINT) << hour(ts)) AS BIGINT)
+               AS mask,
+             COUNT(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    p AS (
+      SELECT mask, CAST(bit_count(mask) AS INTEGER) AS active_hours,
+             COUNT(*) AS n_user_days,
+             CAST(SUM(n_events) AS BIGINT) AS n_events
+      FROM b GROUP BY mask)
+    SELECT mask, active_hours, n_user_days, n_events,
+           CAST(row_number() OVER (ORDER BY n_user_days DESC, mask)
+                AS INTEGER) AS rk
+    FROM p QUALIFY rk <= 20
+""")
+def events_hourly_bitmap(spark, sf_dir):
+    """Bitset aggregation: each (user, day) folds its active hours into
+    a 24-bit mask with bit_or — the roaring-bitmap-style encoding a
+    behavioral cohort system keys on — then the corpus's 20 most common
+    daily activity FINGERPRINTS are published with their popcounts.
+    Two partial+final integer aggregates (user-day, then mask-pattern:
+    at most 2^24 groups whatever the corpus) and a TakeOrdered head;
+    bit_or and bit_count are JVM-side expressions in whole-stage
+    codegen, bit-identical to DuckDB's."""
+    e = _events(spark, sf_dir)
+    b = (e.filter(F.col("user_id").isNotNull())
+         .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), hour(ts)))")
+              .alias("mask"),
+              F.count(F.lit(1)).alias("n_events")))
+    p = (b.groupBy("mask")
+         .agg(F.bit_count("mask").cast("int").alias("active_hours"),
+              F.count(F.lit(1)).alias("n_user_days"),
+              F.sum("n_events").cast("long").alias("n_events")))
+    top = p.orderBy(F.col("n_user_days").desc(), "mask").limit(20)
+    w = Window.orderBy(F.col("n_user_days").desc(), "mask")
+    return top.select("mask", "active_hours", "n_user_days", "n_events",
+                      F.row_number().over(w).cast("int").alias("rk"))
+
+
+# ---------------------------------------------------------------------
+# Freshness watermark audit — operational lag per stream
+# ---------------------------------------------------------------------
+
+@query("dq_freshness_watermark", """
+    WITH g AS (SELECT MAX(ts) AS wm FROM events),
+    t AS (SELECT event_type, MAX(ts) AS latest, COUNT(*) AS n_events
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+    SELECT event_type, latest, n_events,
+           CAST((epoch_us(g.wm) - epoch_us(t.latest)) // 60000000
+                AS BIGINT) AS lag_minutes,
+           CAST(CASE WHEN epoch_us(g.wm) - epoch_us(t.latest)
+                          > 3600000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_stale
+    FROM t, g
+""")
+def dq_freshness_watermark(spark, sf_dir):
+    """Pipeline-freshness audit: each event stream's high-water mark
+    vs the corpus watermark, with the integer lag in whole minutes and
+    a >1h staleness flag — the first dashboard a data-platform on-call
+    opens. The watermark is a global 1-row aggregate broadcast across
+    the per-type aggregate (a 1-row nested loop is a map, not a
+    product); lag arithmetic is exact integer microseconds
+    (unix_micros <-> epoch_us), floor-divided to minutes."""
+    e = _events(spark, sf_dir)
+    g = e.agg(F.max("ts").alias("wm"))
+    t = (e.filter(F.col("event_type").isNotNull())
+         .groupBy("event_type")
+         .agg(F.max("ts").alias("latest"),
+              F.count(F.lit(1)).alias("n_events")))
+    lag_us = F.unix_micros(F.col("wm")) - F.unix_micros(F.col("latest"))
+    return (t.crossJoin(F.broadcast(g))
+            .select("event_type", "latest", "n_events",
+                    F.expr("(unix_micros(wm) - unix_micros(latest)) "
+                           "div 60000000").alias("lag_minutes"),
+                    F.when(lag_us > 3600000000, 1).otherwise(0)
+                    .cast("int").alias("is_stale")))
+
+
+# ---------------------------------------------------------------------
+# Two-regressor OLS — exact multivariate normal equations via Cramer
+# ---------------------------------------------------------------------
+
+@query("stats_ols_two_regressors", """
+    WITH b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+             CAST(SUM(x2*y) AS HUGEINT) AS s2y
+      FROM b),
+    d AS (
+      SELECT n,
+             n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+               + s2*(s1*s12 - s11*s2) AS det,
+             sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+               + s2*(s1y*s12 - s11*s2y) AS det0,
+             n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+               + s2*(s1*s2y - s1y*s2) AS det1,
+             n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+               + sy*(s1*s12 - s11*s2) AS det2
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(det0 * 1000000 // det AS BIGINT) AS beta0_micros,
+           CAST(det1 * 1000000 // det AS BIGINT) AS beta1_micros,
+           CAST(det2 * 1000000 // det AS BIGINT) AS beta2_micros
+    FROM d
+""")
+def stats_ols_two_regressors(spark, sf_dir):
+    """Multivariate OLS solved EXACTLY at scale: price_cents regressed
+    on (quantity, discount_points) by Cramer's rule over the 3x3
+    integer normal equations — one distributed pass produces the nine
+    exact moment sums (all BIGINT-safe), and the betas are integer
+    determinant ratios published in floor-micros. Extends
+    events_linear_trend (single regressor) to the multivariate case
+    with zero float linear algebra: both engines divide the SAME exact
+    integers, and Spark's truncating `div` and DuckDB's HUGEINT `//`
+    agree for any determinant sign (both truncate toward zero —
+    re-verified this round). Determinant magnitudes stay under 1e35 at
+    the tested scales (documented bound ~sf1; beyond that, center and
+    rescale the regressors — the standard conditioning fix)."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (li.filter(F.col("l_quantity").isNotNull()
+                   & F.col("l_discount").isNotNull()
+                   & F.col("l_extendedprice").isNotNull())
+         .select(F.col("l_quantity").cast("long").alias("x1"),
+                 F.round(F.col("l_discount") * 100).cast("long")
+                 .alias("x2"),
+                 (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("y")))
+    s = b.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("s1"),
+        F.sum("x2").cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("decimal(38,0)")
+        .alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("decimal(38,0)")
+        .alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("decimal(38,0)")
+        .alias("s22"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("decimal(38,0)")
+        .alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("decimal(38,0)")
+        .alias("s2y"))
+    d = s.selectExpr(
+        "n",
+        "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)"
+        " + s2*(s1*s12 - s11*s2) AS det",
+        "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)"
+        " + s2*(s1y*s12 - s11*s2y) AS det0",
+        "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)"
+        " + s2*(s1*s2y - s1y*s2) AS det1",
+        "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)"
+        " + sy*(s1*s12 - s11*s2) AS det2")
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        "CAST(det0 * 1000000 div det AS BIGINT) AS beta0_micros",
+        "CAST(det1 * 1000000 div det AS BIGINT) AS beta1_micros",
+        "CAST(det2 * 1000000 div det AS BIGINT) AS beta2_micros")
+
+
+# ---------------------------------------------------------------------
+# Cosine-similarity histogram — embedding-space geometry calibration
+# ---------------------------------------------------------------------
+
+@query("embed_cosine_histogram", """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv
+               FROM embeddings
+               WHERE vec_id < 8 AND embedding IS NOT NULL
+                 AND len(embedding) > 0),
+    c AS (SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    pairs AS (
+      SELECT list_reduce(list_transform(range(1, len(c.embedding) + 1),
+                 i -> CAST(q.qv[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(
+                    range(1, len(q.qv) + 1),
+                    i -> CAST(q.qv[i] AS DOUBLE)
+                         * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(
+                    range(1, len(c.embedding) + 1),
+                    i -> CAST(c.embedding[i] AS DOUBLE)
+                         * CAST(c.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))) AS sim
+      FROM c, q WHERE c.vec_id <> q.qid),
+    bk AS (
+      SELECT CAST(least(19, greatest(0,
+                 CAST(floor((sim + 1.0) * 10.0) AS BIGINT)))
+                 AS INTEGER) AS bucket
+      FROM pairs WHERE sim IS NOT NULL)
+    SELECT bucket, COUNT(*) AS n_pairs
+    FROM bk GROUP BY bucket
+""")
+def embed_cosine_histogram(spark, sf_dir):
+    """Embedding-space geometry calibration: the distribution of
+    query-to-corpus cosine similarities, bucketed into 20 bins over
+    [-1, 1] — the histogram an ANN platform inspects to pick LSH band
+    thresholds and IVF probe counts before indexing a new embedder's
+    output. 8 query vectors broadcast against the corpus (the corpus
+    never shuffles; at 100 TB this is a map + a 20-group count).
+    Bucketing floors a similarity that is BIT-IDENTICAL across engines
+    (the order-pinned sequential fold, COVERAGE.md class 5), so the
+    integer counts value-hash even though sims are floats."""
+    from .operators.similarity import cosine, valid_vectors
+    tune(spark)
+    emb = valid_vectors(_t(spark, sf_dir, "embeddings"))
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    pairs = (emb.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+             .select(cosine(F.col("qv"), F.col("embedding"))
+                     .alias("sim"))
+             .filter(F.col("sim").isNotNull()))
+    bucket = (F.least(F.lit(19), F.greatest(F.lit(0),
+              F.floor((F.col("sim") + 1.0) * 10.0)))
+              .cast("int").alias("bucket"))
+    return pairs.select(bucket).groupBy("bucket") \
+        .agg(F.count(F.lit(1)).alias("n_pairs"))

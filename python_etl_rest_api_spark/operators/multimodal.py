@@ -1397,3 +1397,70 @@ def decimate_wav_half(media: DataFrame) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(batches, media.schema)
+
+
+# ---------------------------------------------------------------------
+# WALSH-HADAMARD BANDS: integer-exact spectral energy over PCM frames
+# ---------------------------------------------------------------------
+#
+# The spectral leg of the audio surface without float DSP: the
+# Walsh-Hadamard transform is the one orthogonal "frequency" transform
+# whose basis is +/-1, so every coefficient is an exact integer sum and
+# the band energies carry a closed-form SQL oracle (the Fourier basis
+# would drag in libm cosines and engine-dependent rounding). Executors
+# run the O(n log n) butterfly; the oracle runs the O(n^2) definition
+# H[k,j] = (-1)^popcount(k AND j) - agreement proves the fast transform.
+
+WHT_N = 64              # transform length (head of the clip), samples
+WHT_BANDS = 4           # published natural-order coefficient bands
+
+WHT_BAND_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("band", T.IntegerType(), True),
+    T.StructField("energy", T.LongType(), True),
+])
+
+
+def wht_band_energies(media: DataFrame) -> DataFrame:
+    """Per clip: decode PCM16, take the first WHT_N samples, run the
+    in-place integer Walsh-Hadamard butterfly (natural/Hadamard
+    coefficient order), and emit per-band energy = sum of coeff^2 over
+    WHT_N/WHT_BANDS consecutive coefficients. |coeff| <= 64*32768 <
+    2^21 so coeff^2 sums stay far inside int64. Same Arrow-batched
+    shape as every codec pass: samples never leave the executor, only
+    (id, band, energy) rows do. Clips shorter than WHT_N are skipped
+    (None bands) - the synthesizer always emits >= 64 frames."""
+    cols = [f.name for f in WHT_BAND_SCHEMA.fields]
+    step = WHT_N // WHT_BANDS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                if len(s) < WHT_N:
+                    recs.append((mid, None, None))
+                    continue
+                c = s[:WHT_N].copy()
+                h = 1
+                while h < WHT_N:           # integer FWHT butterfly
+                    for base in range(0, WHT_N, h * 2):
+                        a = c[base:base + h].copy()
+                        b = c[base + h:base + 2 * h].copy()
+                        c[base:base + h] = a + b
+                        c[base + h:base + 2 * h] = a - b
+                    h *= 2
+                e = c * c
+                for band in range(WHT_BANDS):
+                    recs.append((mid, band,
+                                 int(e[band * step:(band + 1) * step]
+                                     .sum())))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, WHT_BAND_SCHEMA)

@@ -187,6 +187,11 @@ _DEBT_FIRST = [
     "stats_gini_lorenz",                # ~2s (two-pass rank identity)
     "orders_abc_classes",               # ~3s (two-pass Pareto cut)
     "source_json_roundtrip",            # ~3s (one-time JSONL write)
+    "dq_freshness_watermark",           # ~0.8s (watermark lag audit)
+    "stats_ols_two_regressors",         # ~1.1s (Cramer 3x3 exact OLS)
+    "embed_cosine_histogram",           # ~1.4s (broadcast sim buckets)
+    "events_hourly_bitmap",             # ~1.5s (bit_or fingerprints)
+    "multimodal_wht_bands",             # ~2s (FWHT vs popcount oracle)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

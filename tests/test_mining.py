@@ -134,3 +134,86 @@ def test_json_roundtrip_matches_parquet_truth(spark):
         for c in ("n_events", "first_ts", "last_ts",
                   "sum_value_micros", "max_event_id"):
             assert g[c] == w[c], (k, c, g[c], w[c])
+
+
+def test_wht_parseval_and_definition(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        multimodal_wht_bands,
+    )
+    df = multimodal_wht_bands(spark, SF)
+    rows = df.collect()
+    per_media: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["band"] < 4
+        per_media[r["media_id"]] = per_media.get(r["media_id"], 0) \
+            + r["energy"]
+    assert len(per_media) == 48
+    # Parseval: sum of coeff^2 == N * sum of sample^2 for the clip head
+    for i, tot in per_media.items():
+        want = 64 * sum((((i * 31 + j * 7) % 256 - 128) * 256) ** 2
+                        for j in range(64))
+        assert tot == want, (i, tot, want)
+
+
+def test_hourly_bitmap_mask_contract(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_hourly_bitmap,
+    )
+    rows = events_hourly_bitmap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mask"] < (1 << 24)
+        assert bin(r["mask"]).count("1") == r["active_hours"]
+        assert r["n_events"] >= r["n_user_days"] * r["active_hours"]
+
+
+def test_freshness_watermark_nonnegative(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        dq_freshness_watermark,
+    )
+    rows = dq_freshness_watermark(spark, SF).collect()
+    assert rows
+    assert any(r["lag_minutes"] == 0 for r in rows)  # the freshest type
+    for r in rows:
+        assert r["lag_minutes"] >= 0
+        assert r["is_stale"] in (0, 1)
+        assert (r["lag_minutes"] > 60) == (r["is_stale"] == 1) \
+            or r["lag_minutes"] == 60
+
+
+def test_ols_recovers_known_plane(spark):
+    """Feed the operator's exact pipeline a synthetic y = 3 + 2*x1 - x2
+    (in cents scale) and check the integer Cramer solution recovers the
+    plane exactly in micros."""
+    import duckdb
+    from python_etl_rest_api_spark.registry import ORACLES
+    con = duckdb.connect()
+    con.sql("""
+        CREATE VIEW lineitem AS
+        SELECT CAST(x1 AS DOUBLE) AS l_quantity,
+               CAST(x2 AS DOUBLE) / 100 AS l_discount,
+               CAST(300 + 200*x1 - 100*x2 AS DOUBLE) / 100
+                 AS l_extendedprice
+        FROM (SELECT (i % 7) + 1 AS x1, (i * 3) % 10 AS x2
+              FROM range(0, 200) t(i))""")
+    r = con.sql(ORACLES["stats_ols_two_regressors"]).fetchone()
+    n, b0, b1, b2 = r
+    assert n == 200
+    assert b0 == 300_000_000  # 300 cents in micros
+    assert b1 == 200_000_000
+    assert b2 == -100_000_000
+
+
+def test_cosine_histogram_counts(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        embed_cosine_histogram,
+    )
+    from python_etl_rest_api_spark.catalog import _t
+    rows = embed_cosine_histogram(spark, SF).collect()
+    assert rows
+    emb = _t(spark, SF, "embeddings")
+    n = emb.filter(F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0)).count()
+    nq = emb.filter(F.col("vec_id") < 8).count()
+    assert sum(r["n_pairs"] for r in rows) == nq * (n - 1)
+    assert all(0 <= r["bucket"] < 20 for r in rows)

@@ -44,6 +44,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "range-band join: bounded band documented"},
     "join_asof_attribution": {
         "nested_loop": "as-of range join over broadcast dim"},
+    "embed_matryoshka_recall": {
+        "nested_loop": "evaluation harness: 3-query batch broadcast "
+                       "against the corpus twice (full + truncated "
+                       "dims) via the sim_topk_bruteforce baseline"},
     "embed_knn_classify": {
         "nested_loop": "evaluation harness: held-out queries broadcast "
                        "against the corpus via the sim_topk_bruteforce "
@@ -72,6 +76,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "single_partition_window": "share rank over |sources| agg rows"},
     "events_user_growth": {
         "single_partition_window": "running sum over per-day agg rows"},
+    "stats_benford_first_digit": {
+        "single_partition_window": "permille total over <= 9 "
+                                   "aggregated digit rows"},
 }
 
 
