@@ -780,3 +780,273 @@ def embed_cosine_histogram(spark, sf_dir):
               .cast("int").alias("bucket"))
     return pairs.select(bucket).groupBy("bucket") \
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------
+# Community modularity — does the brand partition explain co-purchase?
+# ---------------------------------------------------------------------
+
+@query("graph_community_modularity", """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    be AS (
+      SELECT x.p_brand AS ba, y.p_brand AS bb
+      FROM e JOIN part x ON x.p_partkey = e.pa
+             JOIN part y ON y.p_partkey = e.pb),
+    deg AS (
+      SELECT p, COUNT(*) AS d
+      FROM (SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e)
+      GROUP BY p),
+    bd AS (
+      SELECT x.p_brand AS brand, CAST(SUM(d) AS BIGINT) AS dc
+      FROM deg JOIN part x ON x.p_partkey = deg.p GROUP BY 1),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM e) AS m,
+             (SELECT CAST(SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END)
+                          AS HUGEINT) FROM be) AS li,
+             (SELECT CAST(SUM(CAST(dc AS HUGEINT) * dc) AS HUGEINT)
+              FROM bd) AS sd2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM bd) AS n_brands)
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CAST(li AS BIGINT) AS internal_edges,
+           n_brands,
+           CAST((4*m*li - sd2) * 1000000 // (4*m*m) AS BIGINT)
+             AS q_micros
+    FROM s
+""")
+def graph_community_modularity(spark, sf_dir):
+    """Newman modularity of a GIVEN partition (brand) over the
+    co-purchase part graph — the number that says whether customers
+    co-buy within brands more than a degree-preserving random graph
+    predicts. Exact rational identity: Q = (4m*L_int - sum_c D_c^2) /
+    (4m^2), every term an integer (m edges, L_int intra-brand edges,
+    D_c brand degree sums), published in floor-micros where both
+    engines truncate the SAME integers (Q may be negative; Spark div
+    and DuckDB HUGEINT // both truncate toward zero). The edge set is
+    basket-bounded (C(basket,2) per order, never corpus-quadratic),
+    brands join via broadcast, and the three scalar aggregates
+    cross-join as 1-row maps."""
+    li_t = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part")
+                       .select("p_partkey", "p_brand"))
+    op = li_t.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    e = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+         .select("pa", "pb").distinct())
+    be = (e.join(part.withColumnRenamed("p_partkey", "pa")
+                 .withColumnRenamed("p_brand", "ba"), "pa")
+          .join(part.withColumnRenamed("p_partkey", "pb")
+                .withColumnRenamed("p_brand", "bb"), "pb"))
+    m_li = be.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0))
+        .cast("decimal(38,0)").alias("li"))
+    deg = (e.select(F.col("pa").alias("p"))
+           .unionAll(e.select(F.col("pb").alias("p")))
+           .groupBy("p").agg(F.count(F.lit(1)).alias("d")))
+    bd = (deg.join(part.withColumnRenamed("p_partkey", "p"), "p")
+          .groupBy("p_brand")
+          .agg(F.sum("d").cast("decimal(19,0)").alias("dc")))
+    sd2 = bd.agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("decimal(38,0)")
+        .alias("sd2"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"))
+    return (m_li.crossJoin(F.broadcast(sd2))
+            .selectExpr(
+                "CAST(m AS BIGINT) AS n_edges",
+                "CAST(li AS BIGINT) AS internal_edges",
+                "n_brands",
+                "CAST((4*m*li - sd2) * 1000000 div (4*m*m) AS BIGINT)"
+                " AS q_micros"))
+
+
+# ---------------------------------------------------------------------
+# Class-balanced sampling — deterministic per-label downsampling
+# ---------------------------------------------------------------------
+
+@query("sample_class_balance", """
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+               WHERE label IS NOT NULL GROUP BY label),
+    mn AS (SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM c),
+    r AS (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)), vec_id)
+               AS rk
+      FROM embeddings WHERE label IS NOT NULL),
+    kept AS (
+      SELECT r.label, r.vec_id FROM r, mn WHERE r.rk <= mn.n_min)
+    SELECT k.label,
+           CAST(c.n AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_sum
+    FROM kept k JOIN c ON c.label = k.label
+    GROUP BY k.label, c.n
+""")
+def sample_class_balance(spark, sf_dir):
+    """Class-balanced downsampling for training-set construction: every
+    label keeps exactly n_min = min class size rows, chosen by a
+    deterministic content hash (md5 over the id — the data-split
+    recipe), so the sample is reproducible across engines and runs.
+    Published per label: original size, kept size (constant n_min by
+    construction), and the kept-id checksum that pins the SELECTION
+    itself, not just its size. The rank window partitions per label
+    (parallel); n_min is a 1-row broadcast."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("label").isNotNull()))
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mn = c.agg(F.min("n").cast("long").alias("n_min"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("vec_id").cast("string"))),
+        "vec_id")
+    r = emb.select("label", "vec_id", F.row_number().over(w).alias("rk"))
+    kept = r.crossJoin(F.broadcast(mn)).filter(F.col("rk") <= F.col("n_min"))
+    return (kept.join(c, "label")
+            .groupBy("label", "n")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("vec_id").cast("long").alias("kept_id_sum"))
+            .select("label", F.col("n").cast("long").alias("n_total"),
+                    "n_kept", "kept_id_sum"))
+
+
+# ---------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited phrase scoring
+# ---------------------------------------------------------------------
+
+_RAKE_STOP = "('the', 'a')"
+
+
+@query("text_rake_keywords", f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             t[CAST(i AS INTEGER)] AS term
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+            FROM docs)),
+    nonstop AS (
+      SELECT doc_id, term, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM tok WHERE term <> '' AND term NOT IN {_RAKE_STOP}),
+    phr AS (
+      SELECT doc_id, grp, COUNT(*) AS plen FROM nonstop
+      GROUP BY doc_id, grp),
+    w AS (
+      SELECT n.term,
+             COUNT(*) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM nonstop n JOIN phr p
+        ON p.doc_id = n.doc_id AND p.grp = n.grp
+      GROUP BY n.term)
+    SELECT term, freq, degree,
+           CAST(degree * 1000000 // freq AS BIGINT) AS score_micros,
+           CAST(row_number() OVER (
+               ORDER BY degree * 1000000 // freq DESC, term)
+             AS INTEGER) AS rk
+    FROM w QUALIFY rk <= 20
+""")
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al.): phrases are maximal
+    stopword-free token runs (gaps-and-islands over positions inside
+    each document — the group key pos - row_number is constant within
+    a run), a word's degree sums the lengths of the phrases containing
+    it, and score = degree/freq rewards words living in long phrases.
+    Published exactly: integer freq/degree and the score in
+    floor-micros; the top-20 head is TakeOrderedAndProject. Every
+    window partitions per document; the word aggregate shuffles a
+    vocabulary-sized key space."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("doc_id",
+                   F.posexplode(F.split("text", " "))
+                   .alias("pos0", "term"))
+    ns = (tok.filter((F.col("term") != "")
+                     & ~F.col("term").isin("the", "a"))
+          .withColumn("pos", F.col("pos0").cast("long") + 1))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    ns = ns.withColumn("grp",
+                       F.col("pos") - F.row_number().over(wdoc))
+    phr = ns.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"))
+    w = (ns.join(phr, ["doc_id", "grp"])
+         .groupBy("term")
+         .agg(F.count(F.lit(1)).alias("freq"),
+              F.sum("plen").cast("long").alias("degree")))
+    scored = w.withColumn(
+        "score_micros", F.expr("degree * 1000000 div freq"))
+    top = scored.orderBy(F.col("score_micros").desc(), "term").limit(20)
+    wr = Window.orderBy(F.col("score_micros").desc(), "term")
+    return top.select("term", "freq", "degree", "score_micros",
+                      F.row_number().over(wr).cast("int").alias("rk"))
+
+
+# ---------------------------------------------------------------------
+# Wald-Wolfowitz runs test — randomness audit of the daily series
+# ---------------------------------------------------------------------
+
+@query("stats_runs_test", """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT day, c,
+             CASE WHEN c > lag(c) OVER (ORDER BY day) THEN 1
+                  WHEN c IS NOT NULL
+                       AND lag(c) OVER (ORDER BY day) IS NOT NULL
+                  THEN 0 END AS up
+      FROM d),
+    f AS (SELECT day, up,
+                 lag(up) OVER (ORDER BY day) AS prev_up
+          FROM s WHERE up IS NOT NULL),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+             CAST(SUM(up) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+             CAST(1 + SUM(CASE WHEN prev_up IS NOT NULL
+                                    AND up <> prev_up
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM f)
+    SELECT n_steps, n_up, n_down, n_runs,
+           CAST(1000000 + 2000000 * n_up * n_down // n_steps AS BIGINT)
+             AS expected_runs_micros
+    FROM agg
+""")
+def stats_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs audit of the daily order-count series: code
+    each day-over-day step up (1) or down/flat (0), count the maximal
+    same-direction runs, and publish the exact integer statistic next
+    to its null expectation E[R] = 1 + 2*n_up*n_down/n in floor-micros
+    — a series with far fewer runs than expected is trending, far more
+    is oscillating. The lag/compare windows run over the per-DAY
+    aggregate (O(days) rows — time-scaled, not data-scaled; the same
+    bounded class as events_user_growth), after a partial+final count
+    collapses the corpus."""
+    o = _t(spark, sf_dir, "orders")
+    d = (o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    wd = Window.orderBy("day")
+    s = d.withColumn("prev_c", F.lag("c").over(wd))
+    s = (s.filter(F.col("prev_c").isNotNull())
+         .withColumn("up", F.when(F.col("c") > F.col("prev_c"), 1)
+                     .otherwise(0)))
+    f = s.withColumn("prev_up", F.lag("up").over(Window.orderBy("day")))
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+        (F.lit(1) + F.sum(F.when(F.col("prev_up").isNotNull()
+                                 & (F.col("up") != F.col("prev_up")),
+                                 1).otherwise(0))).cast("long")
+        .alias("n_runs"))
+    return agg.selectExpr(
+        "n_steps", "n_up", "n_down", "n_runs",
+        "CAST(1000000 + 2000000 * n_up * n_down div n_steps AS BIGINT)"
+        " AS expected_runs_micros")

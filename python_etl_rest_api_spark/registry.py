@@ -192,6 +192,10 @@ _DEBT_FIRST = [
     "embed_cosine_histogram",           # ~1.4s (broadcast sim buckets)
     "events_hourly_bitmap",             # ~1.5s (bit_or fingerprints)
     "multimodal_wht_bands",             # ~2s (FWHT vs popcount oracle)
+    "stats_runs_test",                  # ~1s (day-series runs count)
+    "text_rake_keywords",               # ~2s (islands + degree/freq)
+    "sample_class_balance",             # ~2s (per-label hash heads)
+    "graph_community_modularity",       # ~8s (edge set + brand join)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -217,3 +217,52 @@ def test_cosine_histogram_counts(spark):
     nq = emb.filter(F.col("vec_id") < 8).count()
     assert sum(r["n_pairs"] for r in rows) == nq * (n - 1)
     assert all(0 <= r["bucket"] < 20 for r in rows)
+
+
+def test_modularity_identity_bounds(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        graph_community_modularity,
+    )
+    r = graph_community_modularity(spark, SF).collect()[0]
+    assert r["n_edges"] > 0
+    assert 0 <= r["internal_edges"] <= r["n_edges"]
+    assert -1_000_000 <= r["q_micros"] <= 1_000_000
+    assert r["n_brands"] > 1
+
+
+def test_class_balance_exact_floor(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        sample_class_balance,
+    )
+    rows = sample_class_balance(spark, SF).collect()
+    assert rows
+    n_min = min(r["n_total"] for r in rows)
+    for r in rows:
+        assert r["n_kept"] == n_min
+        assert r["n_total"] >= n_min
+        assert r["kept_id_sum"] > 0
+
+
+def test_rake_scores_ordered(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        text_rake_keywords,
+    )
+    rows = sorted(text_rake_keywords(spark, SF).collect(),
+                  key=lambda r: r["rk"])
+    assert 1 <= len(rows) <= 20
+    scores = [r["score_micros"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        # degree counts each occurrence's phrase length >= the word's
+        # own occurrences, so score >= 1.0 in micros
+        assert r["degree"] >= r["freq"]
+        assert r["score_micros"] >= 1_000_000
+        assert r["term"] not in ("the", "a", "")
+
+
+def test_runs_test_identities(spark):
+    from python_etl_rest_api_spark.catalog_mining import stats_runs_test
+    r = stats_runs_test(spark, SF).collect()[0]
+    assert r["n_up"] + r["n_down"] == r["n_steps"]
+    assert 1 <= r["n_runs"] <= r["n_steps"]
+    assert r["expected_runs_micros"] >= 1_000_000
