@@ -1050,3 +1050,163 @@ def stats_runs_test(spark, sf_dir):
         "n_steps", "n_up", "n_down", "n_runs",
         "CAST(1000000 + 2000000 * n_up * n_down div n_steps AS BIGINT)"
         " AS expected_runs_micros")
+
+
+# ---------------------------------------------------------------------
+# Smoothed target encoding — the ML feature transform, exact rational
+# ---------------------------------------------------------------------
+
+@query("feature_target_encode", """
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IS NOT NULL),
+    g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+                 CAST(SUM(cents) AS HUGEINT) AS gsum FROM j),
+    s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM j GROUP BY seg)
+    SELECT s.seg, s.n, s.sum_cents,
+           CAST((CAST(s.sum_cents AS HUGEINT) * g.gn + 20 * g.gsum)
+                * 1000000
+                // (g.gn * (CAST(s.n AS HUGEINT) + 20)) AS BIGINT)
+             AS enc_microcents
+    FROM s, g
+""")
+def feature_target_encode(spark, sf_dir):
+    """Smoothed target encoding — the categorical->numeric feature
+    transform gradient-boosting pipelines lean on: each segment's
+    encoding is the Bayesian-smoothed target mean
+    (sum + m*prior)/(n + m) with m=20, computed as ONE exact integer
+    rational (sum*gn + m*gsum) / (gn*(n + m)) so no float mean is ever
+    materialized, published in floor-micro-cents. The global prior is
+    a 1-row broadcast; the category aggregate is a partial+final sum
+    over the (tiny) segment vocabulary; the fact-dim join broadcasts
+    the customer dim at driver scales and shuffles on the key beyond."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isNotNull())
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("cents")))
+    g = j.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("gn"),
+              F.sum("cents").cast("decimal(38,0)").alias("gsum"))
+    s = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"))
+    return (s.crossJoin(F.broadcast(g))
+            .selectExpr(
+                "seg", "n", "sum_cents",
+                "CAST((CAST(sum_cents AS DECIMAL(38,0)) * gn"
+                " + 20 * gsum) * 1000000"
+                " div (gn * (CAST(n AS DECIMAL(38,0)) + 20))"
+                " AS BIGINT) AS enc_microcents"))
+
+
+# ---------------------------------------------------------------------
+# Voice-activity detection — energy-gated segmentation of PCM clips
+# ---------------------------------------------------------------------
+
+_VAD_THRESH = 6_000_000_000
+
+
+@query("multimodal_audio_vad", f"""
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i, j, ((i*31 + j*7) % 256 - 128) * 256 AS v
+          FROM m, range(0, 112) t(j) WHERE j < 64 + i),
+    fe AS (SELECT i, j // 16 AS f, CAST(SUM(v * v) AS BIGINT) AS e
+           FROM s GROUP BY i, j // 16),
+    act AS (SELECT i, f FROM fe WHERE e > {_VAD_THRESH}),
+    isl AS (
+      SELECT i, f,
+             f - row_number() OVER (PARTITION BY i ORDER BY f) AS grp
+      FROM act),
+    seg AS (SELECT i, grp, COUNT(*) AS seg_len
+            FROM isl GROUP BY i, grp),
+    tot AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fe
+            GROUP BY i)
+    SELECT t.i AS media_id, t.n_frames,
+           CAST(COALESCE(SUM(seg.seg_len), 0) AS BIGINT)
+             AS active_frames,
+           CAST(COUNT(seg.grp) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(seg.seg_len), 0) AS BIGINT)
+             AS longest_segment,
+           CAST(COALESCE(SUM(seg.seg_len), 0) * 1000 // t.n_frames
+                AS BIGINT) AS active_permille
+    FROM tot t LEFT JOIN seg ON seg.i = t.i
+    GROUP BY t.i, t.n_frames
+""")
+def multimodal_audio_vad(spark, sf_dir):
+    """Energy-gated voice-activity detection — the segmentation pass an
+    audio curation pipeline runs before transcription: per clip, frames
+    whose exact integer energy clears the gate are grouped into maximal
+    ACTIVE SEGMENTS (gaps-and-islands over frame indexes, per-clip
+    windows), publishing segment count, longest run, and the active
+    ratio in floor-permille. Decode + frame energy reuse the WAV
+    operator (operators/multimodal.py::wav_vad_segments); the oracle
+    recomputes segmentation in closed form from the synthesis formula.
+    Everything is integer; the gate is a fixed literal on both sides."""
+    from .operators.multimodal import synthesize_wav_media, wav_vad_segments
+    tune(spark)
+    return wav_vad_segments(synthesize_wav_media(spark, n=48),
+                            threshold=_VAD_THRESH)
+
+
+# ---------------------------------------------------------------------
+# A/B sample-ratio-mismatch audit — experimentation-platform guardrail
+# ---------------------------------------------------------------------
+
+@query("stats_ab_srm", """
+    WITH u AS (SELECT DISTINCT user_id FROM events
+               WHERE user_id IS NOT NULL),
+    a AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab:v1:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                       = 0
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM u),
+    c AS (SELECT arm, COUNT(*) AS n FROM a GROUP BY arm),
+    w AS (SELECT
+            CAST(SUM(CASE WHEN arm = 'A' THEN n ELSE 0 END) AS BIGINT)
+              AS n_a,
+            CAST(SUM(CASE WHEN arm = 'B' THEN n ELSE 0 END) AS BIGINT)
+              AS n_b
+          FROM c)
+    SELECT n_a, n_b,
+           CAST(abs(n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT)
+             AS imbalance_permille,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                AS BIGINT) AS chi2_micros
+    FROM w
+""")
+def stats_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail: users deterministically bucket
+    into arms A/B by a salted hash (the data_split_assign recipe), and
+    the audit publishes the arm counts, the absolute imbalance in
+    floor-permille, and the exact 2-arm chi-square numerator
+    (n_a - n_b)^2 / n in floor-micros — the first alarm an
+    experimentation platform fires when assignment is broken. One
+    distinct + one 2-group aggregate; every division is BIGINT floor
+    division of exact integers."""
+    e = _events(spark, sf_dir)
+    u = (e.filter(F.col("user_id").isNotNull())
+         .select("user_id").distinct())
+    arm = F.when(_h32("ab:v1:", F.col("user_id")) % 2 == 0, "A") \
+        .otherwise("B")
+    c = u.select(arm.alias("arm")).groupBy("arm") \
+        .agg(F.count(F.lit(1)).alias("n"))
+    w = c.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
+        .cast("long").alias("n_b"))
+    return w.selectExpr(
+        "n_a", "n_b",
+        "CAST(abs(n_a - n_b) * 1000 div (n_a + n_b) AS BIGINT)"
+        " AS imbalance_permille",
+        "CAST((n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)"
+        " AS BIGINT) AS chi2_micros")

@@ -1464,3 +1464,62 @@ def wht_band_energies(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, WHT_BAND_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# VAD SEGMENTATION: energy-gated active runs over decoded PCM frames
+# ---------------------------------------------------------------------
+
+WAV_VAD_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_frames", T.LongType(), True),
+    T.StructField("active_frames", T.LongType(), True),
+    T.StructField("n_segments", T.LongType(), True),
+    T.StructField("longest_segment", T.LongType(), True),
+    T.StructField("active_permille", T.LongType(), True),
+])
+
+
+def wav_vad_segments(media: DataFrame, threshold: int) -> DataFrame:
+    """Energy-gated voice-activity segmentation: decode PCM16, gate each
+    WAV_FRAME-sample frame on exact integer energy > ``threshold``, and
+    reduce the boolean frame sequence to its maximal active runs —
+    segment count, total/longest active frames, and the active ratio in
+    floor-permille. Pure integer (the gate is a literal), so the
+    segmentation has a closed-form SQL oracle over the synthesis
+    formula. Same Arrow-batched shape as the other codec passes."""
+    cols = [f.name for f in WAV_VAD_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                frames = np.arange(len(s)) // WAV_FRAME
+                n_frames = int(frames[-1]) + 1 if len(s) else 0
+                fe = np.bincount(frames, weights=s * s).astype(np.int64)
+                act = fe > threshold
+                active = int(act.sum())
+                # maximal runs of True: count rising edges; longest run
+                # via cumulative reset (pure integer)
+                n_seg, longest, cur = 0, 0, 0
+                for a in act:
+                    if a:
+                        cur += 1
+                        if cur == 1:
+                            n_seg += 1
+                        longest = max(longest, cur)
+                    else:
+                        cur = 0
+                recs.append((mid, n_frames, active, n_seg, longest,
+                             active * 1000 // n_frames if n_frames
+                             else None))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, WAV_VAD_SCHEMA)

@@ -196,6 +196,9 @@ _DEBT_FIRST = [
     "text_rake_keywords",               # ~2s (islands + degree/freq)
     "sample_class_balance",             # ~2s (per-label hash heads)
     "graph_community_modularity",       # ~8s (edge set + brand join)
+    "stats_ab_srm",                     # ~0.7s (2-arm hash split)
+    "feature_target_encode",            # ~1.2s (rational smoothing)
+    "multimodal_audio_vad",             # ~1.5s (energy-gated islands)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -266,3 +266,54 @@ def test_runs_test_identities(spark):
     assert r["n_up"] + r["n_down"] == r["n_steps"]
     assert 1 <= r["n_runs"] <= r["n_steps"]
     assert r["expected_runs_micros"] >= 1_000_000
+
+
+def test_target_encode_between_prior_and_naive(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        feature_target_encode,
+    )
+    rows = feature_target_encode(spark, SF).collect()
+    assert rows
+    gs = sum(r["sum_cents"] for r in rows)
+    gn = sum(r["n"] for r in rows)
+    for r in rows:
+        naive = r["sum_cents"] * 1_000_000 // r["n"]
+        prior = gs * 1_000_000 // gn
+        lo, hi = min(naive, prior), max(naive, prior)
+        # smoothing pulls the encoding strictly between the two
+        assert lo - 1_000_000 <= r["enc_microcents"] <= hi + 1_000_000
+
+
+def test_vad_segment_contract(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        multimodal_audio_vad,
+    )
+    rows = multimodal_audio_vad(spark, SF).collect()
+    assert len(rows) == 48
+    # the gate must split the corpus: some clips active, none fully
+    # silent-with-segments; segment algebra holds everywhere
+    assert any(r["n_segments"] > 0 for r in rows)
+    assert any(r["active_frames"] < r["n_frames"] for r in rows)
+    for r in rows:
+        assert 0 <= r["active_frames"] <= r["n_frames"]
+        assert r["longest_segment"] <= r["active_frames"]
+        assert (r["n_segments"] == 0) == (r["active_frames"] == 0)
+        if r["n_segments"]:
+            assert r["longest_segment"] >= (
+                r["active_frames"] + r["n_segments"] - 1
+            ) // r["n_segments"]
+        assert r["active_permille"] \
+            == r["active_frames"] * 1000 // r["n_frames"]
+
+
+def test_ab_srm_balanced(spark):
+    from python_etl_rest_api_spark.catalog_mining import stats_ab_srm
+    r = stats_ab_srm(spark, SF).collect()[0]
+    n = r["n_a"] + r["n_b"]
+    assert n > 0
+    assert r["imbalance_permille"] == abs(r["n_a"] - r["n_b"]) * 1000 // n
+    assert r["chi2_micros"] == (r["n_a"] - r["n_b"]) ** 2 * 1_000_000 // n
+    # both arms populated; imbalance within ~6 sigma of a fair split
+    # (sigma_permille ~= 1000 / sqrt(n))
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["imbalance_permille"] <= 6000 / (n ** 0.5) + 1
