@@ -42,11 +42,16 @@ cheapest-first"):
          freshest signal defers to the back.
 
 Late round-6 additions (third r7 wave and after, catalog_robust.py +
-the privacy/curation entries in catalog_infer.py) are appended at the
-tail of the never-verified queue, cheapest-first within their wave:
-the r6 debt block still clears first and the new entries lead the r7
-debt queue, all typed-sweep green at pin time (catalog size at the
-r6 close: 250 oracle-paired entries).
+the privacy/curation entries in catalog_infer.py, then the fourth
+r7 wave in catalog_mining.py: OHLC bars, path mining, Benford / Gini /
+ABC / runs / SRM audits, pseudonymized joins, feature hashing + target
+encoding, JSONL round trip, WHT bands, audio VAD, hourly bitmaps,
+freshness watermark, exact 2-regressor OLS, cosine histogram, brand
+modularity, class-balanced sampling, RAKE keywords) are appended at
+the tail of the never-verified queue, cheapest-first within their
+wave: the r6 debt block still clears first and the new entries lead
+the r7 debt queue, all typed-sweep green at pin time (catalog size at
+the r6 close: 280 oracle-paired entries).
 """
 
 from . import (  # noqa: F401
