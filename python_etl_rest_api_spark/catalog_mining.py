@@ -1210,3 +1210,39 @@ def stats_ab_srm(spark, sf_dir):
         " AS imbalance_permille",
         "CAST((n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)"
         " AS BIGINT) AS chi2_micros")
+
+
+# ---------------------------------------------------------------------
+# GIF decode — variable-width LZW, the algorithmic image codec
+# ---------------------------------------------------------------------
+
+@query("multimodal_gif_decode", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    dims AS (SELECT i, 8 + i % 5 AS w, 6 + i % 3 AS h FROM m),
+    px AS (SELECT i, w, h, (i*7 + x*3 + y*5) % 256 AS v
+           FROM dims, range(0, 16) tx(x), range(0, 8) ty(y)
+           WHERE x < w AND y < h)
+    SELECT i AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_lum,
+           CAST(MAX(v) AS INTEGER) AS peak_lum
+    FROM px GROUP BY i, w, h
+""")
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF path — the sixth genuine codec (BMP, PNG, JPEG, WAV,
+    AVI, now GIF): payloads are true GIF89a files (screen descriptor,
+    256-gray global palette, image descriptor, LZW sub-blocks,
+    trailer) built and parsed with stdlib struct alone, including the
+    variable-width LZW coder whose width schedule (bump when the next
+    assignable code stops fitting, checked after each emitted code —
+    the GIFLIB ordering) is the part every half-baked GIF reader gets
+    wrong. Decoded luminance stats carry the BMP synthesis formula's
+    closed-form oracle; the encode/decode pair is round-trip
+    torture-tested across width boundaries and the KwKwK case. Codec:
+    operators/multimodal.py (encode_gif_gray / decode_gif_features)."""
+    from .operators.multimodal import (decode_gif_features,
+                                       synthesize_gif_media)
+    tune(spark)
+    return decode_gif_features(synthesize_gif_media(spark, n=48))

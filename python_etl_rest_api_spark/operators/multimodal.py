@@ -1523,3 +1523,217 @@ def wav_vad_segments(media: DataFrame, threshold: int) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, WAV_VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# GIF: real LZW codec (GIF89a, 256-gray global palette)
+# ---------------------------------------------------------------------
+#
+# The one mainstream image container whose compression is ALGORITHMIC
+# rather than filter+deflate (PNG) or transform (JPEG): variable-width
+# LZW over palette indexes. Encoder and decoder implement the GIF
+# emission schedule (width bumps when the next assignable code would
+# not fit, checked after each emitted code and before the table add -
+# the GIFLIB ordering), so the pair round-trips bit-exactly and the
+# payloads are genuine GIF89a files. Images stay far below the 4096-
+# entry table (guarded), so no mid-stream CLEAR is ever needed.
+
+GIF_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_pixels", T.LongType(), True),
+    T.StructField("sum_lum", T.LongType(), True),
+    T.StructField("peak_lum", T.IntegerType(), True),
+])
+
+
+def _lzw_encode_gif(data: bytes, mcs: int = 8) -> bytes:
+    """GIF variable-width LZW: emit CLEAR, then greedy longest-match
+    codes, then the final run and EOI. Width starts at mcs+1 and bumps
+    when the next assignable code reaches 1 << width (checked after
+    each emit, before the add). LSB-first bit packing."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([c]): c for c in range(clear)}
+    nxt, bits = eoi + 1, mcs + 1
+    out = bytearray()
+    acc = npos = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, npos
+        acc |= code << npos
+        npos += bits
+        while npos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            npos -= 8
+
+    emit(clear)
+    cur = b""
+    for b in data:
+        nxt_s = cur + bytes([b])
+        if nxt_s in table:
+            cur = nxt_s
+            continue
+        emit(table[cur])
+        if nxt >= (1 << bits) and bits < 12:
+            bits += 1
+        if nxt >= 4095:
+            raise ValueError("image too large for the single-table "
+                             "demo codec (would need mid-stream CLEAR)")
+        table[nxt_s] = nxt
+        nxt += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+        if nxt >= (1 << bits) and bits < 12:
+            bits += 1
+    emit(eoi)
+    if npos:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(buf: bytes, mcs: int = 8) -> bytes:
+    """Mirror of _lzw_encode_gif: the width schedule is replayed from
+    the table-growth count (append per data code except the first after
+    CLEAR; bump check after the append), which is exactly the encoder's
+    emit-check-add ordering seen one step later."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    pos = 0
+
+    def read(nbits: int) -> int:
+        nonlocal pos
+        v = 0
+        for k in range(nbits):
+            v |= ((buf[pos >> 3] >> (pos & 7)) & 1) << k
+            pos += 1
+        return v
+
+    out = bytearray()
+    table = list(base)
+    bits, prev = mcs + 1, None
+    while True:
+        code = read(bits)
+        if code == clear:
+            table, bits, prev = list(base), mcs + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            s = table[code]
+        else:
+            if code < len(table):
+                s = table[code]
+            elif code == len(table):
+                s = prev + prev[:1]          # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream")
+            table.append(prev + s[:1])
+            if len(table) >= (1 << bits) and bits < 12:
+                bits += 1
+        out += s
+        prev = s
+
+
+def encode_gif_gray(w: int, h: int, pix) -> bytes:
+    """Genuine GIF89a bytes: logical screen descriptor, 256-entry
+    grayscale global palette, image descriptor, LZW-compressed pixel
+    indexes in <=255-byte sub-blocks, trailer. ``pix(x, y)`` returns
+    the 0..255 gray level = palette index."""
+    data = bytes(pix(x, y) for y in range(h) for x in range(w))
+    comp = _lzw_encode_gif(data, 8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)                            # LZW min code size
+    for i in range(0, len(comp), 255):
+        blk = comp[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple:
+    """Parse a GIF87a/89a payload from bytes alone: header, screen
+    descriptor, global palette, any extension blocks (skipped), the
+    first image descriptor, then the LZW-decoded index stream mapped
+    through the palette's red channel (gray). Returns
+    (width, height, n_pixels, sum_lum, peak_lum)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    off = 13
+    pal = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        pal = payload[off:off + 3 * n]
+        off += 3 * n
+    while True:
+        intro = payload[off]
+        if intro == 0x21:                    # extension: skip sub-blocks
+            off += 2
+            while payload[off]:
+                off += 1 + payload[off]
+            off += 1
+        elif intro == 0x2C:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+    _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, off + 1)
+    off += 10
+    if ipacked & 0x80:                       # local palette overrides
+        n = 2 << (ipacked & 0x07)
+        pal = payload[off:off + 3 * n]
+        off += 3 * n
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    mcs = payload[off]
+    off += 1
+    comp = bytearray()
+    while payload[off]:
+        ln = payload[off]
+        comp += payload[off + 1:off + 1 + ln]
+        off += 1 + ln
+    idx = _lzw_decode_gif(bytes(comp), mcs)
+    if len(idx) != w * h:
+        raise ValueError(f"decoded {len(idx)} px, expected {w * h}")
+    lum = [pal[3 * i] for i in idx]
+    return (w, h, w * h, sum(lum), max(lum) if lum else None)
+
+
+def synthesize_gif_media(spark, n: int = 48) -> DataFrame:
+    """Real GIF payloads: image i is (8 + i%5) x (6 + i%3) with gray
+    pixel (x, y) = (i*7 + x*3 + y*5) % 256 - the BMP synthesis formula,
+    so decoded luminance sums share its closed-form SQL oracle."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 3
+        payload = encode_gif_gray(
+            w, h, lambda x, y, i=i: (i * 7 + x * 3 + y * 5) % 256)
+        rows.append((i, "image", "image/gif", payload, (w, h, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decode in Arrow batches: container parse + variable-
+    width LZW inflate per payload; only (id, dims, luminance stats)
+    leave the executor."""
+    cols = [f.name for f in GIF_FEATURE_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None, None, None))
+                    continue
+                w, h, npx, sl, pk = _decode_gif(bytes(payload))
+                recs.append((mid, w, h, npx, sl, pk))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, GIF_FEATURE_SCHEMA)

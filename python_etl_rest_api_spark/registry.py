@@ -204,6 +204,7 @@ _DEBT_FIRST = [
     "stats_ab_srm",                     # ~0.7s (2-arm hash split)
     "feature_target_encode",            # ~1.2s (rational smoothing)
     "multimodal_audio_vad",             # ~1.5s (energy-gated islands)
+    "multimodal_gif_decode",            # ~1.5s (LZW codec vs closed form)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

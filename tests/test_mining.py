@@ -317,3 +317,35 @@ def test_ab_srm_balanced(spark):
     # (sigma_permille ~= 1000 / sqrt(n))
     assert r["n_a"] > 0 and r["n_b"] > 0
     assert r["imbalance_permille"] <= 6000 / (n ** 0.5) + 1
+
+
+def test_gif_lzw_width_boundaries_and_kwkwk():
+    """Pure-codec torture: inputs that force the 9->10->11 bit width
+    bumps and the KwKwK corner; plus container-level round trips."""
+    import random
+    from python_etl_rest_api_spark.operators.multimodal import (
+        _decode_gif, _lzw_decode_gif, _lzw_encode_gif, encode_gif_gray,
+    )
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randint(0, 900)
+        data = bytes(rng.randrange(3) for _ in range(n))
+        assert _lzw_decode_gif(_lzw_encode_gif(data), 8) == data
+    # KwKwK: aaa... emits the just-assigned code immediately
+    assert _lzw_decode_gif(_lzw_encode_gif(b"aaaaaaa"), 8) == b"aaaaaaa"
+    p = encode_gif_gray(5, 4, lambda x, y: (x * 50 + y * 40) % 256)
+    w, h, npx, sl, pk = _decode_gif(p)
+    want = [(x * 50 + y * 40) % 256 for y in range(4) for x in range(5)]
+    assert (w, h, npx, sl, pk) == (5, 4, 20, sum(want), max(want))
+
+
+def test_gif_decode_entry(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        multimodal_gif_decode,
+    )
+    rows = multimodal_gif_decode(spark, SF).collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert r["n_pixels"] == r["width"] * r["height"]
+        assert 0 <= r["peak_lum"] <= 255
+        assert 0 <= r["sum_lum"] <= 255 * r["n_pixels"]
