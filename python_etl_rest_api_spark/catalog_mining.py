@@ -1246,3 +1246,160 @@ def multimodal_gif_decode(spark, sf_dir):
                                        synthesize_gif_media)
     tune(spark)
     return decode_gif_features(synthesize_gif_media(spark, n=48))
+
+
+# ---------------------------------------------------------------------
+# A/B uplift readout — the outcome companion to the SRM guardrail
+# ---------------------------------------------------------------------
+
+@query("events_uplift_by_arm", f"""
+    WITH a AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab:v1:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2
+                       = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             {_VMIC_SQL} AS vmic
+      FROM events WHERE user_id IS NOT NULL),
+    g AS (SELECT arm, CAST(COUNT(vmic) AS BIGINT) AS n,
+                 CAST(SUM(vmic) AS BIGINT) AS s
+          FROM a GROUP BY arm),
+    w AS (SELECT
+            CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n_a,
+            CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n_b,
+            CAST(MAX(CASE WHEN arm = 'A' THEN s END) AS BIGINT) AS s_a,
+            CAST(MAX(CASE WHEN arm = 'B' THEN s END) AS BIGINT) AS s_b
+          FROM g)
+    SELECT n_a, n_b,
+           CAST(s_a // n_a AS BIGINT) AS mean_a_micros,
+           CAST(s_b // n_b AS BIGINT) AS mean_b_micros,
+           CAST(s_b // n_b - s_a // n_a AS BIGINT)
+             AS uplift_micros,
+           CAST((s_b // n_b - s_a // n_a) * 1000
+                // (CASE WHEN s_a // n_a > 0 THEN s_a // n_a END)
+                AS BIGINT) AS uplift_permille
+    FROM w
+""")
+def events_uplift_by_arm(spark, sf_dir):
+    """The uplift readout that pairs with stats_ab_srm: per-event value
+    means by experiment arm (same salted hash assignment), the absolute
+    uplift, and the relative uplift in permille — all floor divisions
+    of exact integer micro sums, so the readout value-hashes without a
+    float mean ever existing. Both arms aggregate in ONE partial+final
+    pass (no per-arm scans); the 2-row pivot is a scalar map."""
+    e = _events(spark, sf_dir)
+    a = (e.filter(F.col("user_id").isNotNull())
+         .select(F.when(_h32("ab:v1:", F.col("user_id")) % 2 == 0, "A")
+                 .otherwise("B").alias("arm"),
+                 _vmic().alias("vmic")))
+    g = a.groupBy("arm").agg(
+        F.count("vmic").cast("long").alias("n"),
+        F.sum("vmic").cast("long").alias("s"))
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).cast("long")
+        .alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).cast("long")
+        .alias("n_b"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).cast("long")
+        .alias("s_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).cast("long")
+        .alias("s_b"))
+    return w.selectExpr(
+        "n_a", "n_b",
+        "CAST(s_a div n_a AS BIGINT) AS mean_a_micros",
+        "CAST(s_b div n_b AS BIGINT) AS mean_b_micros",
+        "CAST(s_b div n_b - s_a div n_a AS BIGINT) AS uplift_micros",
+        "CAST((s_b div n_b - s_a div n_a) * 1000"
+        " div (CASE WHEN s_a div n_a > 0 THEN s_a div n_a END)"
+        " AS BIGINT) AS uplift_permille")
+
+
+# ---------------------------------------------------------------------
+# Primary-key uniqueness audit — the PK twin of dq_referential_health
+# ---------------------------------------------------------------------
+
+@query("dq_uniqueness_audit", """
+    SELECT 'orders.o_orderkey' AS key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+             AS n_dupes,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'part.p_partkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100
+                                 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.event_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents.doc_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT)
+    FROM documents
+""")
+def dq_uniqueness_audit(spark, sf_dir):
+    """Primary-key uniqueness audit across the lake — the PK twin of
+    dq_referential_health's FK orphan checks: per declared key, row
+    count vs distinct count (duplicate count) and null-key count. The
+    lineitem composite key folds into one BIGINT (l_linenumber < 100
+    by TPC-H construction) so COUNT(DISTINCT) runs single-column on
+    both engines. Six independent scan+aggregate legs, each a
+    partial+final count-distinct that AQE runs in parallel; unioned
+    tiny results. On the driver's synthetic testdata this audit finds
+    REAL dirt — lineitem does not enforce its composite key (1401
+    duplicate pairs at sf0.001) — which is exactly what it exists to
+    surface (pinned in tests)."""
+    tune(spark)
+
+    def leg(tbl, label, key_expr):
+        t = _t(spark, sf_dir, tbl)
+        return t.select(F.expr(key_expr).alias("k")).agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("k").cast("long").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct("k")).cast("long")
+            .alias("n_dupes"),
+            (F.count(F.lit(1)) - F.count("k")).cast("long")
+            .alias("n_nulls"))
+
+    legs = [
+        leg("orders", "orders.o_orderkey", "o_orderkey"),
+        leg("customer", "customer.c_custkey", "c_custkey"),
+        leg("part", "part.p_partkey", "p_partkey"),
+        leg("lineitem", "lineitem.(l_orderkey,l_linenumber)",
+            "l_orderkey * 100 + l_linenumber"),
+        leg("events", "events.event_id", "event_id"),
+        leg("documents", "documents.doc_id", "doc_id"),
+    ]
+    out = legs[0]
+    for x in legs[1:]:
+        out = out.unionAll(x)
+    return out

@@ -205,6 +205,8 @@ _DEBT_FIRST = [
     "feature_target_encode",            # ~1.2s (rational smoothing)
     "multimodal_audio_vad",             # ~1.5s (energy-gated islands)
     "multimodal_gif_decode",            # ~1.5s (LZW codec vs closed form)
+    "dq_uniqueness_audit",              # ~1s (6-leg PK audit)
+    "events_uplift_by_arm",             # ~1.2s (arm means in micros)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -349,3 +349,33 @@ def test_gif_decode_entry(spark):
         assert r["n_pixels"] == r["width"] * r["height"]
         assert 0 <= r["peak_lum"] <= 255
         assert 0 <= r["sum_lum"] <= 255 * r["n_pixels"]
+
+
+def test_uplift_consistent_with_srm_arms(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_uplift_by_arm, stats_ab_srm,
+    )
+    u = events_uplift_by_arm(spark, SF).collect()[0]
+    assert u["n_a"] > 0 and u["n_b"] > 0
+    assert u["uplift_micros"] == u["mean_b_micros"] - u["mean_a_micros"]
+    # arm user-universe is shared with the SRM audit (same hash+salt):
+    # event counts per arm must cover at least the assigned users
+    s = stats_ab_srm(spark, SF).collect()[0]
+    assert u["n_a"] >= s["n_a"] and u["n_b"] >= s["n_b"]
+
+
+def test_uniqueness_audit_clean_testdata(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        dq_uniqueness_audit,
+    )
+    rows = {r["key_col"]: r for r in dq_uniqueness_audit(spark, SF)
+            .collect()}
+    assert len(rows) == 6
+    for k, r in rows.items():
+        assert r["n_rows"] == r["n_distinct"] + r["n_dupes"]
+        assert r["n_nulls"] == 0, k
+        if k != "lineitem.(l_orderkey,l_linenumber)":
+            assert r["n_dupes"] == 0, k  # true PKs are clean
+    # the synthetic lineitem does NOT enforce its composite key — the
+    # audit must surface that dirt, not hide it
+    assert rows["lineitem.(l_orderkey,l_linenumber)"]["n_dupes"] > 0
