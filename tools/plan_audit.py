@@ -44,6 +44,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "range-band join: bounded band documented"},
     "join_asof_attribution": {
         "nested_loop": "as-of range join over broadcast dim"},
+    "embed_cosine_histogram": {
+        "nested_loop": "geometry calibration: 8-query batch broadcast "
+                       "against the corpus (the sim_topk_bruteforce "
+                       "shape); the corpus never shuffles"},
     "embed_matryoshka_recall": {
         "nested_loop": "evaluation harness: 3-query batch broadcast "
                        "against the corpus twice (full + truncated "
@@ -79,6 +83,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "stats_benford_first_digit": {
         "single_partition_window": "permille total over <= 9 "
                                    "aggregated digit rows"},
+    "stats_runs_test": {
+        "single_partition_window": "lag/compare over per-DAY aggregate "
+                                   "rows (time-scaled, the "
+                                   "events_user_growth class)"},
 }
 
 
