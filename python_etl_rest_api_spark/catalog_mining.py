@@ -837,8 +837,13 @@ def graph_community_modularity(spark, sf_dir):
                   F.col("l_partkey").alias("pa"))
     b = op.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pb"))
+    # materialize the edge set ONCE: both the intra-brand leg and the
+    # degree leg consume it, and recomputing the basket self-join per
+    # leg would double the dominant shuffle at scale (the
+    # connected-components localCheckpoint pattern; on a cluster the
+    # shuffle files themselves play this role)
     e = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
-         .select("pa", "pb").distinct())
+         .select("pa", "pb").distinct().localCheckpoint())
     be = (e.join(part.withColumnRenamed("p_partkey", "pa")
                  .withColumnRenamed("p_brand", "ba"), "pa")
           .join(part.withColumnRenamed("p_partkey", "pb")

@@ -121,3 +121,34 @@ def test_resize_is_exact_box_mean(wh, seed):
                        + grid[2*oy+1][2*ox][c]
                        + grid[2*oy+1][2*ox+1][c]) // 4
                 assert out[oy][ox][c] == exp
+
+
+@given(dims, seeds)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_identity(wh, seed):
+    """GIF is palette-lossless: decode(encode(img)) must reproduce the
+    exact luminance stats for arbitrary pixel content, including inputs
+    that force LZW width bumps."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        _decode_gif, encode_gif_gray,
+    )
+    w, h = wh
+    pix = _pix(seed)
+    payload = encode_gif_gray(w, h, pix)
+    gw, gh, npx, sl, pk = _decode_gif(payload)
+    want = [pix(x, y) for y in range(h) for x in range(w)]
+    assert (gw, gh, npx) == (w, h, w * h)
+    assert sl == sum(want) and pk == max(want)
+
+
+@given(st.binary(min_size=0, max_size=1200), st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_raw_roundtrip(data, mcs):
+    """The raw LZW coder is an identity for any byte stream whose
+    symbols fit the min code size, across every GIF-legal width."""
+    from python_etl_rest_api_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif,
+    )
+    lim = 1 << mcs
+    clipped = bytes(b % lim for b in data)
+    assert _lzw_decode_gif(_lzw_encode_gif(clipped, mcs), mcs) == clipped
