@@ -1408,3 +1408,73 @@ def dq_uniqueness_audit(spark, sf_dir):
     for x in legs[1:]:
         out = out.unionAll(x)
     return out
+
+
+# ---------------------------------------------------------------------
+# SCD2 point-in-time lookup — the read-side twin of the history build
+# ---------------------------------------------------------------------
+
+@query("scd2_as_of_lookup", """
+    WITH s AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    g AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate,
+             SUM(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM s),
+    hist AS (
+      SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version,
+             o_orderstatus AS status,
+             CAST(MIN(o_orderdate) AS DATE) AS valid_from
+      FROM g GROUP BY o_custkey, version, o_orderstatus),
+    r AS (
+      SELECT custkey, version, status, valid_from,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY valid_from DESC, version DESC)
+               AS rn
+      FROM hist WHERE valid_from <= DATE '1996-06-15')
+    SELECT custkey, version AS as_of_version, status, valid_from
+    FROM r WHERE rn = 1
+""")
+def scd2_as_of_lookup(spark, sf_dir):
+    """Point-in-time (time-travel) read over the SCD2 history that
+    scd2_status_history builds: for AS OF 1996-06-15, each customer's
+    then-current status version — the lookup every
+    reproducible-training-snapshot and audit query runs against a
+    type-2 dimension, and the operation that proves the history's
+    validity intervals actually support temporal queries (no row with
+    a later valid_from may win). Same single (custkey) exchange as the
+    history build — the as-of filter and rank window reuse it; at
+    100 TB the cutoff filter prunes versions before the rank ever
+    materializes."""
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                    "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w_seq).isNull()
+        | (F.lag("o_orderstatus").over(w_seq) != F.col("o_orderstatus")),
+        1).otherwise(0)
+    hist = (_t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderstatus", "o_orderdate",
+                    "o_orderkey")
+            .withColumn("version",
+                        F.sum(chg).over(
+                            w_seq.rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)))
+            .groupBy(F.col("o_custkey").alias("custkey"),
+                     F.col("version").cast("long").alias("version"),
+                     F.col("o_orderstatus").alias("status"))
+            .agg(F.to_date(F.min("o_orderdate")).alias("valid_from")))
+    w_asof = Window.partitionBy("custkey").orderBy(
+        F.col("valid_from").desc(), F.col("version").desc())
+    return (hist.filter(F.col("valid_from") <= F.lit("1996-06-15")
+                        .cast("date"))
+            .withColumn("rn", F.row_number().over(w_asof))
+            .filter(F.col("rn") == 1)
+            .select("custkey", F.col("version").alias("as_of_version"),
+                    "status", "valid_from"))

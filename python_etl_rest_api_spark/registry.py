@@ -207,6 +207,7 @@ _DEBT_FIRST = [
     "multimodal_gif_decode",            # ~1.5s (LZW codec vs closed form)
     "dq_uniqueness_audit",              # ~1s (6-leg PK audit)
     "events_uplift_by_arm",             # ~1.2s (arm means in micros)
+    "scd2_as_of_lookup",                # ~1.3s (point-in-time read)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -379,3 +379,33 @@ def test_uniqueness_audit_clean_testdata(spark):
     # the synthetic lineitem does NOT enforce its composite key — the
     # audit must surface that dirt, not hide it
     assert rows["lineitem.(l_orderkey,l_linenumber)"]["n_dupes"] > 0
+
+
+def test_scd2_asof_consistent_with_history(spark):
+    """The as-of read must return, per customer, exactly the history
+    row whose validity interval is the latest to start on or before
+    the cutoff."""
+    from python_etl_rest_api_spark.catalog_mining import (
+        scd2_as_of_lookup,
+    )
+    from python_etl_rest_api_spark.catalog_warehouse import (
+        scd2_status_history,
+    )
+    import datetime
+    cutoff = datetime.date(1996, 6, 15)
+    asof = {r["custkey"]: r for r in scd2_as_of_lookup(spark, SF)
+            .collect()}
+    hist: dict[int, list] = {}
+    for r in scd2_status_history(spark, SF).collect():
+        hist.setdefault(r["custkey"], []).append(r)
+    assert asof
+    for ck, rows in hist.items():
+        eligible = [r for r in rows if r["valid_from"] <= cutoff]
+        if not eligible:
+            assert ck not in asof
+            continue
+        want = max(eligible,
+                   key=lambda r: (r["valid_from"], r["version"]))
+        got = asof[ck]
+        assert (got["as_of_version"], got["status"], got["valid_from"]) \
+            == (want["version"], want["status"], want["valid_from"]), ck
