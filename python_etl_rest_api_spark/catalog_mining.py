@@ -1478,3 +1478,75 @@ def scd2_as_of_lookup(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("custkey", F.col("version").alias("as_of_version"),
                     "status", "valid_from"))
+
+
+# ---------------------------------------------------------------------
+# Language-ID confusion matrix — model-eval harness over labeled docs
+# ---------------------------------------------------------------------
+
+_LID_HITS_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    hits AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und',
+             'ist','ein','zu'))) AS INTEGER) AS h_de,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to',
+             'in','is'))) AS INTEGER) AS h_en,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que',
+             'en','un'))) AS INTEGER) AS h_es,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un',
+             'est','que'))) AS INTEGER) AS h_fr
+      FROM t),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr) > 0 THEN
+               CASE greatest(h_de, h_en, h_es, h_fr)
+                 WHEN h_fr THEN 'fr' WHEN h_es THEN 'es'
+                 WHEN h_en THEN 'en' WHEN h_de THEN 'de' END
+             ELSE 'und' END AS predicted_lang
+      FROM hits)
+"""
+
+
+@query("text_langid_confusion", f"""
+    {_LID_HITS_SQL},
+    j AS (
+      SELECT d.lang, p.predicted_lang
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+      WHERE d.lang IS NOT NULL),
+    c AS (SELECT lang, predicted_lang, COUNT(*) AS n
+          FROM j GROUP BY lang, predicted_lang),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+            FROM c GROUP BY lang)
+    SELECT c.lang, c.predicted_lang, c.n,
+           CAST(c.n * 1000 // t.n_lang AS BIGINT) AS share_permille,
+           CAST(CASE WHEN c.lang = c.predicted_lang THEN 1 ELSE 0 END
+                AS INTEGER) AS is_correct
+    FROM c JOIN tot t ON t.lang = c.lang
+""")
+def text_langid_confusion(spark, sf_dir):
+    """Model evaluation as a first-class pipeline op: the confusion
+    matrix of the stopword-vote language classifier against the
+    corpus's ground-truth labels, with per-cell share in
+    floor-permille — the table that tells a curation team WHERE the
+    cheap classifier fails before they pay for a better one (here: zh
+    has no stopword list, so its row must land in 'und'/misfires —
+    pinned in tests). Predictions reuse operators/text.py::language_id
+    verbatim; the matrix is a (lang x predicted) aggregate joined to
+    per-lang totals (broadcast — |langs| rows)."""
+    from .operators import text as text_ops
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    pred = text_ops.language_id(d).select("doc_id", "predicted_lang")
+    j = (d.filter(F.col("lang").isNotNull())
+         .select("doc_id", "lang").join(pred, "doc_id"))
+    c = (j.groupBy("lang", "predicted_lang")
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    return (c.join(F.broadcast(tot), "lang")
+            .select("lang", "predicted_lang", "n",
+                    F.expr("CAST(n * 1000 div n_lang AS BIGINT)")
+                    .alias("share_permille"),
+                    F.when(F.col("lang") == F.col("predicted_lang"), 1)
+                    .otherwise(0).cast("int").alias("is_correct")))

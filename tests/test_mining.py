@@ -409,3 +409,22 @@ def test_scd2_asof_consistent_with_history(spark):
         got = asof[ck]
         assert (got["as_of_version"], got["status"], got["valid_from"]) \
             == (want["version"], want["status"], want["valid_from"]), ck
+
+
+def test_langid_confusion_structure(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        text_langid_confusion,
+    )
+    rows = text_langid_confusion(spark, SF).collect()
+    assert rows
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        assert (r["is_correct"] == 1) == (r["lang"] == r["predicted_lang"])
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) \
+            + r["share_permille"]
+    # per-lang shares are a floor-permille partition of each row
+    for lang, s in per_lang.items():
+        assert s <= 1000
+    # zh has no stopword list: the classifier can never output 'zh'
+    assert all(r["predicted_lang"] != "zh" for r in rows)
+    assert "zh" in per_lang  # ...but labeled zh docs exist and land somewhere
