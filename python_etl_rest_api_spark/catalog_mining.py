@@ -1550,3 +1550,68 @@ def text_langid_confusion(spark, sf_dir):
                     .alias("share_permille"),
                     F.when(F.col("lang") == F.col("predicted_lang"), 1)
                     .otherwise(0).cast("int").alias("is_correct")))
+
+
+# ---------------------------------------------------------------------
+# IVF recall-vs-nprobe tuning curve — how much probing buys recall
+# ---------------------------------------------------------------------
+
+def _ivf_recall_leg_sql(np_: int) -> str:
+    from .catalog_ext import _COSINE_PAIR_SQL, _IVF_ORACLE_SQL
+    ivf = _IVF_ORACLE_SQL.replace("rn <= 4", f"rn <= {np_}")
+    return f"""
+    SELECT CAST({np_} AS INTEGER) AS nprobe, b.qid,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) * 100 AS BIGINT) AS recall_permille
+    FROM ({_COSINE_PAIR_SQL}) b
+    LEFT JOIN ({ivf}) a ON a.qid = b.qid AND a.vec_id = b.vec_id
+    GROUP BY b.qid"""
+
+
+def _ann_recall_vs_nprobe(spark, sf_dir):
+    """The IVF tuning curve: recall@10 against brute-force ground truth
+    at nprobe = 1, 2, 4 — the table an ANN platform reads to pick its
+    latency/recall operating point (each probed cell costs candidates;
+    the curve says what it buys). Reuses the verified sim_topk_ann_ivf
+    pipeline (seed codebook, refine_steps=0) at three probe widths and
+    the ann_recall_at_k join shape; recall is published as exact
+    integer permille (n_hits*100 for k=10). Recall must be
+    NON-DECREASING in nprobe per query (probing more cells only adds
+    candidates) — pinned in tests. The oracle composes the two
+    entries\' own oracle texts per leg, with the probe rank bound
+    rewritten per nprobe."""
+    from .operators import similarity
+    tune(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    brute = (similarity.topk_bruteforce(emb, queries, k=10)
+             .select("qid", "vec_id"))
+    legs = []
+    for np_ in (1, 2, 4):
+        ann = (similarity.topk_ann_ivf(emb, queries, dim=64, k=10,
+                                       n_centroids=16, nprobe=np_,
+                                       refine_steps=0)
+               .select(F.col("qid").alias("a_qid"),
+                       F.col("vec_id").alias("a_vid")))
+        legs.append(
+            brute.join(ann, (brute.qid == ann.a_qid)
+                       & (brute.vec_id == ann.a_vid), "left")
+            .groupBy("qid")
+            .agg(F.count("a_vid").cast("long").alias("n_hits"))
+            .select(F.lit(np_).cast("int").alias("nprobe"), "qid",
+                    "n_hits",
+                    (F.col("n_hits") * 100).cast("long")
+                    .alias("recall_permille")))
+    out = legs[0]
+    for x in legs[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _register_ann_recall_vs_nprobe():
+    oracle = " UNION ALL ".join(_ivf_recall_leg_sql(n) for n in (1, 2, 4))
+    query("ann_recall_vs_nprobe", oracle)(_ann_recall_vs_nprobe)
+
+
+_register_ann_recall_vs_nprobe()

@@ -209,6 +209,7 @@ _DEBT_FIRST = [
     "events_uplift_by_arm",             # ~1.2s (arm means in micros)
     "scd2_as_of_lookup",                # ~1.3s (point-in-time read)
     "text_langid_confusion",            # ~1.2s (eval confusion matrix)
+    "ann_recall_vs_nprobe",             # ~8s (3 IVF legs vs brute)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -428,3 +428,20 @@ def test_langid_confusion_structure(spark):
     # zh has no stopword list: the classifier can never output 'zh'
     assert all(r["predicted_lang"] != "zh" for r in rows)
     assert "zh" in per_lang  # ...but labeled zh docs exist and land somewhere
+
+
+def test_nprobe_recall_monotone(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        _ann_recall_vs_nprobe,
+    )
+    rows = _ann_recall_vs_nprobe(spark, SF).collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert r["recall_permille"] == r["n_hits"] * 100
+        assert 0 <= r["n_hits"] <= 10
+        by_q.setdefault(r["qid"], {})[r["nprobe"]] = r["n_hits"]
+    assert by_q
+    for qid, curve in by_q.items():
+        assert set(curve) == {1, 2, 4}
+        # probing more cells can only add candidates
+        assert curve[1] <= curve[2] <= curve[4], (qid, curve)
