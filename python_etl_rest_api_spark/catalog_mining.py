@@ -1,8 +1,15 @@
-"""Round-7 catalog entries, fourth wave: market-style OHLC bars,
-sequence-path mining, distribution audits (Benford, Gini/Lorenz, ABC),
-privacy-preserving pseudonymized joins, the hashing-trick featurizer,
-and the JSON-lines source round trip that completes the four-format
-source matrix (CSV / parquet / ORC / JSONL).
+"""Round-7 catalog entries, fourth wave (grown across the round-6
+session): market-style OHLC bars, sequence-path mining, distribution
+audits (Benford, Gini/Lorenz, ABC, runs test, A/B SRM + uplift),
+privacy-preserving pseudonymized joins, the hashing-trick featurizer
+and smoothed target encoding, the JSON-lines source round trip that
+completes the four-format source matrix (CSV / parquet / ORC / JSONL),
+Walsh-Hadamard spectral bands and energy-gated VAD over real WAV
+payloads, the GIF89a LZW codec, hourly activity bitmaps, freshness
+watermarks, exact two-regressor OLS, the cosine-similarity histogram
+and IVF recall-vs-nprobe tuning curves, brand-partition modularity,
+class-balanced sampling, RAKE keywords, the language-ID confusion
+matrix, PK uniqueness audits, and the SCD2 point-in-time lookup.
 
 The reference (/root/reference/ — a 313-line pandas ETL + FastAPI app,
 etl/03_transform_and_load.py + api/first100.py) has none of these; they
