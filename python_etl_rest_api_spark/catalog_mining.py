@@ -1622,3 +1622,217 @@ def _register_ann_recall_vs_nprobe():
 
 
 _register_ann_recall_vs_nprobe()
+
+
+# ---------------------------------------------------------------------
+# Embedding class-separability margin — do vectors cluster by label?
+# ---------------------------------------------------------------------
+
+_MARGIN_FOLD = """list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(
+                    range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(a.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(
+                    range(1, len(b.embedding) + 1),
+                    i -> CAST(b.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)))"""
+
+
+@query("embed_label_margin", f"""
+    WITH sub AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE vec_id < 200 AND label IS NOT NULL
+        AND embedding IS NOT NULL AND len(embedding) > 0),
+    pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS intra,
+             CAST(floor({_MARGIN_FOLD} * 1000000.0) AS BIGINT)
+               AS sim_micros
+      FROM sub a, sub b WHERE a.vec_id < b.vec_id),
+    s AS (
+      SELECT CAST(SUM(intra) AS BIGINT) AS n_intra,
+             CAST(COUNT(*) - SUM(intra) AS BIGINT) AS n_inter,
+             CAST(SUM(CASE WHEN intra = 1 THEN sim_micros ELSE 0 END)
+                  AS BIGINT) AS s_intra,
+             CAST(SUM(CASE WHEN intra = 0 THEN sim_micros ELSE 0 END)
+                  AS BIGINT) AS s_inter
+      FROM pairs)
+    SELECT n_intra, n_inter,
+           CAST(s_intra // n_intra AS BIGINT) AS intra_mean_micros,
+           CAST(s_inter // n_inter AS BIGINT) AS inter_mean_micros,
+           CAST(s_intra // n_intra - s_inter // n_inter AS BIGINT)
+             AS margin_micros
+    FROM s
+""")
+def embed_label_margin(spark, sf_dir):
+    """Class-separability audit: mean intra-label vs inter-label cosine
+    over a bounded pair sample — the one number that says whether an
+    embedder's geometry actually reflects the labels before anyone
+    trains a probe on it. Sims are the order-pinned fold (bit-identical
+    across engines), floored to micros PER PAIR and summed as int64, so
+    the means are exact floor divisions; margin > 0 means the space
+    clusters by label. The all-pairs leg is a labeled bounded baseline
+    (vec_id < 200, the sim_cosine_near_dups cap); the production-scale
+    path samples pairs per label instead."""
+    from .operators.similarity import cosine
+    tune(spark)
+    sub = (_t(spark, sf_dir, "embeddings")
+           .filter((F.col("vec_id") < 200) & F.col("label").isNotNull()
+                   & F.col("embedding").isNotNull()
+                   & (F.size("embedding") > 0))
+           .select("vec_id", "embedding", "label"))
+    a = sub.select(F.col("vec_id").alias("ida"),
+                   F.col("embedding").alias("va"),
+                   F.col("label").alias("la"))
+    b = sub.select(F.col("vec_id").alias("idb"),
+                   F.col("embedding").alias("vb"),
+                   F.col("label").alias("lb"))
+    pairs = (a.join(b, F.col("ida") < F.col("idb"))
+             .select(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)
+                     .alias("intra"),
+                     F.floor(cosine(F.col("va"), F.col("vb"))
+                             * 1000000.0).cast("long")
+                     .alias("sim_micros")))
+    s = pairs.agg(
+        F.sum("intra").cast("long").alias("n_intra"),
+        (F.count(F.lit(1)) - F.sum("intra")).cast("long")
+        .alias("n_inter"),
+        F.sum(F.when(F.col("intra") == 1, F.col("sim_micros"))
+              .otherwise(0)).cast("long").alias("s_intra"),
+        F.sum(F.when(F.col("intra") == 0, F.col("sim_micros"))
+              .otherwise(0)).cast("long").alias("s_inter"))
+    return s.selectExpr(
+        "n_intra", "n_inter",
+        "CAST(s_intra div n_intra AS BIGINT) AS intra_mean_micros",
+        "CAST(s_inter div n_inter AS BIGINT) AS inter_mean_micros",
+        "CAST(s_intra div n_intra - s_inter div n_inter AS BIGINT)"
+        " AS margin_micros")
+
+
+# ---------------------------------------------------------------------
+# Schema-contract audit — data contracts enforced from parquet footers
+# ---------------------------------------------------------------------
+
+# the declared contract: (table, column, expected type family)
+_CONTRACT = [
+    ("orders", "o_orderkey", "integer"),
+    ("orders", "o_custkey", "integer"),
+    ("orders", "o_orderstatus", "string"),
+    ("orders", "o_totalprice", "float"),
+    ("orders", "o_orderdate", "timestamp"),
+    ("orders", "o_orderpriority", "string"),
+    ("customer", "c_custkey", "integer"),
+    ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "integer"),
+    ("customer", "c_acctbal", "float"),
+    ("customer", "c_mktsegment", "string"),
+    ("events", "event_id", "integer"),
+    ("events", "ts", "timestamp"),
+    ("events", "user_id", "integer"),
+    ("events", "event_type", "string"),
+    ("events", "value", "float"),
+    ("events", "props", "string"),
+    ("documents", "doc_id", "integer"),
+    ("documents", "text", "string"),
+    ("documents", "lang", "string"),
+    ("documents", "source", "string"),
+    ("documents", "n_chars", "integer"),
+    ("embeddings", "vec_id", "integer"),
+    ("embeddings", "embedding", "array<float>"),
+    ("embeddings", "label", "integer"),
+]
+
+_CONTRACT_TABLES = ("orders", "customer", "events", "documents",
+                    "embeddings")
+
+_DUCK_FAMILY = """CASE
+      WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT')
+        THEN 'integer'
+      WHEN column_type IN ('FLOAT','DOUBLE') THEN 'float'
+      WHEN column_type = 'VARCHAR' THEN 'string'
+      WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+      WHEN column_type = 'DATE' THEN 'date'
+      WHEN column_type IN ('FLOAT[]','REAL[]') THEN 'array<float>'
+      ELSE lower(column_type) END"""
+
+
+def _contract_oracle() -> str:
+    vals = ",\n      ".join(
+        f"('{t}', '{c}', '{f}')" for t, c, f in _CONTRACT)
+    actual = "\n      UNION ALL\n      ".join(
+        f"SELECT '{t}' AS tbl, column_name AS col, {_DUCK_FAMILY} "
+        f"AS actual_family FROM (DESCRIBE SELECT * FROM {t})"
+        for t in _CONTRACT_TABLES)
+    return f"""
+    WITH expected(tbl, col, expected_family) AS (
+      VALUES {vals}),
+    actual AS (
+      {actual})
+    SELECT COALESCE(e.tbl, a.tbl) AS tbl,
+           COALESCE(e.col, a.col) AS col,
+           e.expected_family, a.actual_family,
+           CASE WHEN e.col IS NULL THEN 'unexpected_column'
+                WHEN a.col IS NULL THEN 'missing_column'
+                WHEN e.expected_family = a.actual_family THEN 'ok'
+                ELSE 'type_mismatch' END AS status
+    FROM expected e
+    FULL OUTER JOIN actual a ON a.tbl = e.tbl AND a.col = e.col
+"""
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                  T.FloatType):
+        return "array<float>"
+    return dt.simpleString()
+
+
+def _dq_schema_contract(spark, sf_dir):
+    """Data-contract enforcement from parquet footers alone: the
+    declared (table, column, type-family) contract is full-outer-joined
+    against the ACTUAL schemas read from the lake, classifying every
+    cell as ok / type_mismatch / missing_column / unexpected_column —
+    the check a 100 TB ingestion gate runs before any job is allowed to
+    see new data, and it costs ZERO data scan (schema comes from
+    footers/catalog). The family normalization is mirrored literally on
+    the DuckDB side (DESCRIBE over the same parquet), so the audit
+    itself is oracle-verified."""
+    tune(spark)
+    actual = []
+    for t in _CONTRACT_TABLES:
+        for f in _t(spark, sf_dir, t).schema.fields:
+            actual.append((t, f.name, _spark_family(f.dataType)))
+    a = spark.createDataFrame(
+        actual, "tbl string, col string, actual_family string")
+    e = spark.createDataFrame(
+        list(_CONTRACT),
+        "tbl string, col string, expected_family string")
+    j = e.join(a, ["tbl", "col"], "full_outer")
+    status = (F.when(F.col("expected_family").isNull(),
+                     "unexpected_column")
+              .when(F.col("actual_family").isNull(), "missing_column")
+              .when(F.col("expected_family") == F.col("actual_family"),
+                    "ok")
+              .otherwise("type_mismatch"))
+    return j.select("tbl", "col", "expected_family", "actual_family",
+                    status.alias("status"))
+
+
+query("dq_schema_contract", _contract_oracle())(_dq_schema_contract)

@@ -210,6 +210,8 @@ _DEBT_FIRST = [
     "scd2_as_of_lookup",                # ~1.3s (point-in-time read)
     "text_langid_confusion",            # ~1.2s (eval confusion matrix)
     "ann_recall_vs_nprobe",             # ~8s (3 IVF legs vs brute)
+    "dq_schema_contract",               # ~0.5s (footer-only audit)
+    "embed_label_margin",               # ~1.5s (bounded pair sample)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -445,3 +445,48 @@ def test_nprobe_recall_monotone(spark):
         assert set(curve) == {1, 2, 4}
         # probing more cells can only add candidates
         assert curve[1] <= curve[2] <= curve[4], (qid, curve)
+
+
+def test_label_margin_bounds(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        embed_label_margin,
+    )
+    r = embed_label_margin(spark, SF).collect()[0]
+    assert r["n_intra"] > 0 and r["n_inter"] > 0
+    # pair algebra: together they cover all C(n,2) pairs of the sample
+    n = r["n_intra"] + r["n_inter"]
+    import math
+    k = int((1 + math.isqrt(1 + 8 * n)) // 2)
+    assert k * (k - 1) // 2 == n
+    for c in ("intra_mean_micros", "inter_mean_micros"):
+        assert -1_000_000 <= r[c] <= 1_000_000
+    assert r["margin_micros"] \
+        == r["intra_mean_micros"] - r["inter_mean_micros"]
+
+
+def test_schema_contract_all_ok_and_detects_breaks(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        _CONTRACT, _dq_schema_contract,
+    )
+    rows = _dq_schema_contract(spark, SF).collect()
+    assert len(rows) == len(_CONTRACT)
+    assert all(r["status"] == "ok" for r in rows)
+    # break the contract in-memory: the classifier must notice all
+    # three failure modes
+    import python_etl_rest_api_spark.catalog_mining as m
+    orig = m._CONTRACT
+    try:
+        m._CONTRACT = [t for t in orig if t[1] != "o_custkey"] + [
+            ("orders", "o_totalprice", "string"),   # wrong family
+            ("orders", "o_ghost_col", "integer"),   # not in the lake
+        ]
+        m._CONTRACT = [t for t in m._CONTRACT
+                       if not (t[1] == "o_totalprice"
+                               and t[2] == "float")]
+        got = {(r["tbl"], r["col"]): r["status"]
+               for r in _dq_schema_contract(spark, SF).collect()}
+        assert got[("orders", "o_custkey")] == "unexpected_column"
+        assert got[("orders", "o_totalprice")] == "type_mismatch"
+        assert got[("orders", "o_ghost_col")] == "missing_column"
+    finally:
+        m._CONTRACT = orig

@@ -44,6 +44,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "range-band join: bounded band documented"},
     "join_asof_attribution": {
         "nested_loop": "as-of range join over broadcast dim"},
+    "embed_label_margin": {
+        "nested_loop": "labeled bounded pair sample (vec_id < 200, the "
+                       "sim_cosine_near_dups cap) — separability audit"},
     "embed_cosine_histogram": {
         "nested_loop": "geometry calibration: 8-query batch broadcast "
                        "against the corpus (the sim_topk_bruteforce "
