@@ -32,6 +32,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "ground-truth exact-Jaccard pass, bounded corpus"},
     "ann_recall_at_k": {
         "nested_loop": "exact baseline against which recall is measured"},
+    "ann_recall_vs_nprobe": {
+        "nested_loop": "same brute-force ground-truth leg as "
+                       "ann_recall_at_k, reused across 3 nprobe legs"},
     "sim_mmr_rerank": {
         "nested_loop": "k x pool pairwise diversity term, both k-bounded"},
     "stats_ks_drift": {
