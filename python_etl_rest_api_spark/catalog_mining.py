@@ -1836,3 +1836,59 @@ def _dq_schema_contract(spark, sf_dir):
 
 
 query("dq_schema_contract", _contract_oracle())(_dq_schema_contract)
+
+
+# ---------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration — per-nation supplier HHI
+# ---------------------------------------------------------------------
+
+@query("orders_hhi_by_nation", """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    agg AS (
+      SELECT nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT)
+               AS sum_sq
+      FROM rev GROUP BY nationkey)
+    SELECT nationkey, n_suppliers, total_cents,
+           CAST(sum_sq * 1000000
+                // (CAST(total_cents AS HUGEINT) * total_cents)
+                AS BIGINT) AS hhi_micros
+    FROM agg
+""")
+def orders_hhi_by_nation(spark, sf_dir):
+    """Herfindahl-Hirschman market concentration per supplier nation:
+    HHI = sum of squared revenue shares, the antitrust-grade
+    concentration index (1e6 micros = monopoly; 1e6/n = perfectly
+    even). Computed as ONE exact rational sum(x_i^2)/T^2 — no float
+    share is ever materialized: per-supplier exact cents, squares
+    summed in DECIMAL(38,0)/HUGEINT, one floor division at the end.
+    Two partial+final aggregates (supplier, then nation) behind a
+    broadcast dim join; complements orders_revenue_concentration
+    (top-decile share) and stats_gini_lorenz (rank identity) with the
+    squared-share lens."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    rev = (li.join(s, li.l_suppkey == s.s_suppkey)
+           .groupBy(F.col("s_nationkey").alias("nationkey"),
+                    "l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * 100).cast("long").alias("cents")))
+    agg = (rev.groupBy("nationkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+                F.sum("cents").cast("long").alias("total_cents"),
+                F.sum(F.col("cents").cast("decimal(19,0)")
+                      * F.col("cents").cast("decimal(19,0)"))
+                .cast("decimal(38,0)").alias("sum_sq")))
+    return agg.selectExpr(
+        "nationkey", "n_suppliers", "total_cents",
+        "CAST(sum_sq * 1000000 div (CAST(total_cents AS DECIMAL(19,0))"
+        " * CAST(total_cents AS DECIMAL(19,0))) AS BIGINT)"
+        " AS hhi_micros")

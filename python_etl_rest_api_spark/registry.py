@@ -212,6 +212,7 @@ _DEBT_FIRST = [
     "ann_recall_vs_nprobe",             # ~8s (3 IVF legs vs brute)
     "dq_schema_contract",               # ~0.5s (footer-only audit)
     "embed_label_margin",               # ~1.5s (bounded pair sample)
+    "orders_hhi_by_nation",             # ~1.2s (squared-share rational)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -490,3 +490,19 @@ def test_schema_contract_all_ok_and_detects_breaks(spark):
         assert got[("orders", "o_ghost_col")] == "missing_column"
     finally:
         m._CONTRACT = orig
+
+
+def test_hhi_bounds(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        orders_hhi_by_nation,
+    )
+    rows = orders_hhi_by_nation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_suppliers"] >= 1 and r["total_cents"] > 0
+        # HHI in (1e6/n - eps, 1e6]: floor can undershoot the even
+        # bound by at most 1 micro
+        assert r["hhi_micros"] <= 1_000_000
+        assert r["hhi_micros"] >= 1_000_000 // r["n_suppliers"] - 1
+        if r["n_suppliers"] == 1:
+            assert r["hhi_micros"] in (999_999, 1_000_000)
