@@ -1892,3 +1892,115 @@ def orders_hhi_by_nation(spark, sf_dir):
         "CAST(sum_sq * 1000000 div (CAST(total_cents AS DECIMAL(19,0))"
         " * CAST(total_cents AS DECIMAL(19,0))) AS BIGINT)"
         " AS hhi_micros")
+
+
+# ---------------------------------------------------------------------
+# LSH banding S-curve — observed collision rate per Jaccard bin
+# ---------------------------------------------------------------------
+
+@query("dedup_lsh_scurve", """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 120 AND text IS NOT NULL),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [] END AS shingles
+      FROM toks),
+    ne AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ex (doc_id, s) AS (SELECT doc_id, unnest(shingles) FROM ne),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS inter,
+             CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))
+                  AS BIGINT) AS uni
+      FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+    coll AS (
+      SELECT p.inter, p.uni,
+             CASE WHEN (x.h0 = y.h0 AND x.h1 = y.h1)
+                    OR (x.h2 = y.h2 AND x.h3 = y.h3)
+                    OR (x.h4 = y.h4 AND x.h5 = y.h5)
+                    OR (x.h6 = y.h6 AND x.h7 = y.h7)
+                  THEN 1 ELSE 0 END AS collided
+      FROM pairs p JOIN sig x ON x.doc_id = p.id_a
+                   JOIN sig y ON y.doc_id = p.id_b)
+    SELECT CAST(least(9, inter * 10 // uni) AS INTEGER) AS jaccard_bin,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(collided) AS BIGINT) AS n_collided,
+           CAST(SUM(collided) * 1000 // COUNT(*) AS BIGINT)
+             AS collide_permille
+    FROM coll GROUP BY 1
+""")
+def dedup_lsh_scurve(spark, sf_dir):
+    """The empirical LSH banding S-curve: for every document pair in a
+    bounded sample, the exact 3-gram Jaccard bin vs whether the 4-band
+    x 2-row minhash signature actually COLLIDES — the observed form of
+    the 1-(1-s^r)^b curve every banding configuration is tuned by,
+    with no floats (bins by integer cross-division, rates in
+    floor-permille). On this corpus the mass sits at the curve's two
+    ends (near-0 pairs never collide, near-1 dupes always do) — i.e.
+    the 4x2 banding separates perfectly here; mid-bins populate on
+    fuzzier corpora. The all-pairs leg is the labeled bounded baseline
+    (doc_id < 120); at scale the curve is estimated from banding
+    candidates + a pair sample, exactly like dedup_minhash_recall."""
+    tune(spark)
+    d = (_t(spark, sf_dir, "documents")
+         .filter((F.col("doc_id") < 120) & F.col("text").isNotNull()))
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.expr("CASE WHEN size(t) >= 3 THEN array_distinct(transform("
+               "sequence(1, size(t) - 2), i -> concat(element_at(t, i),"
+               " ' ', element_at(t, i+1), ' ', element_at(t, i+2))))"
+               " ELSE array() END").alias("shingles"))
+    ne = sh.filter(F.size("shingles") > 0)
+    ex = ne.select("doc_id", F.explode("shingles").alias("s"))
+    sig = ex.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))))
+        .alias(f"h{k}") for k in range(8)])
+    a = ne.select(F.col("doc_id").alias("id_a"),
+                  F.col("shingles").alias("sa"))
+    b = ne.select(F.col("doc_id").alias("id_b"),
+                  F.col("shingles").alias("sb"))
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.size(F.array_intersect("sa", "sb")).cast("long")
+                     .alias("inter"),
+                     (F.size("sa") + F.size("sb")
+                      - F.size(F.array_intersect("sa", "sb")))
+                     .cast("long").alias("uni")))
+    x = sig.select(F.col("doc_id").alias("id_a"),
+                   *[F.col(f"h{k}").alias(f"xa{k}") for k in range(8)])
+    y = sig.select(F.col("doc_id").alias("id_b"),
+                   *[F.col(f"h{k}").alias(f"yb{k}") for k in range(8)])
+    coll = (pairs.join(x, "id_a").join(y, "id_b")
+            .select("inter", "uni",
+                    F.when(
+                        ((F.col("xa0") == F.col("yb0"))
+                         & (F.col("xa1") == F.col("yb1")))
+                        | ((F.col("xa2") == F.col("yb2"))
+                           & (F.col("xa3") == F.col("yb3")))
+                        | ((F.col("xa4") == F.col("yb4"))
+                           & (F.col("xa5") == F.col("yb5")))
+                        | ((F.col("xa6") == F.col("yb6"))
+                           & (F.col("xa7") == F.col("yb7"))),
+                        1).otherwise(0).alias("collided")))
+    return (coll.groupBy(
+                F.least(F.lit(9), F.expr("inter * 10 div uni"))
+                .cast("int").alias("jaccard_bin"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("collided").cast("long").alias("n_collided"))
+            .withColumn("collide_permille",
+                        F.expr("CAST(n_collided * 1000 div n_pairs"
+                               " AS BIGINT)")))

@@ -213,6 +213,7 @@ _DEBT_FIRST = [
     "dq_schema_contract",               # ~0.5s (footer-only audit)
     "embed_label_margin",               # ~1.5s (bounded pair sample)
     "orders_hhi_by_nation",             # ~1.2s (squared-share rational)
+    "dedup_lsh_scurve",                 # ~2s (bounded banding curve)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

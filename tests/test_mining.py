@@ -506,3 +506,25 @@ def test_hhi_bounds(spark):
         assert r["hhi_micros"] >= 1_000_000 // r["n_suppliers"] - 1
         if r["n_suppliers"] == 1:
             assert r["hhi_micros"] in (999_999, 1_000_000)
+
+
+def test_lsh_scurve_monotone_rates(spark):
+    from python_etl_rest_api_spark.catalog_mining import dedup_lsh_scurve
+    rows = sorted(dedup_lsh_scurve(spark, SF).collect(),
+                  key=lambda r: r["jaccard_bin"])
+    assert rows
+    for r in rows:
+        assert 0 <= r["jaccard_bin"] <= 9
+        assert 0 <= r["n_collided"] <= r["n_pairs"]
+        assert r["collide_permille"] \
+            == r["n_collided"] * 1000 // r["n_pairs"]
+    # the S-curve's ends: low-Jaccard pairs rarely collide, the top
+    # bin (if populated) collides at a strictly higher rate
+    lo = [r for r in rows if r["jaccard_bin"] <= 2]
+    hi = [r for r in rows if r["jaccard_bin"] >= 8]
+    if lo and hi:
+        lo_rate = sum(r["n_collided"] for r in lo) * 1000 \
+            // max(1, sum(r["n_pairs"] for r in lo))
+        hi_rate = sum(r["n_collided"] for r in hi) * 1000 \
+            // max(1, sum(r["n_pairs"] for r in hi))
+        assert hi_rate > lo_rate

@@ -30,6 +30,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "bounded pair sample (id window) by construction"},
     "dedup_minhash_recall": {
         "nested_loop": "ground-truth exact-Jaccard pass, bounded corpus"},
+    "dedup_lsh_scurve": {
+        "nested_loop": "banding calibration: exact-Jaccard all-pairs "
+                       "over the bounded sample (doc_id < 120)"},
     "ann_recall_at_k": {
         "nested_loop": "exact baseline against which recall is measured"},
     "ann_recall_vs_nprobe": {
