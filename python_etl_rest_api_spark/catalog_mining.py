@@ -2004,3 +2004,64 @@ def dedup_lsh_scurve(spark, sf_dir):
             .withColumn("collide_permille",
                         F.expr("CAST(n_collided * 1000 div n_pairs"
                                " AS BIGINT)")))
+
+
+# ---------------------------------------------------------------------
+# Churn-risk buckets — users by days since last activity
+# ---------------------------------------------------------------------
+
+@query("events_churn_buckets", """
+    WITH g AS (SELECT MAX(ts) AS wm FROM events),
+    u AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    b AS (
+      SELECT CASE
+               WHEN epoch_us(g.wm) - epoch_us(u.last_ts)
+                    < CAST(7 AS BIGINT) * 86400000000 THEN 'active_7d'
+               WHEN epoch_us(g.wm) - epoch_us(u.last_ts)
+                    < CAST(14 AS BIGINT) * 86400000000 THEN 'cooling_14d'
+               WHEN epoch_us(g.wm) - epoch_us(u.last_ts)
+                    < CAST(21 AS BIGINT) * 86400000000 THEN 'at_risk_21d'
+               ELSE 'churned' END AS bucket,
+             u.n_events
+      FROM u, g),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM b)
+    SELECT bucket,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 1000 // t.n_total AS BIGINT)
+             AS share_permille
+    FROM b, t GROUP BY bucket, t.n_total
+""")
+def events_churn_buckets(spark, sf_dir):
+    """Churn-risk segmentation: users bucketed by integer-microsecond
+    age of their last activity against the corpus watermark
+    (7/14/21-day fences), with each bucket's user share in
+    floor-permille — the lifecycle report a retention team refreshes
+    daily, and the natural consumer of dq_freshness_watermark's
+    watermark. One per-user aggregate, a 1-row watermark broadcast,
+    and a 4-group rollup; every division is exact BIGINT floor
+    division."""
+    e = _events(spark, sf_dir)
+    g = e.agg(F.max("ts").alias("wm"))
+    u = (e.filter(F.col("user_id").isNotNull())
+         .groupBy("user_id")
+         .agg(F.max("ts").alias("last_ts"),
+              F.count(F.lit(1)).alias("n_events")))
+    age = F.unix_micros(F.col("wm")) - F.unix_micros(F.col("last_ts"))
+    day = 86400000000
+    b = (u.crossJoin(F.broadcast(g))
+         .select(F.when(age < 7 * day, "active_7d")
+                 .when(age < 14 * day, "cooling_14d")
+                 .when(age < 21 * day, "at_risk_21d")
+                 .otherwise("churned").alias("bucket"),
+                 "n_events"))
+    t = b.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n_events").cast("long").alias("n_events"))
+            .crossJoin(F.broadcast(t))
+            .selectExpr("bucket", "n_users", "n_events",
+                        "CAST(n_users * 1000 div n_total AS BIGINT)"
+                        " AS share_permille"))

@@ -214,6 +214,7 @@ _DEBT_FIRST = [
     "embed_label_margin",               # ~1.5s (bounded pair sample)
     "orders_hhi_by_nation",             # ~1.2s (squared-share rational)
     "dedup_lsh_scurve",                 # ~2s (bounded banding curve)
+    "events_churn_buckets",             # ~0.8s (lifecycle rollup)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -528,3 +528,19 @@ def test_lsh_scurve_monotone_rates(spark):
         hi_rate = sum(r["n_collided"] for r in hi) * 1000 \
             // max(1, sum(r["n_pairs"] for r in hi))
         assert hi_rate > lo_rate
+
+
+def test_churn_buckets_partition_users(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_churn_buckets,
+    )
+    rows = events_churn_buckets(spark, SF).collect()
+    assert rows
+    names = {r["bucket"] for r in rows}
+    assert names <= {"active_7d", "cooling_14d", "at_risk_21d",
+                     "churned"}
+    assert "active_7d" in names  # the watermark user is active
+    share = sum(r["share_permille"] for r in rows)
+    assert 1000 - len(rows) <= share <= 1000
+    for r in rows:
+        assert r["n_events"] >= r["n_users"] >= 1
