@@ -2065,3 +2065,129 @@ def events_churn_buckets(spark, sf_dir):
             .selectExpr("bucket", "n_users", "n_events",
                         "CAST(n_users * 1000 div n_total AS BIGINT)"
                         " AS share_permille"))
+
+
+# ---------------------------------------------------------------------
+# Single-source supply risk — revenue exposed to 1-supplier parts
+# ---------------------------------------------------------------------
+
+@query("supply_single_source_risk", """
+    WITH ps AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    b AS (
+      SELECT CASE WHEN n_suppliers = 1 THEN 'single_source'
+                  WHEN n_suppliers = 2 THEN 'dual_source'
+                  ELSE 'multi_source' END AS sourcing, rev_cents
+      FROM ps),
+    t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM b)
+    SELECT sourcing,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(rev_cents) * 1000 // CAST(t.total AS HUGEINT)
+                AS BIGINT) AS revenue_share_permille
+    FROM b, t GROUP BY sourcing, t.total
+""")
+def supply_single_source_risk(spark, sf_dir):
+    """Supply-chain concentration risk: parts bucketed by how many
+    distinct suppliers actually ship them, with the exact revenue share
+    riding on single- and dual-sourced parts — the exposure number a
+    procurement review starts from (complements q16's per-part supplier
+    counts with the revenue-weighted rollup). One partial+final
+    count-distinct per part, a 3-way bucket rollup, a 1-row total
+    broadcast, and floor-permille shares of exact cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey")
+          .agg(F.countDistinct("l_suppkey").cast("long")
+               .alias("n_suppliers"),
+               F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                     * 100).cast("long").alias("rev_cents")))
+    b = ps.select(
+        F.when(F.col("n_suppliers") == 1, "single_source")
+        .when(F.col("n_suppliers") == 2, "dual_source")
+        .otherwise("multi_source").alias("sourcing"), "rev_cents")
+    t = b.agg(F.sum("rev_cents").cast("long").alias("total"))
+    return (b.groupBy("sourcing")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("rev_cents").cast("long").alias("revenue_cents"))
+            .crossJoin(F.broadcast(t))
+            .selectExpr("sourcing", "n_parts", "revenue_cents",
+                        "CAST(revenue_cents * 1000 div total AS BIGINT)"
+                        " AS revenue_share_permille"))
+
+
+# ---------------------------------------------------------------------
+# Split-leakage audit — exact dupes crossing the train/test boundary
+# ---------------------------------------------------------------------
+
+@query("dq_split_leakage", """
+    WITH s AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CASE WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT < 204
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(text), 1, 2))::BIGINT < 230
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents WHERE text IS NOT NULL),
+    h AS (
+      SELECT content_hash,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_val,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_test
+      FROM s GROUP BY content_hash)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           CAST(SUM(n_train) AS BIGINT) AS n_train_docs,
+           CAST(SUM(n_val + n_test) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN n_train > 0 AND (n_val + n_test) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaked_texts,
+           CAST(SUM(CASE WHEN n_train > 0 AND (n_val + n_test) > 0
+                         THEN n_val + n_test ELSE 0 END) AS BIGINT)
+             AS contaminated_eval_docs
+    FROM h
+""")
+def dq_split_leakage(spark, sf_dir):
+    """Split-leakage (self-decontamination) audit: does any EXACT text
+    appear on both sides of the content-hash train/eval boundary? With
+    the data_split_assign recipe (split keyed on md5(text)) the answer
+    is structurally zero — identical texts always hash to the same
+    split — and this audit PROVES that invariant end to end, the check
+    that catches the classic bug of splitting on row id instead of
+    content (duplicate texts then straddle the boundary and eval
+    scores go fraudulent). One content-hash aggregate; all counts
+    exact integers."""
+    tune(spark)
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select(F.md5("text").alias("content_hash")))
+    bucket = (F.conv(F.substring(F.col("content_hash"), 1, 2), 16, 10)
+              .cast("long"))
+    s = d.select("content_hash",
+                 F.when(bucket < 204, "train")
+                 .when(bucket < 230, "val")
+                 .otherwise("test").alias("split"))
+    h = (s.groupBy("content_hash")
+         .agg(F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+              .cast("long").alias("n_train"),
+              F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+              .cast("long").alias("n_val"),
+              F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+              .cast("long").alias("n_test")))
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+        F.sum("n_train").cast("long").alias("n_train_docs"),
+        F.sum(F.col("n_val") + F.col("n_test")).cast("long")
+        .alias("n_eval_docs"),
+        F.sum(F.when((F.col("n_train") > 0)
+                     & (F.col("n_val") + F.col("n_test") > 0), 1)
+              .otherwise(0)).cast("long").alias("leaked_texts"),
+        F.sum(F.when((F.col("n_train") > 0)
+                     & (F.col("n_val") + F.col("n_test") > 0),
+                     F.col("n_val") + F.col("n_test"))
+              .otherwise(0)).cast("long")
+        .alias("contaminated_eval_docs"))

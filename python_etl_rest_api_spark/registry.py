@@ -215,6 +215,8 @@ _DEBT_FIRST = [
     "orders_hhi_by_nation",             # ~1.2s (squared-share rational)
     "dedup_lsh_scurve",                 # ~2s (bounded banding curve)
     "events_churn_buckets",             # ~0.8s (lifecycle rollup)
+    "dq_split_leakage",                 # ~0.6s (content-hash audit)
+    "supply_single_source_risk",        # ~1s (sourcing rollup)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -544,3 +544,26 @@ def test_churn_buckets_partition_users(spark):
     assert 1000 - len(rows) <= share <= 1000
     for r in rows:
         assert r["n_events"] >= r["n_users"] >= 1
+
+
+def test_single_source_risk_rollup(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        supply_single_source_risk,
+    )
+    rows = {r["sourcing"]: r for r in
+            supply_single_source_risk(spark, SF).collect()}
+    assert set(rows) <= {"single_source", "dual_source", "multi_source"}
+    share = sum(r["revenue_share_permille"] for r in rows.values())
+    assert 1000 - len(rows) <= share <= 1000
+    for r in rows.values():
+        assert r["n_parts"] >= 1 and r["revenue_cents"] > 0
+
+
+def test_split_leakage_is_zero_by_construction(spark):
+    from python_etl_rest_api_spark.catalog_mining import dq_split_leakage
+    r = dq_split_leakage(spark, SF).collect()[0]
+    # content-keyed splits CANNOT leak: same text -> same split
+    assert r["leaked_texts"] == 0
+    assert r["contaminated_eval_docs"] == 0
+    assert r["n_train_docs"] + r["n_eval_docs"] >= r["n_distinct_texts"]
+    assert r["n_train_docs"] > r["n_eval_docs"]  # ~80/20 split
