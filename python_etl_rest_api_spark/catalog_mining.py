@@ -2191,3 +2191,124 @@ def dq_split_leakage(spark, sf_dir):
                      F.col("n_val") + F.col("n_test"))
               .otherwise(0)).cast("long")
         .alias("contaminated_eval_docs"))
+
+
+# ---------------------------------------------------------------------
+# K-fold assignment — content-keyed CV folds with balance audit
+# ---------------------------------------------------------------------
+
+@query("sample_kfold_assign", """
+    WITH s AS (
+      SELECT CAST(('0x' || substr(md5('fold:' || text), 1, 8))::BIGINT
+                  % 5 AS INTEGER) AS fold
+      FROM documents WHERE text IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s)
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(COUNT(*) * 1000 // t.n_total AS BIGINT)
+             AS share_permille,
+           CAST(abs(COUNT(*) * 5 - t.n_total) * 1000 // t.n_total
+                AS BIGINT) AS imbalance_permille
+    FROM s, t GROUP BY fold, t.n_total
+""")
+def sample_kfold_assign(spark, sf_dir):
+    """5-fold cross-validation assignment keyed on CONTENT (salted
+    md5 of the text, the data_split_assign recipe) so duplicate
+    documents always share a fold — no leakage across folds by
+    construction — with each fold's share and its deviation from the
+    ideal n/5 in floor-permille, the balance audit run before any CV
+    result is trusted. One hash-bucket aggregate and a 1-row total."""
+    tune(spark)
+    d = (_t(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull()))
+    fold = (F.conv(F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("text"))), 1, 8),
+                16, 10).cast("long") % 5).cast("int")
+    s = d.select(fold.alias("fold"))
+    t = s.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (s.groupBy("fold").agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(t))
+            .selectExpr(
+                "fold", "n_docs",
+                "CAST(n_docs * 1000 div n_total AS BIGINT)"
+                " AS share_permille",
+                "CAST(abs(n_docs * 5 - n_total) * 1000 div n_total"
+                " AS BIGINT) AS imbalance_permille"))
+
+
+# ---------------------------------------------------------------------
+# Monthly seasonal index — revenue month-vs-year in exact permille
+# ---------------------------------------------------------------------
+
+@query("orders_seasonal_index", """
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2),
+    y AS (SELECT yr, CAST(SUM(rev_cents) AS BIGINT) AS yr_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_months
+          FROM m GROUP BY yr)
+    SELECT m.yr, m.mo, m.rev_cents,
+           CAST(CAST(m.rev_cents AS HUGEINT) * y.n_months * 1000
+                // y.yr_cents AS BIGINT) AS seasonal_index_permille
+    FROM m JOIN y ON y.yr = m.yr
+""")
+def orders_seasonal_index(spark, sf_dir):
+    """Classical seasonal index on the revenue calendar: each month's
+    exact-cents revenue against its year's average month, in
+    floor-permille (1000 = an average month; the n_months factor keeps
+    partial years honest). The per-month and per-year aggregates reuse
+    one exchange; the index is a single integer cross-multiplication —
+    the month-granular complement to events_seasonality_profile's
+    hour-of-week matrix."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.year("o_orderdate").alias("yr"),
+                   F.month("o_orderdate").alias("mo"))
+         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").alias("rev_cents")))
+    y = (m.groupBy("yr")
+         .agg(F.sum("rev_cents").cast("long").alias("yr_cents"),
+              F.count(F.lit(1)).cast("long").alias("n_months")))
+    return (m.join(F.broadcast(y), "yr")
+            .selectExpr(
+                "yr", "mo", "rev_cents",
+                "CAST(CAST(rev_cents AS DECIMAL(19,0)) * n_months"
+                " * 1000 div yr_cents AS BIGINT)"
+                " AS seasonal_index_permille"))
+
+
+# ---------------------------------------------------------------------
+# Embedding-norm histogram — is the space normalized?
+# ---------------------------------------------------------------------
+
+@query("embed_norm_histogram", """
+    WITH n AS (
+      SELECT sqrt(list_reduce(list_transform(
+                 range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE)),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0)
+    SELECT CAST(least(19, CAST(floor(nrm * 10.0) AS BIGINT))
+                AS INTEGER) AS norm_bucket,
+           COUNT(*) AS n_vectors
+    FROM n GROUP BY 1
+""")
+def embed_norm_histogram(spark, sf_dir):
+    """Embedding QA: the L2-norm distribution in 0.1-wide buckets —
+    the first thing to check before cosine indexing (a normalized
+    space collapses to one bucket; a spread says raw dot products and
+    cosine will rank differently). The norm is sqrt of the order-
+    pinned sequential fold — bit-identical across engines (COVERAGE.md
+    class 5: same fold order, correctly-rounded sqrt) — so the floored
+    bucket counts value-hash. Zero-shuffle map + one tiny aggregate."""
+    from .operators.similarity import l2_norm, valid_vectors
+    tune(spark)
+    emb = valid_vectors(_t(spark, sf_dir, "embeddings"))
+    bucket = (F.least(F.lit(19),
+                      F.floor(l2_norm(F.col("embedding")) * 10.0))
+              .cast("int").alias("norm_bucket"))
+    return (emb.select(bucket).groupBy("norm_bucket")
+            .agg(F.count(F.lit(1)).alias("n_vectors")))

@@ -217,6 +217,9 @@ _DEBT_FIRST = [
     "events_churn_buckets",             # ~0.8s (lifecycle rollup)
     "dq_split_leakage",                 # ~0.6s (content-hash audit)
     "supply_single_source_risk",        # ~1s (sourcing rollup)
+    "sample_kfold_assign",              # ~0.5s (fold balance audit)
+    "embed_norm_histogram",             # ~0.6s (norm QA buckets)
+    "orders_seasonal_index",            # ~0.8s (month-vs-year index)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

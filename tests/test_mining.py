@@ -567,3 +567,48 @@ def test_split_leakage_is_zero_by_construction(spark):
     assert r["contaminated_eval_docs"] == 0
     assert r["n_train_docs"] + r["n_eval_docs"] >= r["n_distinct_texts"]
     assert r["n_train_docs"] > r["n_eval_docs"]  # ~80/20 split
+
+
+def test_kfold_balance_and_coverage(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        sample_kfold_assign,
+    )
+    rows = sample_kfold_assign(spark, SF).collect()
+    assert {r["fold"] for r in rows} == set(range(5))
+    total = sum(r["n_docs"] for r in rows)
+    share = sum(r["share_permille"] for r in rows)
+    assert 1000 - 5 <= share <= 1000
+    for r in rows:
+        assert r["imbalance_permille"] \
+            == abs(r["n_docs"] * 5 - total) * 1000 // total
+
+
+def test_seasonal_index_year_budget(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        orders_seasonal_index,
+    )
+    rows = orders_seasonal_index(spark, SF).collect()
+    assert rows
+    per_year: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r["mo"] <= 12 and r["rev_cents"] > 0
+        per_year.setdefault(r["yr"], []).append(r)
+    for yr, ms in per_year.items():
+        n = len(ms)
+        # indexes average to ~1000 permille within a year (floor slack)
+        s = sum(r["seasonal_index_permille"] for r in ms)
+        assert 1000 * n - n <= s <= 1000 * n
+
+
+def test_norm_histogram_covers_corpus(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        embed_norm_histogram,
+    )
+    from python_etl_rest_api_spark.catalog import _t
+    rows = embed_norm_histogram(spark, SF).collect()
+    assert rows
+    n = _t(spark, SF, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    ).count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert all(0 <= r["norm_bucket"] <= 19 for r in rows)
