@@ -2312,3 +2312,112 @@ def embed_norm_histogram(spark, sf_dir):
               .cast("int").alias("norm_bucket"))
     return (emb.select(bucket).groupBy("norm_bucket")
             .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+# ---------------------------------------------------------------------
+# Duplication spectrum — exact-dup family sizes across the corpus
+# ---------------------------------------------------------------------
+
+@query("text_dup_family_spectrum", """
+    WITH fam AS (
+      SELECT md5(text) AS h, COUNT(*) AS sz
+      FROM documents WHERE text IS NOT NULL GROUP BY md5(text)),
+    b AS (
+      SELECT CASE WHEN sz = 1 THEN 'unique'
+                  WHEN sz = 2 THEN 'pair'
+                  WHEN sz <= 4 THEN 'small_3_4'
+                  ELSE 'large_5_plus' END AS family_class,
+             sz
+      FROM fam),
+    t AS (SELECT CAST(SUM(sz) AS BIGINT) AS n_docs FROM b)
+    SELECT family_class,
+           COUNT(*) AS n_families,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+           CAST(SUM(sz) * 1000 // t.n_docs AS BIGINT)
+             AS doc_share_permille
+    FROM b, t GROUP BY family_class, t.n_docs
+""")
+def text_dup_family_spectrum(spark, sf_dir):
+    """The duplication spectrum: exact-duplicate FAMILY sizes bucketed
+    (unique / pair / 3-4 / 5+), with how many documents each class
+    holds and how many a keep-one policy would remove — the shape that
+    tells a curation team whether duplication is a long tail of pairs
+    or a few mega-families (different dedup strategies win in each
+    regime; complements dedup_exact, which keeps, and
+    dedup_ratio_by_source, which attributes). One 32-byte-hash
+    aggregate — bodies never shuffle — then a 4-class rollup."""
+    tune(spark)
+    fam = (_t(spark, sf_dir, "documents")
+           .filter(F.col("text").isNotNull())
+           .groupBy(F.md5("text").alias("h"))
+           .agg(F.count(F.lit(1)).alias("sz")))
+    b = fam.select(
+        F.when(F.col("sz") == 1, "unique")
+        .when(F.col("sz") == 2, "pair")
+        .when(F.col("sz") <= 4, "small_3_4")
+        .otherwise("large_5_plus").alias("family_class"), "sz")
+    t = b.agg(F.sum("sz").cast("long").alias("n_docs_total"))
+    return (b.groupBy("family_class")
+            .agg(F.count(F.lit(1)).alias("n_families"),
+                 F.sum("sz").cast("long").alias("n_docs"),
+                 F.sum(F.col("sz") - 1).cast("long")
+                 .alias("n_removable"))
+            .crossJoin(F.broadcast(t))
+            .selectExpr("family_class", "n_families", "n_docs",
+                        "n_removable",
+                        "CAST(n_docs * 1000 div n_docs_total AS BIGINT)"
+                        " AS doc_share_permille"))
+
+
+# ---------------------------------------------------------------------
+# Priority-mix drift — monthly order-priority mix vs the overall mix
+# ---------------------------------------------------------------------
+
+@query("orders_priority_mix_drift", """
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+                  + EXTRACT(month FROM o_orderdate) AS INTEGER) AS ym,
+             o_orderpriority AS pri, COUNT(*) AS n
+      FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+    mt AS (SELECT ym, CAST(SUM(n) AS BIGINT) AS m_total
+           FROM m GROUP BY ym),
+    g AS (SELECT pri, CAST(SUM(n) AS BIGINT) AS g_n FROM m
+          GROUP BY pri),
+    gt AS (SELECT CAST(SUM(g_n) AS BIGINT) AS g_total FROM g)
+    SELECT m.ym, m.pri, m.n,
+           CAST(m.n * 1000 // mt.m_total AS BIGINT) AS obs_permille,
+           CAST(g.g_n * 1000 // gt.g_total AS BIGINT) AS exp_permille,
+           CAST(m.n * 1000 // mt.m_total
+                - g.g_n * 1000 // gt.g_total AS BIGINT)
+             AS drift_permille
+    FROM m JOIN mt ON mt.ym = m.ym
+           JOIN g ON g.pri = m.pri, gt
+""")
+def orders_priority_mix_drift(spark, sf_dir):
+    """Categorical mix-shift monitor: each month's order-priority mix
+    in floor-permille against the corpus-wide mix, with the signed
+    drift — the report that catches an upstream enum change or a
+    routing bug as a sudden mix shift (the categorical twin of
+    stats_ks_drift's numeric two-cohort test). Cell, month-total, and
+    global-mix aggregates reuse one (ym, pri) shuffle; the mix tables
+    broadcast."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority").isNotNull()))
+    m = (o.groupBy((F.year("o_orderdate") * 100
+                    + F.month("o_orderdate")).cast("int").alias("ym"),
+                   F.col("o_orderpriority").alias("pri"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    mt = m.groupBy("ym").agg(F.sum("n").cast("long").alias("m_total"))
+    g = m.groupBy("pri").agg(F.sum("n").cast("long").alias("g_n"))
+    gt = g.agg(F.sum("g_n").cast("long").alias("g_total"))
+    return (m.join(F.broadcast(mt), "ym")
+            .join(F.broadcast(g), "pri")
+            .crossJoin(F.broadcast(gt))
+            .selectExpr(
+                "ym", "pri", "n",
+                "CAST(n * 1000 div m_total AS BIGINT) AS obs_permille",
+                "CAST(g_n * 1000 div g_total AS BIGINT)"
+                " AS exp_permille",
+                "CAST(n * 1000 div m_total - g_n * 1000 div g_total"
+                " AS BIGINT) AS drift_permille"))

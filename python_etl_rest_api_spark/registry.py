@@ -220,6 +220,8 @@ _DEBT_FIRST = [
     "sample_kfold_assign",              # ~0.5s (fold balance audit)
     "embed_norm_histogram",             # ~0.6s (norm QA buckets)
     "orders_seasonal_index",            # ~0.8s (month-vs-year index)
+    "text_dup_family_spectrum",         # ~0.6s (dup-family rollup)
+    "orders_priority_mix_drift",        # ~0.9s (categorical drift)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

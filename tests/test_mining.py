@@ -612,3 +612,35 @@ def test_norm_histogram_covers_corpus(spark):
     ).count()
     assert sum(r["n_vectors"] for r in rows) == n
     assert all(0 <= r["norm_bucket"] <= 19 for r in rows)
+
+
+def test_dup_family_spectrum_accounting(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        text_dup_family_spectrum,
+    )
+    rows = {r["family_class"]: r for r in
+            text_dup_family_spectrum(spark, SF).collect()}
+    assert "unique" in rows
+    for k, r in rows.items():
+        assert r["n_docs"] >= r["n_families"] >= 1
+        assert r["n_removable"] == r["n_docs"] - r["n_families"]
+        if k == "unique":
+            assert r["n_removable"] == 0
+    share = sum(r["doc_share_permille"] for r in rows.values())
+    assert 1000 - len(rows) <= share <= 1000
+
+
+def test_priority_mix_drift_budget(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        orders_priority_mix_drift,
+    )
+    rows = orders_priority_mix_drift(spark, SF).collect()
+    assert rows
+    per_month: dict[int, int] = {}
+    for r in rows:
+        assert r["drift_permille"] \
+            == r["obs_permille"] - r["exp_permille"]
+        per_month[r["ym"]] = per_month.get(r["ym"], 0) \
+            + r["obs_permille"]
+    for ym, s in per_month.items():
+        assert 1000 - 5 <= s <= 1000, ym
