@@ -2421,3 +2421,60 @@ def orders_priority_mix_drift(spark, sf_dir):
                 " AS exp_permille",
                 "CAST(n * 1000 div m_total - g_n * 1000 div g_total"
                 " AS BIGINT) AS drift_permille"))
+
+
+# ---------------------------------------------------------------------
+# Per-source quality gate — the curation dashboard over Gopher rules
+# ---------------------------------------------------------------------
+
+def _register_source_quality_matrix():
+    # imported explicitly: the registry imports this module BEFORE
+    # catalog_quality (alphabetical), so the gopher oracle this rollup
+    # nests must be registered here, not assumed
+    from . import catalog_quality  # noqa: F401
+    from .catalog import ORACLES
+    gopher = ORACLES["text_gopher_rules"].strip()
+    oracle = f"""
+    WITH gate AS ({gopher}),
+    j AS (
+      SELECT d.source, g.passes
+      FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+      WHERE d.source IS NOT NULL)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000
+                // COUNT(*) AS BIGINT) AS pass_permille
+    FROM j GROUP BY source
+"""
+
+    def docs_source_quality_matrix(spark, sf_dir):
+        """Curation dashboard: each source's pass rate through the
+        Gopher-style quality gate, in floor-permille — the table that
+        decides which feeds get mixture weight and which get a
+        filtering pass first. COMPOSES the driver-green
+        text_gopher_rules entry (its per-doc frame joins back to the
+        source column; its oracle text nests as a CTE), so the rollup
+        inherits that entry's verified cross-engine rule semantics
+        rather than re-deriving them."""
+        from .catalog_quality import text_gopher_rules
+        tune(spark)
+        gate = text_gopher_rules(spark, sf_dir).select(
+            "doc_id", "passes")
+        d = (_t(spark, sf_dir, "documents")
+             .filter(F.col("source").isNotNull())
+             .select("doc_id", "source"))
+        j = d.join(gate, "doc_id")
+        return (j.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.when(F.col("passes"), 1).otherwise(0))
+                     .cast("long").alias("n_pass"))
+                .withColumn("pass_permille",
+                            F.expr("CAST(n_pass * 1000 div n_docs"
+                                   " AS BIGINT)")))
+
+    query("docs_source_quality_matrix", oracle)(
+        docs_source_quality_matrix)
+
+
+_register_source_quality_matrix()

@@ -222,6 +222,7 @@ _DEBT_FIRST = [
     "orders_seasonal_index",            # ~0.8s (month-vs-year index)
     "text_dup_family_spectrum",         # ~0.6s (dup-family rollup)
     "orders_priority_mix_drift",        # ~0.9s (categorical drift)
+    "docs_source_quality_matrix",       # ~1s (gate rollup per source)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -644,3 +644,20 @@ def test_priority_mix_drift_budget(spark):
             + r["obs_permille"]
     for ym, s in per_month.items():
         assert 1000 - 5 <= s <= 1000, ym
+
+
+def test_source_quality_matrix_consistent_with_gate(spark):
+    import python_etl_rest_api_spark.catalog_mining  # noqa: F401
+    from python_etl_rest_api_spark.catalog import QUERIES as Q
+    rows = Q["docs_source_quality_matrix"](spark, SF).collect()
+    assert rows
+    total_pass = sum(r["n_pass"] for r in rows)
+    # cross-check against the per-doc gate it composes
+    gate = Q["text_gopher_rules"](spark, SF)
+    want = gate.filter(F.col("passes")).count()
+    # sources are non-null on every doc in the testdata, so the rollup
+    # must account for every passing doc
+    assert total_pass == want
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["pass_permille"] == r["n_pass"] * 1000 // r["n_docs"]
