@@ -2478,3 +2478,75 @@ def _register_source_quality_matrix():
 
 
 _register_source_quality_matrix()
+
+
+# ---------------------------------------------------------------------
+# Token-budget apportionment — Hamilton largest-remainder allocation
+# ---------------------------------------------------------------------
+
+_MIX_BUDGET = 1_000_000
+
+
+@query("mix_token_budget_allocation", f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(length(text) // 4) AS BIGINT) AS est_tokens
+      FROM documents
+      WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY source),
+    t AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS total FROM s),
+    q AS (
+      SELECT s.source, s.est_tokens,
+             CAST(CAST({_MIX_BUDGET} AS HUGEINT) * s.est_tokens
+                  // t.total AS BIGINT) AS floor_alloc,
+             CAST(CAST({_MIX_BUDGET} AS HUGEINT) * s.est_tokens
+                  % t.total AS BIGINT) AS remainder
+      FROM s, t),
+    k AS (SELECT CAST({_MIX_BUDGET} - SUM(floor_alloc) AS BIGINT)
+                 AS n_extra FROM q),
+    r AS (
+      SELECT q.*, k.n_extra,
+             row_number() OVER (ORDER BY q.remainder DESC, q.source)
+               AS rk
+      FROM q, k)
+    SELECT source, est_tokens,
+           CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(rk AS INTEGER) AS remainder_rank
+    FROM r
+""")
+def mix_token_budget_allocation(spark, sf_dir):
+    """Hamilton (largest-remainder) apportionment of a fixed training
+    token budget across sources: floor each proportional quota, then
+    award the leftover tokens to the largest exact remainders — the
+    allocation sums to the budget EXACTLY (no float quota ever exists:
+    remainders are modular integers, compared exactly), which is the
+    property samplers need so epoch plans don't drift by a token.
+    The quota math is one integer expression over the per-source
+    aggregate; the remainder rank window runs over |sources| rows.
+    Apportionment paradoxes (Alabama etc.) are inherent to Hamilton's
+    method and fine here — the budget is a cap, not a seat count."""
+    tune(spark)
+    s = (_t(spark, sf_dir, "documents")
+         .filter(F.col("source").isNotNull() & F.col("text").isNotNull())
+         .groupBy("source")
+         .agg(F.sum(F.floor(F.length("text") / 4)).cast("long")
+              .alias("est_tokens")))
+    t = s.agg(F.sum("est_tokens").cast("long").alias("total"))
+    q = (s.crossJoin(F.broadcast(t))
+         .selectExpr(
+             "source", "est_tokens",
+             f"CAST(CAST({_MIX_BUDGET} AS DECIMAL(19,0)) * est_tokens"
+             f" div total AS BIGINT) AS floor_alloc",
+             f"CAST(CAST({_MIX_BUDGET} AS DECIMAL(19,0)) * est_tokens"
+             f" % total AS BIGINT) AS remainder"))
+    k = q.agg((F.lit(_MIX_BUDGET) - F.sum("floor_alloc")).cast("long")
+              .alias("n_extra"))
+    w = Window.orderBy(F.col("remainder").desc(), "source")
+    r = (q.crossJoin(F.broadcast(k))
+         .withColumn("rk", F.row_number().over(w)))
+    return r.selectExpr(
+        "source", "est_tokens",
+        "CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END"
+        " AS BIGINT) AS alloc_tokens",
+        "CAST(rk AS INTEGER) AS remainder_rank")

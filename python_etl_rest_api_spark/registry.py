@@ -51,7 +51,7 @@ modularity, class-balanced sampling, RAKE keywords) are appended at
 the tail of the never-verified queue, cheapest-first within their
 wave: the r6 debt block still clears first and the new entries lead
 the r7 debt queue, all typed-sweep green at pin time (catalog size at
-the r6 close: 298 oracle-paired entries).
+the r6 close: 300 oracle-paired entries).
 """
 
 from . import (  # noqa: F401
@@ -223,6 +223,7 @@ _DEBT_FIRST = [
     "text_dup_family_spectrum",         # ~0.6s (dup-family rollup)
     "orders_priority_mix_drift",        # ~0.9s (categorical drift)
     "docs_source_quality_matrix",       # ~1s (gate rollup per source)
+    "mix_token_budget_allocation",      # ~0.6s (Hamilton apportionment)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

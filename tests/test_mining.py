@@ -661,3 +661,17 @@ def test_source_quality_matrix_consistent_with_gate(spark):
     for r in rows:
         assert 0 <= r["n_pass"] <= r["n_docs"]
         assert r["pass_permille"] == r["n_pass"] * 1000 // r["n_docs"]
+
+
+def test_token_budget_sums_exactly(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        _MIX_BUDGET, mix_token_budget_allocation,
+    )
+    rows = mix_token_budget_allocation(spark, SF).collect()
+    assert rows
+    # Hamilton's defining property: the allocation is EXACTLY the budget
+    assert sum(r["alloc_tokens"] for r in rows) == _MIX_BUDGET
+    total = sum(r["est_tokens"] for r in rows)
+    for r in rows:
+        lo = _MIX_BUDGET * r["est_tokens"] // total
+        assert r["alloc_tokens"] in (lo, lo + 1)
