@@ -2550,3 +2550,140 @@ def mix_token_budget_allocation(spark, sf_dir):
         "CAST(floor_alloc + CASE WHEN rk <= n_extra THEN 1 ELSE 0 END"
         " AS BIGINT) AS alloc_tokens",
         "CAST(rk AS INTEGER) AS remainder_rank")
+
+
+# ---------------------------------------------------------------------
+# Session interval-union coverage — merged activity time per user
+# ---------------------------------------------------------------------
+
+@query("events_session_coverage", """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS e_us,
+             ts, event_id
+      FROM events WHERE user_id IS NOT NULL),
+    m AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us <= max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM e),
+    g AS (
+      SELECT user_id, s_us, e_us,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY s_us, e_us
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m),
+    iv AS (
+      SELECT user_id, grp,
+             CAST(MAX(e_us) - MIN(s_us) AS BIGINT) AS span_us
+      FROM g GROUP BY user_id, grp),
+    u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(span_us) AS BIGINT) AS covered_us
+      FROM iv GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_merged_intervals,
+           CAST(SUM(covered_us) // 60000000 AS BIGINT)
+             AS covered_minutes,
+           CAST(MAX(covered_us) // 60000000 AS BIGINT)
+             AS max_user_minutes
+    FROM u
+""")
+def events_session_coverage(spark, sf_dir):
+    """Interval-union coverage: every event opens a 30-minute activity
+    window; overlapping windows per user MERGE (the classic interval-
+    union sweep — a window is new only if it starts after the running
+    max end of everything before it), and the audit publishes how much
+    wall-clock the corpus actually covers once overlaps collapse — the
+    honest denominator for engagement-time metrics that naive
+    n_events*30min double-counts. All integer microseconds; the sweep
+    windows partition per user; the rollup is one global aggregate."""
+    e = _events(spark, sf_dir)
+    base = (e.filter(F.col("user_id").isNotNull())
+            .select("user_id",
+                    F.unix_micros(F.col("ts")).alias("s_us"),
+                    (F.unix_micros(F.col("ts"))
+                     + F.lit(1800) * 1000000).alias("e_us"),
+                    "ts", "event_id"))
+    w_prev = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    m = base.withColumn(
+        "is_new",
+        F.when(F.col("s_us") <= F.max("e_us").over(w_prev), 0)
+        .otherwise(1))
+    w_grp = (Window.partitionBy("user_id").orderBy("s_us", "e_us")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = m.withColumn("grp", F.sum("is_new").over(w_grp))
+    iv = (g.groupBy("user_id", "grp")
+          .agg((F.max("e_us") - F.min("s_us")).cast("long")
+               .alias("span_us")))
+    u = (iv.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+              F.sum("span_us").cast("long").alias("covered_us")))
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_intervals").cast("long").alias("n_merged_intervals"),
+        F.expr("CAST(SUM(covered_us) div 60000000 AS BIGINT)")
+        .alias("covered_minutes"),
+        F.expr("CAST(MAX(covered_us) div 60000000 AS BIGINT)")
+        .alias("max_user_minutes"))
+
+
+# ---------------------------------------------------------------------
+# Degree distribution — the one-line shape of the co-purchase graph
+# ---------------------------------------------------------------------
+
+@query("graph_degree_distribution", """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e)
+      GROUP BY p),
+    b AS (
+      SELECT CAST(CASE WHEN d = 0 THEN 0
+                       ELSE CAST(floor(log2(d)) AS BIGINT) + 1 END
+                  AS INTEGER) AS degree_bucket,
+             d
+      FROM deg)
+    SELECT degree_bucket,
+           COUNT(*) AS n_vertices,
+           CAST(SUM(d) AS BIGINT) AS sum_degree,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM b GROUP BY degree_bucket
+""")
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the co-purchase part graph in log2
+    buckets — the single chart that says whether the graph is
+    power-law (skewed buckets; partition-killing hubs) or flat, i.e.
+    whether downstream joins need skew handling. Bucket = floor(log2
+    (d))+1 is exact for BIGINT degrees (log2 of an exact power of two
+    is exact in IEEE; values in between are far from boundaries, and
+    both engines evaluate the SAME double log2 on the SAME integers).
+    Edge derivation reuses the basket-bounded self-join; everything
+    else is counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    e = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+         .select("pa", "pb").distinct())
+    deg = (e.select(F.col("pa").alias("p"))
+           .unionAll(e.select(F.col("pb").alias("p")))
+           .groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    bk = deg.select(
+        (F.floor(F.log2("d")) + 1).cast("int").alias("degree_bucket"),
+        "d")
+    return (bk.groupBy("degree_bucket")
+            .agg(F.count(F.lit(1)).alias("n_vertices"),
+                 F.sum("d").cast("long").alias("sum_degree"),
+                 F.min("d").cast("long").alias("min_degree"),
+                 F.max("d").cast("long").alias("max_degree")))

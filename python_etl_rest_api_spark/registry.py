@@ -224,6 +224,8 @@ _DEBT_FIRST = [
     "orders_priority_mix_drift",        # ~0.9s (categorical drift)
     "docs_source_quality_matrix",       # ~1s (gate rollup per source)
     "mix_token_budget_allocation",      # ~0.6s (Hamilton apportionment)
+    "events_session_coverage",          # ~1s (interval-union sweep)
+    "graph_degree_distribution",        # ~2s (log2 degree buckets)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

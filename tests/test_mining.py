@@ -675,3 +675,34 @@ def test_token_budget_sums_exactly(spark):
     for r in rows:
         lo = _MIX_BUDGET * r["est_tokens"] // total
         assert r["alloc_tokens"] in (lo, lo + 1)
+
+
+def test_session_coverage_bounds(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_session_coverage,
+    )
+    r = events_session_coverage(spark, SF).collect()[0]
+    assert r["n_users"] > 0
+    assert r["n_merged_intervals"] >= r["n_users"]
+    # merged coverage is at least one 30-min window per user and no
+    # more than raw event count * 30 min
+    e = _events(spark, SF).filter(F.col("user_id").isNotNull())
+    n_events = e.count()
+    assert r["covered_minutes"] >= r["n_users"] * 30 - r["n_users"]
+    assert r["covered_minutes"] <= n_events * 30
+    assert r["max_user_minutes"] * r["n_users"] >= r["covered_minutes"] \
+        // max(1, r["n_users"]) * r["n_users"] // max(1, r["n_users"])
+
+
+def test_degree_distribution_budget(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        graph_degree_distribution,
+    )
+    rows = graph_degree_distribution(spark, SF).collect()
+    assert rows
+    total_degree = sum(r["sum_degree"] for r in rows)
+    assert total_degree % 2 == 0  # handshake lemma: 2 * |E|
+    for r in rows:
+        b = r["degree_bucket"]
+        lo, hi = (1, 1) if b == 1 else (2 ** (b - 1), 2 ** b - 1)
+        assert lo <= r["min_degree"] <= r["max_degree"] <= hi, r
