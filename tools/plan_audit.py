@@ -92,6 +92,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "stats_benford_first_digit": {
         "single_partition_window": "permille total over <= 9 "
                                    "aggregated digit rows"},
+    "mix_token_budget_allocation": {
+        "single_partition_window": "remainder rank over |sources| "
+                                   "aggregate rows (Hamilton "
+                                   "apportionment)"},
     "stats_runs_test": {
         "single_partition_window": "lag/compare over per-DAY aggregate "
                                    "rows (time-scaled, the "
