@@ -2687,3 +2687,62 @@ def graph_degree_distribution(spark, sf_dir):
                  F.sum("d").cast("long").alias("sum_degree"),
                  F.min("d").cast("long").alias("min_degree"),
                  F.max("d").cast("long").alias("max_degree")))
+
+
+# ---------------------------------------------------------------------
+# Vocabulary coverage curve — token mass captured by the top-k types
+# ---------------------------------------------------------------------
+
+@query("text_vocab_coverage_curve", """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      WHERE text IS NOT NULL),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+          WHERE term <> '' GROUP BY term),
+    r AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, term) AS rk,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM c),
+    k AS (SELECT unnest([10, 100, 1000]) AS top_k)
+    SELECT CAST(k.top_k AS INTEGER) AS top_k,
+           CAST(SUM(CASE WHEN r.rk <= k.top_k THEN r.n ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST(MAX(r.total) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN r.rk <= k.top_k THEN r.n ELSE 0 END)
+                * 1000 // MAX(r.total) AS BIGINT)
+             AS coverage_permille
+    FROM r, k GROUP BY k.top_k
+""")
+def text_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve: the share of all token OCCURRENCES
+    captured by the top-10/100/1000 most frequent types — the number
+    that sizes a tokenizer's vocabulary budget (Zipfian corpora
+    saturate early; flat ones don't). The frequency rank comes from
+    the two-pass global prefix scan over the VOCABULARY-sized count
+    table (never the corpus), the totals it returns fold in as
+    literals, and each k's covered mass is one conditional sum —
+    coverage published in exact floor-permille. Complements
+    text_zipf_topk (the head itself) with the cumulative-mass view."""
+    from .operators.twopass import ROW_COL, global_prefix
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = (d.select(F.explode(F.split("text", " ")).alias("term"))
+         .filter(F.col("term") != "")
+         .groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n")))
+    g, n_types, total = global_prefix(
+        c, [F.col("n").desc(), F.col("term")], sum_col="n")
+    legs = []
+    for k in (10, 100, 1000):
+        legs.append(
+            g.agg(F.sum(F.when(F.col(ROW_COL) <= k, F.col("n"))
+                        .otherwise(0)).cast("long")
+                  .alias("covered_tokens"))
+            .selectExpr(f"CAST({k} AS INT) AS top_k", "covered_tokens",
+                        f"CAST({total} AS BIGINT) AS total_tokens",
+                        f"CAST(covered_tokens * 1000 div {total}"
+                        f" AS BIGINT) AS coverage_permille"))
+    out = legs[0]
+    for x in legs[1:]:
+        out = out.unionAll(x)
+    return out

@@ -706,3 +706,20 @@ def test_degree_distribution_budget(spark):
         b = r["degree_bucket"]
         lo, hi = (1, 1) if b == 1 else (2 ** (b - 1), 2 ** b - 1)
         assert lo <= r["min_degree"] <= r["max_degree"] <= hi, r
+
+
+def test_vocab_coverage_monotone(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        text_vocab_coverage_curve,
+    )
+    rows = sorted(text_vocab_coverage_curve(spark, SF).collect(),
+                  key=lambda r: r["top_k"])
+    assert [r["top_k"] for r in rows] == [10, 100, 1000]
+    cov = [r["covered_tokens"] for r in rows]
+    assert cov == sorted(cov)  # more types can only cover more mass
+    total = rows[0]["total_tokens"]
+    assert all(r["total_tokens"] == total for r in rows)
+    for r in rows:
+        assert 0 < r["covered_tokens"] <= total
+        assert r["coverage_permille"] \
+            == r["covered_tokens"] * 1000 // total
