@@ -2746,3 +2746,63 @@ def text_vocab_coverage_curve(spark, sf_dir):
     for x in legs[1:]:
         out = out.unionAll(x)
     return out
+
+
+# ---------------------------------------------------------------------
+# Peak concurrency — global sweep-line maximum via two-pass prefix
+# ---------------------------------------------------------------------
+
+@query("events_peak_concurrency", """
+    WITH e AS (
+      SELECT epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS e_us,
+             event_id
+      FROM events WHERE user_id IS NOT NULL),
+    pts AS (
+      SELECT s_us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM e
+      UNION ALL
+      SELECT e_us AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM e),
+    run AS (
+      SELECT t, delta,
+             CAST(SUM(delta) OVER (ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+      FROM pts)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(MIN(live) AS BIGINT) AS min_live
+    FROM run
+""")
+def events_peak_concurrency(spark, sf_dir):
+    """Global peak concurrency by the classic sweep line: every
+    activity window emits +1 at its start and -1 at its end, and the
+    maximum of the running sum over ALL boundary points is the peak
+    number of simultaneously-open sessions — capacity planning's
+    headline number. The running sum is GLOBAL, which is exactly the
+    single-partition-window trap, so it runs through
+    operators/twopass.global_prefix (range shuffle on the boundary
+    order, partition-local prefix sums + broadcast offsets) and the
+    peak is a plain MAX over the distributed prefix column — no stage
+    ever single-partitions the boundary stream. Tie order
+    (t, delta, event_id) closes a window before opening a coincident
+    one (delta -1 sorts first), so back-to-back sessions never
+    double-count; identical tie order on both engines."""
+    from .operators.twopass import SUM_COL, global_prefix
+    e = (_events(spark, sf_dir)
+         .filter(F.col("user_id").isNotNull())
+         .select(F.unix_micros(F.col("ts")).alias("s_us"),
+                 (F.unix_micros(F.col("ts")) + F.lit(1800) * 1000000)
+                 .alias("e_us"),
+                 "event_id"))
+    pts = (e.select(F.col("s_us").alias("t"),
+                    F.lit(1).cast("long").alias("delta"), "event_id")
+           .unionAll(
+               e.select(F.col("e_us").alias("t"),
+                        F.lit(-1).cast("long").alias("delta"),
+                        "event_id")))
+    g, n_pts, _tot = global_prefix(
+        pts, [F.col("t"), F.col("delta"), F.col("event_id")],
+        sum_col="delta")
+    return g.agg(
+        F.lit(n_pts // 2).cast("long").alias("n_intervals"),
+        F.max(SUM_COL).cast("long").alias("peak_concurrent"),
+        F.min(SUM_COL).cast("long").alias("min_live"))

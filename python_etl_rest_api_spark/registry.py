@@ -227,6 +227,7 @@ _DEBT_FIRST = [
     "events_session_coverage",          # ~1s (interval-union sweep)
     "graph_degree_distribution",        # ~2s (log2 degree buckets)
     "text_vocab_coverage_curve",        # ~1.5s (two-pass top-k mass)
+    "events_peak_concurrency",          # ~1.5s (two-pass sweep line)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

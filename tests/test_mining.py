@@ -723,3 +723,17 @@ def test_vocab_coverage_monotone(spark):
         assert 0 < r["covered_tokens"] <= total
         assert r["coverage_permille"] \
             == r["covered_tokens"] * 1000 // total
+
+
+def test_peak_concurrency_sweep_invariants(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_peak_concurrency,
+    )
+    df = events_peak_concurrency(spark, SF)
+    assert single_partition_window_ops(df) == []
+    r = df.collect()[0]
+    e = _events(spark, SF).filter(F.col("user_id").isNotNull())
+    assert r["n_intervals"] == e.count()
+    assert 1 <= r["peak_concurrent"] <= r["n_intervals"]
+    # every open interval eventually closes: the sweep returns to zero
+    assert r["min_live"] >= 0
