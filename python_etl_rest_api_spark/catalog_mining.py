@@ -2806,3 +2806,111 @@ def events_peak_concurrency(spark, sf_dir):
         F.lit(n_pts // 2).cast("long").alias("n_intervals"),
         F.max(SUM_COL).cast("long").alias("peak_concurrent"),
         F.min(SUM_COL).cast("long").alias("min_live"))
+
+
+# ---------------------------------------------------------------------
+# As-of join with tolerance — attribution windows that expire
+# ---------------------------------------------------------------------
+
+@query("join_asof_tolerance", """
+    WITH j AS (
+      SELECT l.event_id, l.ts AS p_ts, r.ts AS t_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT * FROM events
+                      WHERE event_type <> 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+    c AS (
+      SELECT CASE WHEN t_ts IS NULL THEN 'no_touch'
+                  WHEN epoch_us(p_ts) - epoch_us(t_ts) <= 3600000000
+                  THEN 'attributed'
+                  ELSE 'expired' END AS outcome,
+             CASE WHEN t_ts IS NOT NULL
+                       AND epoch_us(p_ts) - epoch_us(t_ts)
+                           <= 3600000000
+                  THEN (epoch_us(p_ts) - epoch_us(t_ts)) // 60000000
+                  ELSE 0 END AS lag_min
+      FROM j)
+    SELECT outcome, COUNT(*) AS n_purchases,
+           CAST(SUM(lag_min) AS BIGINT) AS sum_lag_minutes
+    FROM c GROUP BY outcome
+""")
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof's tolerance= /
+    kdb's wj window): a purchase is attributed to the user's most
+    recent prior touch only if that touch is at most 1 hour old —
+    older matches EXPIRE rather than attribute, the semantics every
+    attribution window in production actually has. Composes the
+    verified union+ordered-window asof operator
+    (operators/temporal.py::asof_join — one user_id shuffle, no range
+    explosion) with an integer-microsecond staleness classifier;
+    per-pair lags floor to whole minutes before summing."""
+    from .operators import temporal
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    touches = (ev.filter(F.col("event_type") != "purchase")
+               .select("user_id", "ts", F.col("ts").alias("t_ts")))
+    j = temporal.asof_join(purchases, touches, key="user_id", ts="ts",
+                           right_cols=["t_ts"])
+    lag_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_t_ts"))
+    c = j.select(
+        F.when(F.col("r_t_ts").isNull(), "no_touch")
+        .when(lag_us <= 3600 * 1000 * 1000, "attributed")
+        .otherwise("expired").alias("outcome"),
+        F.when(F.col("r_t_ts").isNotNull()
+               & (lag_us <= 3600 * 1000 * 1000),
+               F.expr("(unix_micros(ts) - unix_micros(r_t_ts))"
+                      " div 60000000"))
+        .otherwise(0).alias("lag_min"))
+    return (c.groupBy("outcome")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("lag_min").cast("long")
+                 .alias("sum_lag_minutes")))
+
+
+# ---------------------------------------------------------------------
+# Term burstiness — Church-Gale cf/df for the frequency head
+# ---------------------------------------------------------------------
+
+@query("text_term_burstiness", """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE term <> '' GROUP BY term),
+    top AS (
+      SELECT term, cf, df,
+             CAST(row_number() OVER (ORDER BY cf DESC, term)
+                  AS INTEGER) AS rk
+      FROM c)
+    SELECT term, cf, df,
+           CAST(cf * 1000000 // df AS BIGINT) AS burstiness_micros,
+           rk
+    FROM top WHERE rk <= 20
+""")
+def text_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness for the frequency head: collection
+    frequency over document frequency (cf/df, exact integer micros) —
+    a function word appears everywhere once (ratio near corpus
+    docs/df), a bursty topical term piles up inside few documents
+    (high ratio). The signal topic-versus-stopword weighting schemes
+    key on, published for the top-20 terms by cf (TakeOrdered head;
+    the per-term aggregate is one partial+final pass with a
+    count-distinct on doc_id)."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = (d.select("doc_id",
+                    F.explode(F.split("text", " ")).alias("term"))
+           .filter(F.col("term") != ""))
+    c = (tok.groupBy("term")
+         .agg(F.count(F.lit(1)).cast("long").alias("cf"),
+              F.countDistinct("doc_id").cast("long").alias("df")))
+    top = c.orderBy(F.col("cf").desc(), "term").limit(20)
+    w = Window.orderBy(F.col("cf").desc(), "term")
+    return (top.withColumn("rk", F.row_number().over(w).cast("int"))
+            .selectExpr("term", "cf", "df",
+                        "CAST(cf * 1000000 div df AS BIGINT)"
+                        " AS burstiness_micros", "rk"))

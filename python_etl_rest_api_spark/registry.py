@@ -228,6 +228,8 @@ _DEBT_FIRST = [
     "graph_degree_distribution",        # ~2s (log2 degree buckets)
     "text_vocab_coverage_curve",        # ~1.5s (two-pass top-k mass)
     "events_peak_concurrency",          # ~1.5s (two-pass sweep line)
+    "join_asof_tolerance",              # ~1s (expiring attribution)
+    "text_term_burstiness",             # ~1s (cf/df head)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

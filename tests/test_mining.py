@@ -737,3 +737,36 @@ def test_peak_concurrency_sweep_invariants(spark):
     assert 1 <= r["peak_concurrent"] <= r["n_intervals"]
     # every open interval eventually closes: the sweep returns to zero
     assert r["min_live"] >= 0
+
+
+def test_asof_tolerance_partitions_purchases(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        join_asof_tolerance,
+    )
+    rows = {r["outcome"]: r for r in
+            join_asof_tolerance(spark, SF).collect()}
+    assert set(rows) <= {"attributed", "expired", "no_touch"}
+    total = sum(r["n_purchases"] for r in rows.values())
+    n_purch = (_events(spark, SF)
+               .filter(F.col("event_type") == "purchase").count())
+    assert total == n_purch
+    if "attributed" in rows:
+        assert rows["attributed"]["sum_lag_minutes"] >= 0
+    for k in ("expired", "no_touch"):
+        if k in rows:
+            assert rows[k]["sum_lag_minutes"] == 0
+
+
+def test_burstiness_floor(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        text_term_burstiness,
+    )
+    rows = sorted(text_term_burstiness(spark, SF).collect(),
+                  key=lambda r: r["rk"])
+    assert 1 <= len(rows) <= 20
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    for r in rows:
+        assert r["cf"] >= r["df"] >= 1
+        assert r["burstiness_micros"] >= 1_000_000  # cf/df >= 1
+        assert r["burstiness_micros"] == r["cf"] * 1_000_000 // r["df"]
