@@ -2914,3 +2914,78 @@ def text_term_burstiness(spark, sf_dir):
             .selectExpr("term", "cf", "df",
                         "CAST(cf * 1000000 div df AS BIGINT)"
                         " AS burstiness_micros", "rk"))
+
+
+# ---------------------------------------------------------------------
+# Header/detail reconciliation — o_totalprice vs derived line totals
+# ---------------------------------------------------------------------
+
+@query("dq_header_detail_reconcile", """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100.0) AS BIGINT))
+                  AS BIGINT) AS derived_cents,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS header_cents,
+             li.derived_cents, li.n_lines
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey),
+    c AS (
+      SELECT CASE
+               WHEN derived_cents IS NULL THEN 'no_lines'
+               WHEN header_cents = derived_cents THEN 'exact'
+               WHEN abs(header_cents - derived_cents) <= n_lines
+               THEN 'rounding_band'
+               ELSE 'mismatch' END AS status,
+             CASE WHEN derived_cents IS NOT NULL
+                  THEN abs(header_cents - derived_cents) ELSE 0 END
+               AS abs_diff
+      FROM j)
+    SELECT status, COUNT(*) AS n_orders,
+           CAST(SUM(abs_diff) AS BIGINT) AS sum_abs_diff_cents,
+           CAST(MAX(abs_diff) AS BIGINT) AS max_abs_diff_cents
+    FROM c GROUP BY status
+""")
+def dq_header_detail_reconcile(spark, sf_dir):
+    """The classic header/detail reconciliation: each order's stored
+    total against the total DERIVED from its lines
+    (extprice*(1-disc)*(1+tax), floored to cents per line so the
+    comparison is exact integers), classified exact / within the
+    per-line rounding band / mismatch / no-lines — the audit that
+    catches partial loads and double-posted lines in any financial
+    lake. On the synthetic testdata the header is generated
+    independently of the lines, so the audit reports mismatches — the
+    finding is the feature, as with dq_uniqueness_audit. Per-line
+    arithmetic is scalar (deterministic per row, identical IEEE
+    product both engines), then one groupBy per order and a broadcast-
+    friendly header join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    d = (li.groupBy("l_orderkey")
+         .agg(F.sum(F.floor(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * (1 + F.col("l_tax")) * 100.0)
+                    .cast("long")).cast("long").alias("derived_cents"),
+              F.count(F.lit(1)).alias("n_lines")))
+    j = o.select("o_orderkey",
+                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                 .cast("long").alias("header_cents")) \
+        .join(d, o.o_orderkey == d.l_orderkey, "left")
+    diff = F.abs(F.col("header_cents") - F.col("derived_cents"))
+    c = j.select(
+        F.when(F.col("derived_cents").isNull(), "no_lines")
+        .when(F.col("header_cents") == F.col("derived_cents"), "exact")
+        .when(diff <= F.col("n_lines"), "rounding_band")
+        .otherwise("mismatch").alias("status"),
+        F.when(F.col("derived_cents").isNotNull(), diff).otherwise(0)
+        .alias("abs_diff"))
+    return (c.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("abs_diff").cast("long")
+                 .alias("sum_abs_diff_cents"),
+                 F.max("abs_diff").cast("long")
+                 .alias("max_abs_diff_cents")))

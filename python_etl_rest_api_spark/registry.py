@@ -230,6 +230,7 @@ _DEBT_FIRST = [
     "events_peak_concurrency",          # ~1.5s (two-pass sweep line)
     "join_asof_tolerance",              # ~1s (expiring attribution)
     "text_term_burstiness",             # ~1s (cf/df head)
+    "dq_header_detail_reconcile",       # ~1s (financial reconcile)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -770,3 +770,19 @@ def test_burstiness_floor(spark):
         assert r["cf"] >= r["df"] >= 1
         assert r["burstiness_micros"] >= 1_000_000  # cf/df >= 1
         assert r["burstiness_micros"] == r["cf"] * 1_000_000 // r["df"]
+
+
+def test_header_detail_reconcile_accounts_all_orders(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        dq_header_detail_reconcile,
+    )
+    from python_etl_rest_api_spark.catalog import _t
+    rows = {r["status"]: r for r in
+            dq_header_detail_reconcile(spark, SF).collect()}
+    total = sum(r["n_orders"] for r in rows.values())
+    assert total == _t(spark, SF, "orders").count()
+    for k, r in rows.items():
+        if k in ("exact", "no_lines"):
+            assert r["sum_abs_diff_cents"] == 0
+        assert r["max_abs_diff_cents"] <= r["sum_abs_diff_cents"] \
+            or r["n_orders"] == 1 or r["sum_abs_diff_cents"] == 0
