@@ -2989,3 +2989,165 @@ def dq_header_detail_reconcile(spark, sf_dir):
                  .alias("sum_abs_diff_cents"),
                  F.max("abs_diff").cast("long")
                  .alias("max_abs_diff_cents")))
+
+
+# ---------------------------------------------------------------------
+# Basket-size distribution — lines per order, the join-planning prior
+# ---------------------------------------------------------------------
+
+@query("orders_basket_size_histogram", """
+    WITH b AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM b)
+    SELECT CAST(n_lines AS INTEGER) AS basket_size,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) * 1000 // t.n_orders AS BIGINT)
+             AS share_permille,
+           CAST(SUM(n_lines) AS BIGINT) AS total_lines
+    FROM b, t GROUP BY n_lines, t.n_orders
+""")
+def orders_basket_size_histogram(spark, sf_dir):
+    """Basket-size distribution: how many lines orders carry — the
+    prior that bounds every per-order pair explosion in this catalog
+    (basket_part_pairs, modularity, degree distribution all blow up as
+    C(basket,2)); a fat tail here is the early warning that those
+    self-joins need AQE skew handling. One per-order count, one
+    histogram rollup, shares in floor-permille."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = (li.groupBy("l_orderkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    t = b.agg(F.count(F.lit(1)).cast("long").alias("n_orders_total"))
+    return (b.groupBy(F.col("n_lines").cast("int").alias("basket_size"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("n_lines").cast("long").alias("total_lines"))
+            .crossJoin(F.broadcast(t))
+            .selectExpr("basket_size", "n_orders",
+                        "CAST(n_orders * 1000 div n_orders_total"
+                        " AS BIGINT) AS share_permille",
+                        "total_lines"))
+
+
+# ---------------------------------------------------------------------
+# Generalization ladder — k-anonymity across coarsening levels
+# ---------------------------------------------------------------------
+
+_BAL_BAND_LADDER = """CASE WHEN c_acctbal IS NULL THEN 'unknown'
+              WHEN c_acctbal < 0 THEN 'neg'
+              WHEN c_acctbal < 5000 THEN 'mid'
+              ELSE 'high' END"""
+
+
+@query("privacy_generalization_ladder", f"""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             {_BAL_BAND_LADDER} AS bal_band
+      FROM customer),
+    l0 AS (
+      SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(n) AS BIGINT) AS min_k,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_k5
+      FROM (SELECT COUNT(*) AS n FROM base
+            GROUP BY c_nationkey, c_mktsegment, bal_band)),
+    l1 AS (
+      SELECT 1 AS level, CAST(COUNT(*) AS BIGINT),
+             CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      FROM (SELECT COUNT(*) AS n FROM base
+            GROUP BY c_nationkey, c_mktsegment)),
+    l2 AS (
+      SELECT 2 AS level, CAST(COUNT(*) AS BIGINT),
+             CAST(MIN(n) AS BIGINT),
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      FROM (SELECT COUNT(*) AS n FROM base GROUP BY c_nationkey))
+    SELECT * FROM l0 UNION ALL SELECT * FROM l1
+    UNION ALL SELECT * FROM l2
+""")
+def privacy_generalization_ladder(spark, sf_dir):
+    """The generalization lattice walk behind every k-anonymity
+    release: the SAME quasi-identifier set evaluated at three
+    coarsening levels (nation+segment+balance band, drop the band,
+    then nation alone), publishing each level's class count, minimum
+    k, and rows still below k=5 — the table that says how much
+    generalization the release actually needs (the Mondrian/Incognito
+    decision input; extends privacy_k_anonymity's single-level audit).
+    Three independent aggregates over one scan's projection."""
+    tune(spark)
+    c = _t(spark, sf_dir, "customer")
+    band = (F.when(F.col("c_acctbal").isNull(), "unknown")
+            .when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+    base = c.select("c_nationkey", "c_mktsegment",
+                    band.alias("bal_band"))
+
+    def level(lv, keys):
+        cls = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return cls.agg(
+            F.lit(lv).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_k"),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0))
+            .cast("long").alias("rows_below_k5"))
+
+    l0 = level(0, ["c_nationkey", "c_mktsegment", "bal_band"])
+    l1 = level(1, ["c_nationkey", "c_mktsegment"])
+    l2 = level(2, ["c_nationkey"])
+    return l0.unionAll(l1).unionAll(l2)
+
+
+# ---------------------------------------------------------------------
+# First-touch attribution — the opening counterpart of last-touch asof
+# ---------------------------------------------------------------------
+
+@query("events_first_touch", """
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_ts
+      FROM events WHERE event_type <> 'purchase' GROUP BY user_id),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id, p.ts, f.first_ts
+      FROM p LEFT JOIN f
+        ON f.user_id = p.user_id AND f.first_ts <= p.ts),
+    c AS (
+      SELECT CASE WHEN first_ts IS NULL THEN 'organic'
+                  ELSE 'first_touch' END AS outcome,
+             CASE WHEN first_ts IS NOT NULL
+                  THEN (epoch_us(ts) - epoch_us(first_ts))
+                       // 86400000000 ELSE 0 END AS lag_days
+      FROM j)
+    SELECT outcome, COUNT(*) AS n_purchases,
+           CAST(SUM(lag_days) AS BIGINT) AS sum_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM c GROUP BY outcome
+""")
+def events_first_touch(spark, sf_dir):
+    """FIRST-touch attribution — the opening-interaction counterpart
+    of join_asof_attribution's last-touch model: each purchase
+    attributes to the user's EARLIEST prior non-purchase touch (a
+    per-user MIN, not a window scan), with conversion lag in whole
+    days. The two models bracket every multi-touch scheme between
+    them. One per-user aggregate broadcast against the purchase
+    stream; integer-microsecond lag floor-divided to days."""
+    ev = _events(spark, sf_dir)
+    f = (ev.filter(F.col("event_type") != "purchase")
+         .groupBy("user_id").agg(F.min("ts").alias("first_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", "ts"))
+    j = p.join(F.broadcast(f), ["user_id"], "left") \
+        .withColumn("first_ts",
+                    F.when(F.col("first_ts") <= F.col("ts"),
+                           F.col("first_ts")))
+    c = j.select(
+        F.when(F.col("first_ts").isNull(), "organic")
+        .otherwise("first_touch").alias("outcome"),
+        F.when(F.col("first_ts").isNotNull(),
+               F.expr("(unix_micros(ts) - unix_micros(first_ts))"
+                      " div 86400000000")).otherwise(0)
+        .alias("lag_days"))
+    return (c.groupBy("outcome")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.sum("lag_days").cast("long").alias("sum_lag_days"),
+                 F.max("lag_days").cast("long").alias("max_lag_days")))

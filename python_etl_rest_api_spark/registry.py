@@ -231,6 +231,9 @@ _DEBT_FIRST = [
     "join_asof_tolerance",              # ~1s (expiring attribution)
     "text_term_burstiness",             # ~1s (cf/df head)
     "dq_header_detail_reconcile",       # ~1s (financial reconcile)
+    "orders_basket_size_histogram",     # ~0.6s (lines-per-order prior)
+    "events_first_touch",               # ~0.8s (opening attribution)
+    "privacy_generalization_ladder",    # ~0.9s (3-level lattice walk)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

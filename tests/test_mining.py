@@ -786,3 +786,49 @@ def test_header_detail_reconcile_accounts_all_orders(spark):
             assert r["sum_abs_diff_cents"] == 0
         assert r["max_abs_diff_cents"] <= r["sum_abs_diff_cents"] \
             or r["n_orders"] == 1 or r["sum_abs_diff_cents"] == 0
+
+
+def test_basket_histogram_accounts_lineitem(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        orders_basket_size_histogram,
+    )
+    from python_etl_rest_api_spark.catalog import _t
+    rows = orders_basket_size_histogram(spark, SF).collect()
+    assert rows
+    assert sum(r["total_lines"] for r in rows) \
+        == _t(spark, SF, "lineitem").count()
+    for r in rows:
+        assert r["total_lines"] == r["basket_size"] * r["n_orders"]
+
+
+def test_generalization_ladder_monotone(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        privacy_generalization_ladder,
+    )
+    rows = {r["level"]: r for r in
+            privacy_generalization_ladder(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2}
+    # coarsening can only merge classes: fewer classes, higher min k,
+    # fewer exposed rows
+    assert rows[0]["n_classes"] >= rows[1]["n_classes"] \
+        >= rows[2]["n_classes"]
+    assert rows[0]["min_k"] <= rows[1]["min_k"] <= rows[2]["min_k"]
+    assert rows[0]["rows_below_k5"] >= rows[1]["rows_below_k5"] \
+        >= rows[2]["rows_below_k5"]
+
+
+def test_first_touch_brackets_last_touch(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_first_touch, join_asof_tolerance,
+    )
+    ft = {r["outcome"]: r for r in
+          events_first_touch(spark, SF).collect()}
+    total = sum(r["n_purchases"] for r in ft.values())
+    lt = {r["outcome"]: r for r in
+          join_asof_tolerance(spark, SF).collect()}
+    assert total == sum(r["n_purchases"] for r in lt.values())
+    # a purchase with no prior touch is organic under BOTH models
+    assert ft.get("organic", {"n_purchases": 0})["n_purchases"] \
+        == lt.get("no_touch", {"n_purchases": 0})["n_purchases"]
+    if "first_touch" in ft:
+        assert ft["first_touch"]["max_lag_days"] >= 0
