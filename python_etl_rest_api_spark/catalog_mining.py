@@ -3151,3 +3151,59 @@ def events_first_touch(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.sum("lag_days").cast("long").alias("sum_lag_days"),
                  F.max("lag_days").cast("long").alias("max_lag_days")))
+
+
+# ---------------------------------------------------------------------
+# Mann-Kendall S — the nonparametric trend statistic, integer-exact
+# ---------------------------------------------------------------------
+
+@query("stats_mann_kendall", """
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+      FROM orders GROUP BY 1),
+    pr AS (
+      SELECT CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b ON a.day < b.day)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(sgn) AS BIGINT) AS s_statistic,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_concordant,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discordant,
+           CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ties
+    FROM pr
+""")
+def stats_mann_kendall(spark, sf_dir):
+    """Mann-Kendall S for the daily order-count series: the sum of
+    sign(c_j - c_i) over all later-vs-earlier day pairs — the
+    nonparametric trend TEST statistic that pairs with Theil-Sen's
+    slope ESTIMATE (stats_theilsen_trend), exact integers end to end
+    (concordant/discordant/tie counts published so any variance
+    formula can be applied downstream). The pair set is quadratic in
+    DAYS, not rows: 100 TB of orders still collapses to a few thousand
+    daily aggregates before the self-join (one broadcast of the tiny
+    day series)."""
+    tune(spark)
+    d = (_t(spark, sf_dir, "orders")
+         .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    a = d.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = d.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pr = (a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+          .select(F.when(F.col("c2") > F.col("c1"), 1)
+                  .when(F.col("c2") < F.col("c1"), -1)
+                  .otherwise(0).alias("sgn")))
+    n_days = d.count()
+    return pr.agg(
+        F.lit(n_days).cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_statistic"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long")
+        .alias("n_discordant"),
+        F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_ties"))

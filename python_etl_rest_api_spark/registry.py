@@ -234,6 +234,7 @@ _DEBT_FIRST = [
     "orders_basket_size_histogram",     # ~0.6s (lines-per-order prior)
     "events_first_touch",               # ~0.8s (opening attribution)
     "privacy_generalization_ladder",    # ~0.9s (3-level lattice walk)
+    "stats_mann_kendall",               # ~1.5s (day-pairs S statistic)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

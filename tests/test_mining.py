@@ -832,3 +832,16 @@ def test_first_touch_brackets_last_touch(spark):
         == lt.get("no_touch", {"n_purchases": 0})["n_purchases"]
     if "first_touch" in ft:
         assert ft["first_touch"]["max_lag_days"] >= 0
+
+
+def test_mann_kendall_identities(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        stats_mann_kendall,
+    )
+    r = stats_mann_kendall(spark, SF).collect()[0]
+    n = r["n_days"]
+    assert r["n_pairs"] == n * (n - 1) // 2
+    assert r["n_concordant"] + r["n_discordant"] + r["n_ties"] \
+        == r["n_pairs"]
+    assert r["s_statistic"] == r["n_concordant"] - r["n_discordant"]
+    assert abs(r["s_statistic"]) <= r["n_pairs"]
