@@ -42,6 +42,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "nested_loop": "k x pool pairwise diversity term, both k-bounded"},
     "stats_ks_drift": {
         "nested_loop": "two fixed cohort ECDFs joined on value grid"},
+    "stats_mann_kendall": {
+        "nested_loop": "day-pair grid over the aggregated daily "
+                       "series (quadratic in DAYS, not rows — the "
+                       "theilsen class); broadcast day list"},
     "decontam_ngram_overlap": {
         "nested_loop": "benchmark set is small + broadcast by design"},
     "stats_corr_pairs": {
