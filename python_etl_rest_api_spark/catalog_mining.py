@@ -3207,3 +3207,81 @@ def stats_mann_kendall(spark, sf_dir):
         .alias("n_discordant"),
         F.sum(F.when(F.col("sgn") == 0, 1).otherwise(0)).cast("long")
         .alias("n_ties"))
+
+
+# ---------------------------------------------------------------------
+# Boilerplate prefixes — shared document openings (header detection)
+# ---------------------------------------------------------------------
+
+@query("docs_boilerplate_prefixes", """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id,
+             array_to_string(toks[1:8], ' ') AS prefix
+      FROM t WHERE len(toks) >= 8),
+    fam AS (
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY prefix HAVING COUNT(*) >= 2)
+    SELECT prefix, n_docs,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, prefix)
+                AS INTEGER) AS rk
+    FROM fam QUALIFY rk <= 20
+""")
+def docs_boilerplate_prefixes(spark, sf_dir):
+    """Boilerplate-opening detection: documents sharing their first 8
+    tokens verbatim (the header/template families a curation pipeline
+    strips before dedup, since shared openings inflate shingle overlap
+    without being content duplication). One prefix-string aggregate —
+    only 8-token prefixes shuffle, never bodies — HAVING >= 2 keeps
+    the families, top-20 by size via TakeOrderedAndProject.
+    Complements text_dup_family_spectrum (whole-doc dupes) and
+    dedup_repeated_spans (within-doc repeats) with the cross-doc
+    PARTIAL-overlap case."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    p = (t.filter(F.size("toks") >= 8)
+         .select(F.concat_ws(" ", F.slice("toks", 1, 8))
+                 .alias("prefix")))
+    fam = (p.groupBy("prefix")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+           .filter(F.col("n_docs") >= 2))
+    top = fam.orderBy(F.col("n_docs").desc(), "prefix").limit(20)
+    w = Window.orderBy(F.col("n_docs").desc(), "prefix")
+    return top.select("prefix", "n_docs",
+                      F.row_number().over(w).cast("int").alias("rk"))
+
+
+# ---------------------------------------------------------------------
+# Audio clipping audit — fullscale-sample detection per clip
+# ---------------------------------------------------------------------
+
+@query("multimodal_audio_clipping", """
+    WITH m AS (SELECT unnest(range(0, 48)) AS i),
+    s AS (SELECT i, j, ((i*31 + j*7) % 256 - 128) * 256 AS v
+          FROM m, range(0, 112) t(j) WHERE j < 64 + i),
+    a AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(CASE WHEN v <= -32768 OR v >= 32512
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      FROM s GROUP BY i)
+    SELECT i AS media_id, n_samples, n_clipped,
+           CAST(n_clipped * 1000 // n_samples AS BIGINT)
+             AS clipped_permille
+    FROM a
+""")
+def multimodal_audio_clipping(spark, sf_dir):
+    """Audio-QA clipping audit: per clip, how many decoded PCM16
+    samples sit at the format's rails (<= -32768 or at the
+    synthesizer's positive fullscale 32512 = 127*256) — the
+    distortion flag an ingestion gate raises before transcription
+    wastes compute on clipped audio. Decode + integer rail comparison
+    inside the Arrow batch (operators/multimodal.py::
+    wav_clipping_stats); the closed-form oracle counts the same rails
+    from the synthesis formula. Ratio in floor-permille."""
+    from .operators.multimodal import synthesize_wav_media, wav_clipping_stats
+    tune(spark)
+    return wav_clipping_stats(synthesize_wav_media(spark, n=48),
+                              lo=-32768, hi=32512)

@@ -1737,3 +1737,38 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     return media.mapInPandas(batches, GIF_FEATURE_SCHEMA)
+
+
+WAV_CLIP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("n_clipped", T.LongType(), True),
+    T.StructField("clipped_permille", T.LongType(), True),
+])
+
+
+def wav_clipping_stats(media: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Clipping audit: decode PCM16 and count samples at or beyond the
+    [lo, hi] rails — exact integer comparisons, closed-form oracle over
+    the synthesis formula. Same Arrow-batched shape as the other codec
+    passes."""
+    cols = [f.name for f in WAV_CLIP_SCHEMA.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    recs.append((mid, None, None, None))
+                    continue
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(s)
+                clipped = int(((s <= lo) | (s >= hi)).sum())
+                recs.append((mid, n, clipped,
+                             clipped * 1000 // n if n else None))
+            yield pd.DataFrame(recs, columns=cols)
+
+    return media.mapInPandas(batches, WAV_CLIP_SCHEMA)

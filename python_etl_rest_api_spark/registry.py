@@ -235,6 +235,8 @@ _DEBT_FIRST = [
     "events_first_touch",               # ~0.8s (opening attribution)
     "privacy_generalization_ladder",    # ~0.9s (3-level lattice walk)
     "stats_mann_kendall",               # ~1.5s (day-pairs S statistic)
+    "docs_boilerplate_prefixes",        # ~0.7s (shared-opening heads)
+    "multimodal_audio_clipping",        # ~1s (rail-sample audit)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

@@ -845,3 +845,33 @@ def test_mann_kendall_identities(spark):
         == r["n_pairs"]
     assert r["s_statistic"] == r["n_concordant"] - r["n_discordant"]
     assert abs(r["s_statistic"]) <= r["n_pairs"]
+
+
+def test_boilerplate_prefix_families(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        docs_boilerplate_prefixes,
+    )
+    rows = sorted(docs_boilerplate_prefixes(spark, SF).collect(),
+                  key=lambda r: r["rk"])
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert len(r["prefix"].split(" ")) == 8
+    ns = [r["n_docs"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_audio_clipping_closed_form(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        multimodal_audio_clipping,
+    )
+    rows = {r["media_id"]: r for r in
+            multimodal_audio_clipping(spark, SF).collect()}
+    assert len(rows) == 48
+    for i, r in rows.items():
+        n = 64 + i
+        assert r["n_samples"] == n
+        want = sum(1 for j in range(n)
+                   if ((i * 31 + j * 7) % 256 - 128) * 256 <= -32768
+                   or ((i * 31 + j * 7) % 256 - 128) * 256 >= 32512)
+        assert r["n_clipped"] == want, i
+        assert r["clipped_permille"] == want * 1000 // n
