@@ -3285,3 +3285,60 @@ def multimodal_audio_clipping(spark, sf_dir):
     tune(spark)
     return wav_clipping_stats(synthesize_wav_media(spark, n=48),
                               lo=-32768, hi=32512)
+
+
+# ---------------------------------------------------------------------
+# Reorder-gap median — exact global order statistic over customer gaps
+# ---------------------------------------------------------------------
+
+@query("orders_reorder_gap_median", """
+    WITH s AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    g AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - CAST(prev AS DATE)
+                  AS BIGINT) AS gap_days,
+             o_orderdate, o_orderkey
+      FROM s WHERE prev IS NOT NULL),
+    r AS (
+      SELECT gap_days,
+             row_number() OVER (ORDER BY gap_days, o_custkey,
+                                o_orderdate, o_orderkey) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM g)
+    SELECT n AS n_gaps,
+           CAST(gap_days AS BIGINT) AS median_gap_days
+    FROM r WHERE rk = (n + 1) // 2
+""")
+def orders_reorder_gap_median(spark, sf_dir):
+    """Reorder cadence: the exact LOWER-MEDIAN of all customer
+    order-to-order gaps in whole days — the repeat-purchase rhythm a
+    replenishment forecast is tuned to. Gaps come from a PARTITIONED
+    per-customer lag; the global median is a STORED integer selected
+    by rank (COVERAGE.md class 4 — never interpolated), and the rank
+    comes from the two-pass global prefix scan, so no
+    single-partition window ever sees the gap stream. Total order
+    includes (custkey, date, orderkey) so the selected row is unique
+    at any scale."""
+    from .operators.twopass import ROW_COL, global_prefix
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    g = (o.select("o_custkey", "o_orderdate", "o_orderkey",
+                  F.lag("o_orderdate").over(w).alias("prev"))
+         .filter(F.col("prev").isNotNull())
+         .select("o_custkey", "o_orderdate", "o_orderkey",
+                 F.datediff(F.col("o_orderdate").cast("date"),
+                            F.col("prev").cast("date"))
+                 .cast("long").alias("gap_days")))
+    ranked, n, _tot = global_prefix(
+        g, [F.col("gap_days"), F.col("o_custkey"),
+            F.col("o_orderdate"), F.col("o_orderkey")])
+    med = (n + 1) // 2
+    return (ranked.filter(F.col(ROW_COL) == med)
+            .select(F.lit(n).cast("long").alias("n_gaps"),
+                    F.col("gap_days").cast("long")
+                    .alias("median_gap_days")))

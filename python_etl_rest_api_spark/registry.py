@@ -237,6 +237,7 @@ _DEBT_FIRST = [
     "stats_mann_kendall",               # ~1.5s (day-pairs S statistic)
     "docs_boilerplate_prefixes",        # ~0.7s (shared-opening heads)
     "multimodal_audio_clipping",        # ~1s (rail-sample audit)
+    "orders_reorder_gap_median",        # ~1.5s (two-pass exact median)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

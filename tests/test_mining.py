@@ -875,3 +875,27 @@ def test_audio_clipping_closed_form(spark):
                    or ((i * 31 + j * 7) % 256 - 128) * 256 >= 32512)
         assert r["n_clipped"] == want, i
         assert r["clipped_permille"] == want * 1000 // n
+
+
+def test_reorder_gap_median_is_stored_value(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        orders_reorder_gap_median,
+    )
+    df = orders_reorder_gap_median(spark, SF)
+    assert single_partition_window_ops(df) == []
+    r = df.collect()[0]
+    assert r["n_gaps"] > 0
+    assert r["median_gap_days"] >= 0
+    # the lower median must be an actual gap value (stored, never
+    # interpolated): recompute from first principles
+    from python_etl_rest_api_spark.catalog import _t
+    o = _t(spark, SF, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    gaps = sorted(
+        o.select(F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date")).alias("g"))
+        .filter(F.col("g").isNotNull()).toPandas()["g"])
+    assert r["n_gaps"] == len(gaps)
+    assert r["median_gap_days"] == gaps[(len(gaps) + 1) // 2 - 1]
