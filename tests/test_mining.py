@@ -888,6 +888,7 @@ def test_reorder_gap_median_is_stored_value(spark):
     assert r["median_gap_days"] >= 0
     # the lower median must be an actual gap value (stored, never
     # interpolated): recompute from first principles
+    from pyspark.sql import Window
     from python_etl_rest_api_spark.catalog import _t
     o = _t(spark, SF, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
