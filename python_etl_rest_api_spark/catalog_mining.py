@@ -3342,3 +3342,82 @@ def orders_reorder_gap_median(spark, sf_dir):
             .select(F.lit(n).cast("long").alias("n_gaps"),
                     F.col("gap_days").cast("long")
                     .alias("median_gap_days")))
+
+
+# ---------------------------------------------------------------------
+# CMS width curve — sketch error vs memory, the sizing table
+# ---------------------------------------------------------------------
+
+def _cms_leg_sql(w: int) -> str:
+    return f"""
+    SELECT CAST({w} AS INTEGER) AS width,
+           CAST(SUM(c) AS BIGINT) AS total_exact,
+           CAST(SUM(cm) AS BIGINT) AS total_estimate,
+           CAST(SUM(cm - c) AS BIGINT) AS total_overestimate
+    FROM (
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      exact AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      rows_ AS (SELECT unnest(range(0, 4)) AS j),
+      cells AS (
+        SELECT j, ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT
+                 % {w} AS bucket,
+               COUNT(*) AS cell
+        FROM tok, rows_ GROUP BY 1, 2),
+      q AS (SELECT tok, c FROM exact ORDER BY c DESC, tok LIMIT 10)
+      SELECT q.tok, q.c, MIN(cells.cell) AS cm
+      FROM q
+      JOIN rows_ ON TRUE
+      JOIN cells ON cells.j = rows_.j
+        AND cells.bucket =
+            ('0x' || substr(md5(rows_.j || ':' || q.tok), 1, 8))::BIGINT
+            % {w}
+      GROUP BY q.tok, q.c)
+"""
+
+
+def _sketch_cms_width_curve(spark, sf_dir):
+    """The count-min sizing table: total heavy-hitter overestimate at
+    width 64 / 256 / 1024 (depth 4 fixed) — the error-vs-memory curve
+    that picks a sketch configuration before deployment, the sketch
+    counterpart of ann_recall_vs_nprobe. Error must be NON-INCREASING
+    in width (wider rows -> fewer collisions; pinned in tests); every
+    estimate is the md5-deterministic CM point query of the verified
+    sketch_count_min entry, re-parameterized per leg."""
+    tune(spark)
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    q = exact.orderBy(F.col("c").desc(), F.col("tok")).limit(10)
+    rows_ = F.sequence(F.lit(0), F.lit(3))
+    legs = []
+    for w in (64, 256, 1024):
+        def bucket(j_col, tok_col, w=w):
+            return (F.conv(F.substring(
+                F.md5(F.concat(j_col.cast("string"), F.lit(":"),
+                               tok_col)), 1, 8), 16, 10)
+                .cast("long") % w)
+        cells = (tok.select(F.explode(rows_).alias("j"), "tok")
+                 .groupBy("j", bucket(F.col("j"), F.col("tok"))
+                          .alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("cell")))
+        probes = (q.select("tok", "c", F.explode(rows_).alias("j"))
+                  .withColumn("bucket",
+                              bucket(F.col("j"), F.col("tok"))))
+        est = (probes.join(cells, ["j", "bucket"])
+               .groupBy("tok", "c").agg(F.min("cell").alias("cm")))
+        legs.append(est.agg(
+            F.lit(w).cast("int").alias("width"),
+            F.sum("c").cast("long").alias("total_exact"),
+            F.sum("cm").cast("long").alias("total_estimate"),
+            F.sum(F.col("cm") - F.col("c")).cast("long")
+            .alias("total_overestimate")))
+    out = legs[0]
+    for x in legs[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+query("sketch_cms_width_curve",
+      " UNION ALL ".join(_cms_leg_sql(w) for w in (64, 256, 1024)))(
+    _sketch_cms_width_curve)

@@ -238,6 +238,7 @@ _DEBT_FIRST = [
     "docs_boilerplate_prefixes",        # ~0.7s (shared-opening heads)
     "multimodal_audio_clipping",        # ~1s (rail-sample audit)
     "orders_reorder_gap_median",        # ~1.5s (two-pass exact median)
+    "sketch_cms_width_curve",           # ~2.5s (3-width error curve)
     # -- last green in r2 (stalest live signal) --
     "skew_salted_agg", "w6_rank_pack", "agg_argmax_best_order",
     # -- last green in r3 --

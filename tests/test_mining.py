@@ -900,3 +900,20 @@ def test_reorder_gap_median_is_stored_value(spark):
         .filter(F.col("g").isNotNull()).toPandas()["g"])
     assert r["n_gaps"] == len(gaps)
     assert r["median_gap_days"] == gaps[(len(gaps) + 1) // 2 - 1]
+
+
+def test_cms_width_curve_monotone(spark):
+    from python_etl_rest_api_spark.catalog_mining import (
+        _sketch_cms_width_curve,
+    )
+    rows = sorted(_sketch_cms_width_curve(spark, SF).collect(),
+                  key=lambda r: r["width"])
+    assert [r["width"] for r in rows] == [64, 256, 1024]
+    exact = rows[0]["total_exact"]
+    for r in rows:
+        assert r["total_exact"] == exact        # same heavy hitters
+        assert r["total_estimate"] >= exact     # CM never undershoots
+        assert r["total_overestimate"] \
+            == r["total_estimate"] - exact
+    errs = [r["total_overestimate"] for r in rows]
+    assert errs == sorted(errs, reverse=True)   # wider -> fewer hits
