@@ -51,7 +51,7 @@ modularity, class-balanced sampling, RAKE keywords) are appended at
 the tail of the never-verified queue, cheapest-first within their
 wave: the r6 debt block still clears first and the new entries lead
 the r7 debt queue, all typed-sweep green at pin time (catalog size at
-the r6 close: 314 oracle-paired entries).
+the r6 close: 315 oracle-paired entries).
 """
 
 from . import (  # noqa: F401
