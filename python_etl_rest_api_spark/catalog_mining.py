@@ -33,6 +33,7 @@ discipline:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import Window
@@ -469,8 +470,21 @@ def text_hashing_features(spark, sf_dir):
 # JSON-lines source round trip — completes the 4-format source matrix
 # ---------------------------------------------------------------------
 
-_JSON_CACHE: dict[str, str] = {}
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_JSON_WRITTEN: set[str] = set()
+
+
+def _json_scratch(sf_dir: str) -> str:
+    """Fixed per-sf_dir scratch path for the JSONL rewrite.
+
+    Deterministic (md5 of sf_dir) instead of tempfile.mkdtemp so that
+    repeated processes OVERWRITE one directory rather than each leaking
+    a fresh JSONL copy of events; Spark's mode("overwrite") handles the
+    replace atomically enough for a scratch landing zone.
+    """
+    import hashlib
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"json_events_{tag}")
 
 
 @query("source_json_roundtrip", f"""
@@ -494,17 +508,17 @@ def source_json_roundtrip(spark, sf_dir):
     source matrix: CSV (A1), parquet (everywhere), ORC
     (source_orc_roundtrip), JSONL (here)."""
     e = _events(spark, sf_dir)
-    if sf_dir not in _JSON_CACHE:
-        path = tempfile.mkdtemp(prefix="json_events_")
+    path = _json_scratch(sf_dir)
+    if path not in _JSON_WRITTEN:
         (e.write.mode("overwrite")
          .option("timestampFormat", _TS_FMT).json(path))
-        _JSON_CACHE[sf_dir] = path
+        _JSON_WRITTEN.add(path)
     tune(spark)
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string, value double, props string")
     j = (spark.read.schema(schema)
          .option("timestampFormat", _TS_FMT)
-         .json(_JSON_CACHE[sf_dir]))
+         .json(path))
     return (j.filter(F.col("event_type").isNotNull())
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -2563,7 +2577,7 @@ def mix_token_budget_allocation(spark, sf_dir):
              ts, event_id
       FROM events WHERE user_id IS NOT NULL),
     m AS (
-      SELECT user_id, s_us, e_us,
+      SELECT user_id, s_us, e_us, ts, event_id,
              CASE WHEN s_us <= max(e_us) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -2572,7 +2586,7 @@ def mix_token_budget_allocation(spark, sf_dir):
     g AS (
       SELECT user_id, s_us, e_us,
              SUM(is_new) OVER (PARTITION BY user_id
-                               ORDER BY s_us, e_us
+                               ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS grp
       FROM m),
     iv AS (
@@ -2613,7 +2627,11 @@ def events_session_coverage(spark, sf_dir):
         "is_new",
         F.when(F.col("s_us") <= F.max("e_us").over(w_prev), 0)
         .otherwise(1))
-    w_grp = (Window.partitionBy("user_id").orderBy("s_us", "e_us")
+    # grp MUST accumulate is_new over the SAME (ts, event_id) total
+    # order is_new was computed over: ordering by (s_us, e_us) is
+    # tie-order-dependent when a user has two events at one timestamp
+    # (covered_us then differs between tie orders and vs the oracle).
+    w_grp = (Window.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     g = m.withColumn("grp", F.sum("is_new").over(w_grp))
     iv = (g.groupBy("user_id", "grp")

@@ -917,3 +917,42 @@ def test_cms_width_curve_monotone(spark):
             == r["total_estimate"] - exact
     errs = [r["total_overestimate"] for r in rows]
     assert errs == sorted(errs, reverse=True)   # wider -> fewer hits
+
+
+def test_session_coverage_deterministic_under_ts_ties(spark, tmp_path):
+    """Regression for the grp-window tie hazard (ADVICE r6): two events
+    of one user at the SAME timestamp must merge into one interval no
+    matter the physical row order, because the running-sum grp window
+    orders by the same (ts, event_id) total order is_new is computed
+    over. Ordering grp by (s_us, e_us) instead leaves ties
+    order-dependent (covered time then inflates nondeterministically)."""
+    import datetime as dt
+
+    from python_etl_rest_api_spark.catalog_mining import (
+        events_session_coverage,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: tie at t0 (ids 1,2) + a separate window 1h later
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 1, "view", 1.0, "{}"),
+        # user 2: triple tie — all three must collapse to one interval
+        (4, t0, 2, "view", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+        (6, t0, 2, "view", 1.0, "{}"),
+    ]
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    # expected: user 1 -> 2 intervals of 1800s, user 2 -> 1 interval
+    expected = dict(n_users=2, n_merged_intervals=3,
+                    covered_minutes=(3 * 1800) // 60,
+                    max_user_minutes=(2 * 1800) // 60)
+    for i, order in enumerate((rows, rows[::-1])):
+        sf = str(tmp_path / f"sf_tie_{i}")
+        (spark.createDataFrame(order, schema)
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{sf}/events.parquet"))
+        r = events_session_coverage(spark, sf).collect()[0].asDict()
+        assert r == expected, f"order {i}: {r}"
