@@ -39,6 +39,12 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 # Headliners: the flagship view, scan-heavy agg, join-heavy top-k, the
 # full ETL clean pipeline, dedup + similarity extension paths, and the
 # skew pair (same skewed input, unsalted vs salted plan).
+#
+# FROZEN as of round 7 (r6 verdict directive): this is the permanent
+# 22-query suite so the cross-round trend line stays comparable -- the
+# set grew 11->14->20->22 over rounds 2-5 and blurred the 2x-criterion
+# anchor. New queries must NOT be added here; put them in a separate
+# non-headline section. tests/test_freeze.py pins the exact list.
 HEADLINE = [
     "h1_daily_totals",
     "q1_pricing_summary",

@@ -39,6 +39,43 @@ from ..operators.first100 import First100, ValidationError
 from ..sources.csv_source import read_charges_csv
 
 MAX_PAGE = 10_000
+# Offset paging TakeOrdered-fetches and discards the prefix on the
+# driver (O(offset+limit) per page); past this depth the caller must
+# switch to the keyset cursor, which is O(limit) at ANY depth.
+MAX_OFFSET = 100_000
+
+
+def _strictly_after(view, after: tuple):
+    """Lexicographic ``row > after`` over ALL sort columns.
+
+    The page sort is ``orderBy(*view.columns)`` (ascending, Spark
+    default NULLS FIRST), so the matching strictly-after predicate is
+    the full-tuple expansion
+
+        (c1 > a1) OR (c1 = a1 AND c2 > a2) OR ... AND cn > an)
+
+    NULL cursor cells follow the same NULLS FIRST order: a NULL cell
+    contributes ``IS NOT NULL`` to its ">" leg (everything non-null
+    sorts after null) and ``IS NULL`` to its "=" leg. Cursor values
+    may arrive as strings (JSON round trip); each literal is cast to
+    its column's type so date/decimal comparisons stay typed.
+    """
+    cols = view.columns
+    if len(after) != len(cols):
+        raise ValueError(
+            f"keyset cursor must carry all {len(cols)} sort columns "
+            f"{cols} (got {len(after)}): a prefix cursor skips ties")
+    pred, eq = F.lit(False), F.lit(True)
+    for name, a in zip(cols, after):
+        c = F.col(name)
+        if a is None:
+            gt, e = c.isNotNull(), c.isNull()
+        else:
+            lit = F.lit(a).cast(view.schema[name].dataType)
+            gt, e = c > lit, c == lit
+        pred = pred | (eq & gt)
+        eq = eq & e
+    return pred
 
 
 def paginate(view, limit: int, offset: int = 0, after: tuple | None = None):
@@ -52,27 +89,28 @@ def paginate(view, limit: int, offset: int = 0, after: tuple | None = None):
       (TakeOrderedAndProject JVM-side) and slices - never a full-view
       collect, so a 100 TB-scale warehouse can't OOM the driver; but a
       deep page re-fetches and discards its prefix on the driver,
-      O(offset+limit) per page.
-    - keyset (``after`` = values of the view's leading two columns from
-      the last row of the previous page): filters
-      ``(c1, c2) > (a1, a2)`` BEFORE the sort+limit, O(limit) per page
-      at any depth, and the predicate prunes at the scan. Requires the
-      leading two columns to be a unique key of the view - true for
-      daily_company_totals whose grain IS (company_name,
-      transaction_date); callers paging other views through this helper
-      must ensure the same or successive pages may skip ties.
+      O(offset+limit) per page, so offsets beyond ``MAX_OFFSET`` are
+      rejected (ValueError -> 400 at the endpoint).
+    - keyset (``after`` = the FULL column tuple of the last row of the
+      previous page): filters strictly-after lexicographically on ALL
+      sort columns BEFORE the sort+limit - O(limit) per page at any
+      depth, the leading comparison prunes at the scan, and because
+      the cursor spans the entire total order it can never skip or
+      repeat ties even when no column prefix is a unique key. A cursor
+      of the wrong width raises ValueError (-> 400).
 
     Returns (rows, limit, offset)."""
     limit = max(1, min(limit, MAX_PAGE))
     cols = view.columns
     if after is not None:
-        a1, a2 = after
-        c1, c2 = F.col(cols[0]), F.col(cols[1])
-        page = (view.filter((c1 > F.lit(a1))
-                            | ((c1 == F.lit(a1)) & (c2 > F.lit(a2))))
+        page = (view.filter(_strictly_after(view, tuple(after)))
                 .orderBy(*cols).limit(limit).collect())
         return page, limit, 0
     offset = max(0, offset)
+    if offset > MAX_OFFSET:
+        raise ValueError(
+            f"offset {offset} exceeds MAX_OFFSET={MAX_OFFSET}; deep "
+            "pages must use the keyset cursor (after=<last row tuple>)")
     rows = view.orderBy(*cols).limit(offset + limit).collect()[offset:]
     return rows, limit, offset
 
@@ -169,11 +207,13 @@ def build_app(spark=None, state_path: str | None = None,
         case and an uncapped collect of a 100 TB-scale warehouse would
         OOM the driver. Two paging styles:
 
-        - ``offset=N`` - simple but O(offset+limit) per page;
-        - ``after=<JSON [company_name, transaction_date]>`` - keyset
-          cursor over the view's grain, O(limit) at any depth. Each
-          response carries ``next``: pass it back verbatim as ``after``
-          for the following page (null when the page was short = done).
+        - ``offset=N`` - simple but O(offset+limit) per page, rejected
+          past ``MAX_OFFSET``;
+        - ``after=<JSON full-row tuple>`` - keyset cursor over ALL view
+          columns, O(limit) at any depth, tie-safe even where no column
+          prefix is unique. Each response carries ``next``: pass it back
+          verbatim as ``after`` for the following page (null when the
+          page was short = done).
         """
         warehouse_dir = _confined(warehouse_dir)
         charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
@@ -188,17 +228,25 @@ def build_app(spark=None, state_path: str | None = None,
             import json
             try:
                 cursor = json.loads(after)
-                assert isinstance(cursor, list) and len(cursor) == 2
-                cursor = (cursor[0], str(cursor[1]))
+                assert isinstance(cursor, list) \
+                    and len(cursor) == len(view.columns)
+                cursor = tuple(cursor)
             except (ValueError, AssertionError):
                 raise HTTPException(
                     status_code=400,
-                    detail='after must be a JSON ["company","YYYY-MM-DD"] pair')
-        page, limit, offset = paginate(view, limit, offset, after=cursor)
+                    detail="after must be a JSON list of the previous "
+                           f"page's last row, all {len(view.columns)} "
+                           f"columns {view.columns}")
+        try:
+            page, limit, offset = paginate(view, limit, offset,
+                                           after=cursor)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
         nxt = None
         if cursor is not None and len(page) == limit:
             last = page[-1]
-            nxt = [last[view.columns[0]], str(last[view.columns[1]])]
+            nxt = [None if last[c] is None else str(last[c])
+                   for c in view.columns]
         return {"rows": [r.asDict() for r in page],
                 "limit": limit, "offset": offset, "next": nxt}
 
@@ -226,7 +274,10 @@ def build_app(spark=None, state_path: str | None = None,
                                 detail=f"no such catalog entry: {name}")
         sf_dir = _confined(sf_dir)
         df = registry.QUERIES[name](spark, sf_dir)
-        page, limit, offset = paginate(df, limit, offset)
+        try:
+            page, limit, offset = paginate(df, limit, offset)
+        except ValueError as e:
+            raise HTTPException(status_code=400, detail=str(e))
         return {"name": name, "columns": df.columns,
                 "rows": [r.asDict() for r in page],
                 "limit": limit, "offset": offset}

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 
 _STORE_SCHEMA = "n long, token string"
 
+# The store pattern below RE-READS AND COLLECTS the whole table inside
+# every operation. That is valid ONLY because state is bounded at <= n
+# rows by construction (extractions of a set 1..n); the recipe must not
+# be cloned for an unbounded keyspace, where _read_store() becomes a
+# driver-side full-table collect. The constructor enforces the bound.
+MAX_N = 10_000
+
 
 class ValidationError(ValueError):
     """Mirrors reference api/first100.py:3-4 (mapped to HTTP 400)."""
@@ -47,6 +54,12 @@ class First100:
 
     def __init__(self, spark: SparkSession, n: int = 100,
                  store_path: str | None = None):
+        if not 1 <= n <= MAX_N:
+            raise ValidationError(
+                f"n must be in [1, {MAX_N}]: the collect-per-operation "
+                "state store is only valid while state is <= n rows "
+                "(see module docstring); larger keyspaces need a "
+                "shuffled store, not this recipe")
         self.spark = spark
         self.n = n
         self.store_path = store_path

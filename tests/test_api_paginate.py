@@ -62,16 +62,60 @@ def test_keyset_equals_offset_full_walk(spark):
         if not page:
             break
         by_keyset.extend(page)
-        last = page[-1]
-        cursor = (last.company, str(last.transaction_date))
+        cursor = tuple(page[-1])
     assert [tuple(r) for r in by_keyset] == [tuple(r) for r in by_offset]
     assert len(by_keyset) == 47
 
 
 def test_keyset_page_starts_strictly_after_cursor(spark):
     v = _view(spark, n=30)
-    page, _, _ = paginate(v, limit=5, after=("co_009", "2024-01-01"))
+    page, _, _ = paginate(
+        v, limit=5, after=("co_009", "2024-01-01", 90.0))
     assert [r.company for r in page] == [f"co_{i:03d}" for i in range(10, 15)]
+
+
+def test_keyset_rejects_prefix_cursor(spark):
+    """A cursor narrower than the sort tuple can skip ties; it must be
+    rejected (the endpoint turns this into a 400), never silently paged."""
+    import pytest
+    with pytest.raises(ValueError, match="all 3 sort columns"):
+        paginate(_view(spark), limit=5, after=("co_009", "2024-01-01"))
+
+
+def test_offset_beyond_max_rejected(spark):
+    import pytest
+    from python_etl_rest_api_spark.api.app import MAX_OFFSET
+    with pytest.raises(ValueError, match="keyset"):
+        paginate(_view(spark), limit=5, offset=MAX_OFFSET + 1)
+
+
+def test_keyset_no_skip_or_dup_with_duplicate_leading_pairs(spark):
+    """Round-6 verdict directive: the old cursor keyed on the leading TWO
+    columns and skipped ties when they weren't a unique key. Build a view
+    where every (company, transaction_date) pair appears 3x with distinct
+    amounts, keyset-walk it, and prove the union of pages is EXACTLY the
+    view - nothing skipped, nothing repeated - and matches the offset walk."""
+    v = spark.range(60).select(
+        F.concat(F.lit("co_"), F.format_string("%02d", F.col("id") % 10))
+        .alias("company"),
+        F.lit("2024-01-01").cast("date").alias("transaction_date"),
+        (F.col("id") * 1.5).alias("total_amount"))
+    expected = sorted(tuple(r) for r in v.collect())
+
+    pages, cursor = [], None
+    n_pages = 0
+    while True:
+        page, _, _ = paginate(v, limit=7, after=cursor)
+        if not page:
+            break
+        n_pages += 1
+        assert n_pages <= 10, "cursor failed to advance"
+        pages.extend(page)
+        # JSON-style cursor: stringified values, as the endpoint emits
+        cursor = tuple(str(c) for c in page[-1])
+    got = [tuple(r) for r in pages]
+    assert got == expected          # total order, no skip, no dup
+    assert len(got) == 60
 
 
 def test_catalog_entries_page_like_the_endpoint(spark):

@@ -87,3 +87,16 @@ def test_writes_not_clobbered_across_workers(spark, tmp_path):
     assert c.missing_via_set() == [10, 20]
     a.reset()
     assert b.missing_via_set() == []
+
+
+def test_constructor_bounds_state_size(spark):
+    """The collect-per-operation store recipe is only valid because
+    state is <= n rows by construction; n beyond MAX_N must be refused
+    at construction (round-6 verdict directive)."""
+    import pytest
+    from python_etl_rest_api_spark.operators.first100 import MAX_N
+    with pytest.raises(ValidationError, match="shuffled store"):
+        First100(spark, n=MAX_N + 1)
+    with pytest.raises(ValidationError):
+        First100(spark, n=0)
+    assert First100(spark, n=MAX_N).n == MAX_N
