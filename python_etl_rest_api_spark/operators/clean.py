@@ -173,16 +173,41 @@ def impute_company_name(df: DataFrame, order_col: str = ROW_ID) -> DataFrame:
     etl/03_transform_and_load.py:90-94): sentinels to null, then the first
     NON-NULL name per company_id in FILE ORDER fills the gaps, then
     'unknown'. File order = ``order_col`` (stable _row_id from the source),
-    which makes the fill deterministic under any partitioning - the window
-    shuffles once on company_id, the same key the dim build needs next.
+    which makes the fill deterministic under any partitioning.
+
+    The fill value is a CONSTANT per group (the group's first valid name),
+    so it is computed as ``min_by(name, order_col)`` aggregation + join
+    back rather than a whole-table window: the agg is map-side
+    combinable (partial per partition, one row per group shuffles) and
+    the join is AQE-broadcastable, so parallelism stays core-bound even
+    when group cardinality is tiny. The previous window form shuffled
+    the WHOLE table on company_id and serialized each group into one
+    partition chain - measured 4.3x superlinear on the 30x scaled
+    corpus, whose generator pins cardinality at 5 companies.
+
+    Null-key nuance, matching pandas exactly: pandas ``groupby`` drops
+    NaN keys, so null-company_id rows are never filled from each other
+    and fall through to 'unknown' - an inner-groupBy + null-rejecting
+    join reproduces that (a window PARTITION BY would instead pool all
+    null keys into one group and fill across them - subtly wrong vs the
+    reference). In the ETL pipeline the clean tier has no null
+    company_id by construction (m_cid rows are quarantined first).
     """
     name = sentinel_to_null("company_name")
-    w = (Window.partitionBy("company_id").orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return df.withColumn(
-        "company_name",
-        F.coalesce(name, F.first(name, ignorenulls=True).over(w), F.lit("unknown")),
-    )
+    firsts = (df.select("company_id", name.alias("_valid_name"),
+                        F.col(order_col))
+              .filter(F.col("_valid_name").isNotNull()
+                      & F.col("company_id").isNotNull())
+              .groupBy("company_id")
+              .agg(F.min_by("_valid_name", F.col(order_col))
+                   .alias("_first_valid_name")))
+    cols = df.columns
+    return (df.join(firsts, "company_id", "left")
+            .withColumn(
+                "company_name",
+                F.coalesce(name, F.col("_first_valid_name"),
+                           F.lit("unknown")))
+            .select(*cols))
 
 
 def clean_pipeline(raw: DataFrame, order_col: str = ROW_ID,
