@@ -278,7 +278,18 @@ def etl_clean_scaled(spark, sf_dir):
     """The full reference clean tier over orders-derived dirty strings
     (15k rows at sf0.01, 150k at sf0.1) - every coercion/guard/split/
     imputation at volume, value-checked against the same oracle SQL as
-    the inline instance."""
+    the inline instance.
+
+    Cost at scale: the agg+join fill makes the plan a DIAMOND - the
+    dirty-gen + 4-format parse feeds both the main branch and the
+    first-valid-name aggregation, and the lazy path recomputes it once
+    per branch. Measured at 30x data: window fill 11.1s (group-bound,
+    5 companies), lazy agg+join 9.8s (double parse, core-bound),
+    persist-before-impute 7.9s. The lazy form is kept because a persist
+    inside a catalog entry has no safe unpersist point across 315-entry
+    sweep sessions; the at-scale answer for a REAL pipeline is
+    split_critical_materialized (parse once, write the flagged frame,
+    impute over the parquet-backed clean tier - see clean.py)."""
     tune(spark)
     raw = _scaled_raw_df(spark, sf_dir)
     clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
