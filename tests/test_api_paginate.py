@@ -137,3 +137,35 @@ def test_catalog_entries_page_like_the_endpoint(spark):
     # the /catalog index serves first docstring lines for every entry
     for name, fn in registry.QUERIES.items():
         assert (fn.__doc__ or "").strip(), f"{name} has no docstring"
+
+
+def test_keyset_walk_equals_sort_on_null_bearing_view(spark):
+    """The strictly-after predicate must replicate Spark's ASC NULLS
+    FIRST total order exactly, including cursors whose cells are NULL.
+    Deterministic pseudo-random view with nulls in every column; the
+    keyset walk must reproduce the full sorted view with no skip/dup."""
+    v = spark.range(90).select(
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 5).cast("string")))
+        .alias("grp"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 3).cast("int")).alias("bucket"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise((F.col("id") * 7 % 19).cast("long")).alias("val"))
+
+    # Python mirror of Spark's ASC NULLS FIRST total order
+    expected = sorted([tuple(r) for r in v.collect()],
+                      key=lambda t: ((t[0] is not None, t[0] or ""),
+                                     (t[1] is not None, t[1] or 0),
+                                     (t[2] is not None, t[2] or 0)))
+    pages, cursor, n = [], None, 0
+    while True:
+        page, _, _ = paginate(v, limit=13, after=cursor)
+        if not page:
+            break
+        n += 1
+        assert n <= 10
+        pages.extend(tuple(r) for r in page)
+        cursor = tuple(page[-1])
+    assert pages == expected
+    assert len(pages) == 90
