@@ -18,9 +18,17 @@ the way TPC-H scale factors do):
 - events: event_id/user_id shifted — user cardinality scales;
 - documents: doc_id shifted; replicas i>0 get a replica-tag PREFIX on
   the text, so exact dedup still collapses nothing across replicas
-  while near-dup paths see realistic ~0.99-similar clusters of size K
-  (the LSH bucket-skew stressor the scaling run exists to expose);
-  n_chars recomputed from the new text;
+  while near-dup paths see realistic ~0.99-similar clusters (the LSH
+  bucket-skew stressor the scaling run exists to expose); n_chars
+  recomputed from the new text. Near-dup CLUSTER SIZE is bounded at
+  CLUSTER_BOUND (10): replicas are grouped into cohorts of 10, and each
+  cohort beyond the first passes the text through a cohort-specific
+  letter-substitution (translate on the 10 most frequent letters),
+  which destroys shingle overlap ACROSS cohorts while keeping replicas
+  WITHIN a cohort ~0.99-similar. Real corpora's dup-cluster size does
+  not grow with corpus size; without the bound a 100x run would make
+  every document part of a 100-clone cluster and measure a corpus
+  pathology instead of engine scaling;
 - embeddings: vec_id shifted; replicas i>0 perturbed elementwise by a
   deterministic +/-0.5e-3 hash ramp so ANN distributions don't become
   K-fold degenerate point masses.
@@ -36,6 +44,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 OFFSET = 10_000_000
+CLUSTER_BOUND = 10        # max near-dup cluster size in documents
+_FREQ = "etaoinshrd"      # cohort substitution rotates these letters
 
 
 def scale_table(spark, src, name, i):
@@ -63,10 +73,19 @@ def scale_table(spark, src, name, i):
         elif name == "supplier":
             df = df.withColumn("s_name", F.concat("s_name", F.lit(tag)))
         elif name == "documents":
+            cohort = i // CLUSTER_BOUND
+            rot = cohort % len(_FREQ)
+            base = F.col("text")
+            if rot:
+                # cohort-specific substitution: rewrites the most
+                # frequent letters, so shingles no longer overlap with
+                # other cohorts (cluster size stays <= CLUSTER_BOUND)
+                base = F.translate(
+                    base, _FREQ, _FREQ[rot:] + _FREQ[:rot])
             df = (df.withColumn(
                       "text",
                       F.when(F.col("text").isNotNull(),
-                             F.concat(F.lit(f"r{i} "), F.col("text")))
+                             F.concat(F.lit(f"r{i} "), base))
                       .otherwise(F.col("text")))
                   .withColumn("n_chars", F.length("text").cast("long")))
         elif name == "embeddings":
