@@ -69,7 +69,7 @@ def no_pushdown_barrier(df):
     return df.filter(F.monotonically_increasing_id() >= F.lit(-1))
 
 
-def widen_scan(df, min_factor: int = 4):
+def widen_scan(df, min_factor: int = 2):
     """Rebalance a freshly-scanned frame across all cores when the scan
     itself yields too few splits to use them.
 
@@ -81,6 +81,15 @@ def widen_scan(df, min_factor: int = 4):
     scan has thousands of splits, the gate is false, and this is a
     no-op -- never put an unconditional repartition after a scan: on a
     100 TB input that IS the bottleneck.
+
+    ``min_factor=2``: widen whenever the scan uses at most half the
+    cores. The earlier factor-4 gate left a 10-split scan unwidened on
+    32 cores, and the 100x scaling run paid for it: the minhash sketch
+    aggregation ran 11x (not 3.3x) slower on 3.33x data because
+    tokenize+hash ran on 10 of 32 cores (measured 53.6s -> linear after
+    widening). A scan already using >half the cores is left alone -- at
+    that point the one-pass repartition shuffle costs more than the
+    residual idle cores are worth.
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
