@@ -147,31 +147,33 @@ def stats_mannwhitney_u(spark, sf_dir):
            FROM ev GROUP BY et),
     ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS col_total
            FROM ev GROUP BY bucket),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev)
-    SELECT c.et AS event_type, c.bucket, c.o_cnt,
-           r.row_total, t.col_total, n.n_total,
-           CAST(CAST(c.o_cnt * n.n_total - r.row_total * t.col_total
-                     AS HUGEINT)
-                * CAST(c.o_cnt * n.n_total - r.row_total * t.col_total
-                       AS HUGEINT)
-                AS DECIMAL(38,0)) AS chi2_num,
-           CAST(CAST(r.row_total AS HUGEINT) * t.col_total * n.n_total
-                AS DECIMAL(38,0)) AS chi2_den
-    FROM cell c
-    JOIN rt r ON r.et = c.et
-    JOIN ct t ON t.bucket = c.bucket
-    CROSS JOIN n
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+    j AS (
+      SELECT c.et AS event_type, c.bucket, c.o_cnt,
+             r.row_total, t.col_total, n.n_total,
+             CAST(c.o_cnt AS DOUBLE) * n.n_total
+               - CAST(r.row_total AS DOUBLE) * t.col_total AS diff_d
+      FROM cell c
+      JOIN rt r ON r.et = c.et
+      JOIN ct t ON t.bucket = c.bucket
+      CROSS JOIN n)
+    SELECT event_type, bucket, o_cnt, row_total, col_total, n_total,
+           diff_d * diff_d AS chi2_num,
+           CAST(row_total AS DOUBLE) * col_total * n_total AS chi2_den
+    FROM j
 """)
 def stats_chi2_independence(spark, sf_dir):
     """Chi-square test of independence (event_type x value bucket),
-    published as the EXACT per-cell rational decomposition instead of a
-    float statistic: (O - E)^2/E == (O*N - r*c)^2 / (r*c*N), so each
-    cell carries chi2_num = (O*N - r*c)^2 and chi2_den = r*c*N as
-    DECIMAL(38,0) (the Welch-test recipe — exact integer moments,
-    decimal-widened where BIGINT would overflow; at 100 TB row counts,
-    O*N reaches ~1e22, far past int64 but comfortably inside 38 digits).
-    A consumer sums num/den ratios at whatever precision it wants; the
-    ENGINE never performs an order-dependent float sum.
+    published as the per-cell rational decomposition instead of a
+    pre-summed float statistic: (O - E)^2/E == (O*N - r*c)^2 / (r*c*N),
+    so each cell carries chi2_num = (O*N - r*c)^2 and chi2_den = r*c*N.
+    Both are DOUBLE built from pure products of exact integers — no
+    order-dependent float sums anywhere, so every IEEE-754 multiply is
+    correctly rounded and bit-identical across engines (the r7 driver
+    red proved DECIMAL(38,0) finals are NOT hash-stable: DuckDB's
+    pandas path renders them float64 while Spark keeps exact Decimal).
+    A consumer sums num/den ratios per cell at whatever precision it
+    wants; the ENGINE never performs an order-dependent float sum.
 
     Plan: one narrow scan feeds four tiny aggregations (cells, row
     totals, col totals, grand total) joined broadcast — no windows, no
@@ -190,18 +192,17 @@ def stats_chi2_independence(spark, sf_dir):
     rt = ev.groupBy("et").agg(F.count(F.lit(1)).alias("row_total"))
     ct = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("col_total"))
     n = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    diff = (F.col("o_cnt") * F.col("n_total")
-            - F.col("row_total") * F.col("col_total"))
-    d19 = diff.cast("decimal(19,0)")
+    diff_d = (F.col("o_cnt").cast("double") * F.col("n_total")
+              - F.col("row_total").cast("double") * F.col("col_total"))
     return (cell.join(F.broadcast(rt), "et")
             .join(F.broadcast(ct), "bucket")
             .crossJoin(F.broadcast(n))
             .select(F.col("et").alias("event_type"), "bucket", "o_cnt",
                     "row_total", "col_total", "n_total",
-                    (d19 * d19).cast("decimal(38,0)").alias("chi2_num"),
-                    (F.col("row_total").cast("decimal(19,0)")
+                    (diff_d * diff_d).alias("chi2_num"),
+                    (F.col("row_total").cast("double")
                      * F.col("col_total") * F.col("n_total"))
-                    .cast("decimal(38,0)").alias("chi2_den")))
+                    .alias("chi2_den")))
 
 
 # ---------------------------------------------------------------------
@@ -878,7 +879,7 @@ def privacy_dp_counts(spark, sf_dir):
     d AS (
       SELECT x.vec_id, x.label,
              CAST(SUM(CAST(s.n * x.xm - s.sm AS HUGEINT)
-                      * (s.n * x.xm - s.sm)) AS DECIMAL(38,0))
+                      * (s.n * x.xm - s.sm)) AS HUGEINT)
                AS dist_sq_scaled
       FROM x JOIN s ON s.label = x.label AND s.pos = x.pos
       GROUP BY x.vec_id, x.label),
@@ -889,7 +890,9 @@ def privacy_dp_counts(spark, sf_dir):
                AS rk,
              COUNT(*) OVER (PARTITION BY label) AS n_label
       FROM d)
-    SELECT label, vec_id, dist_sq_scaled
+    SELECT label, vec_id,
+           CAST(dist_sq_scaled // 1000000000 AS BIGINT) AS dist_sq_hi,
+           CAST(dist_sq_scaled % 1000000000 AS BIGINT) AS dist_sq_lo
     FROM r WHERE rk <= (n_label + 9) // 10
 """)
 def embed_outlier_prune(spark, sf_dir):
@@ -899,8 +902,10 @@ def embed_outlier_prune(spark, sf_dir):
     training. EXACT integer arithmetic throughout: values quantize to
     milli-units, and the squared distance to the RATIONAL mean is
     computed scale-free as sum((n*x_i - s_i)^2) (the stats_acf_daily
-    substitution), published as DECIMAL(38,0) so no engine ever
-    divides or sums floats. The 10% cut uses ceil(n/10) with
+    substitution) — exact 128-bit/decimal internally, PUBLISHED as two
+    BIGINT limbs (value = hi*1e9 + lo) because DECIMAL(38,0) finals
+    are not driver-hash-stable (DuckDB's pandas path renders them
+    float64; the r7 chi2 red). The 10% cut uses ceil(n/10) with
     (dist DESC, vec_id) total order — boundary-deterministic.
 
     Plan: posexplode shuffles (label, pos) cells, the per-label
@@ -927,4 +932,8 @@ def embed_outlier_prune(spark, sf_dir):
     return (d.withColumn("rk", F.row_number().over(w))
             .join(F.broadcast(nl), "label")
             .filter(F.col("rk") <= (F.col("n_label") + 9) / 10)
-            .select("label", "vec_id", "dist_sq_scaled"))
+            .select("label", "vec_id",
+                    F.expr("CAST(dist_sq_scaled div 1000000000 "
+                           "AS BIGINT)").alias("dist_sq_hi"),
+                    F.expr("CAST(dist_sq_scaled % 1000000000 "
+                           "AS BIGINT)").alias("dist_sq_lo")))

@@ -2127,10 +2127,13 @@ def text_zipf_topk(spark, sf_dir):
              CAST(MAX(n0) AS BIGINT) AS n_even,
              CAST(MAX(n1) AS BIGINT) AS n_odd,
              CAST(SUM(CAST((s0 * n1 - s1 * n0) AS HUGEINT)
-                      * (s0 * n1 - s1 * n0)) AS DECIMAL(38,0))
+                      * (s0 * n1 - s1 * n0)) AS HUGEINT)
                AS drift_sq_scaled
       FROM p GROUP BY label)
-    SELECT label, n_even, n_odd, drift_sq_scaled FROM d
+    SELECT label, n_even, n_odd,
+           CAST(drift_sq_scaled // 1000000000 AS BIGINT) AS drift_sq_hi,
+           CAST(drift_sq_scaled % 1000000000 AS BIGINT) AS drift_sq_lo
+    FROM d
 """)
 def embed_centroid_drift(spark, sf_dir):
     """Train/serve skew monitor for embeddings: per label, the squared
@@ -2140,8 +2143,11 @@ def embed_centroid_drift(spark, sf_dir):
     quantize to milli-units and the distance between the two RATIONAL
     means sums (s0*n1 - s1*n0)^2 per dimension — the cross-multiplied
     mean-difference that never divides (the embed_outlier_prune
-    substitution, two-sample form), published as DECIMAL(38,0) scaled
-    by (n0*n1)^2. A label whose drift spikes between snapshots is
+    substitution, two-sample form), scaled by (n0*n1)^2. Exact
+    128-bit/decimal internally, PUBLISHED as two BIGINT limbs
+    (value = hi*1e9 + lo): DECIMAL(38,0) finals are not
+    driver-hash-stable (DuckDB's pandas path renders them float64 —
+    the r7 chi2 red). A label whose drift spikes between snapshots is
     re-indexed.
 
     Plan: posexplode shuffles (label, half, pos) cells once; the two
@@ -2172,7 +2178,12 @@ def embed_centroid_drift(spark, sf_dir):
             .agg(F.max("n0").alias("n_even"),
                  F.max("n1").alias("n_odd"),
                  F.sum(diff * diff).cast("decimal(38,0)")
-                 .alias("drift_sq_scaled")))
+                 .alias("drift_sq_scaled"))
+            .select("label", "n_even", "n_odd",
+                    F.expr("CAST(drift_sq_scaled div 1000000000 "
+                           "AS BIGINT)").alias("drift_sq_hi"),
+                    F.expr("CAST(drift_sq_scaled % 1000000000 "
+                           "AS BIGINT)").alias("drift_sq_lo")))
 
 
 # ---------------------------------------------------------------------

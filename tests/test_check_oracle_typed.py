@@ -59,10 +59,28 @@ def test_fatal_divergences(spark_t, duck_t):
     assert typed_diffs(["c"], [spark_t], ["c"], [duck_t])
 
 
-def test_decimal_precision_alone_tolerated():
-    # Decimal('1.20') reprs by scale, not precision.
+def test_decimal_final_fatal_even_when_both_sides_agree():
+    # The literal r7 failure (stats_chi2_independence): both engines
+    # published DECIMAL(38,0) and fetchall() compared exact Decimals
+    # equal, but the DRIVER converts DuckDB results via pandas, which
+    # renders every decimal as float64 ('1626024750.0') against
+    # Spark's exact Decimal repr ('1626024750') -> hash red.  Any
+    # decimal-typed FINAL column must fail the local sweep, matching
+    # scale or not.
+    assert typed_diffs(["c"], ["decimal(38,0)"],
+                       ["c"], ["DECIMAL(38,0)"]) == [
+        ("c", "dec(s=0)", "dec(s=0)")]
     assert typed_diffs(["c"], ["decimal(38,2)"],
-                       ["c"], ["DECIMAL(18,2)"]) == []
+                       ["c"], ["DECIMAL(18,2)"]) == [
+        ("c", "dec(s=2)", "dec(s=2)")]
+
+
+def test_driver_pandas_path_renders_decimal_as_float64():
+    # Pin the driver-side mechanism the rule above guards against.
+    con = duckdb.connect()   # keep alive: .df() needs a live connection
+    df = con.sql("SELECT CAST(1626024750 AS DECIMAL(38,0)) AS c").df()
+    assert str(df["c"].dtype) == "float64"
+    assert repr(df["c"].iloc[0]) != "1626024750"   # it is 1626024750.0
 
 
 def test_list_types_recurse():

@@ -14,8 +14,12 @@ conversion: int128 doesn't fit int64, so pandas widens to float64 and the
 hashed cells become '123.0' vs '123'.  That mechanism defines the
 equivalence classes below: all of {i8,i16,i32,i64} hash identically
 (exact ints, same repr), while int-vs-float, float32-vs-float64,
-int128-anywhere, and decimal-SCALE divergence (Decimal('1.20') !=
-Decimal('1.2') as strings) are fatal and fail the sweep.
+int128-anywhere, and DECIMAL-anywhere are fatal and fail the sweep.
+DECIMAL finals are fatal even when both sides agree on type and scale:
+round 7 proved the driver's DuckDB->pandas conversion renders ALL
+decimals (precision 15-38) as float64, so Spark's exact Decimal repr
+('1626024750') never matches pandas' ('1626024750.0') — invisible to
+fetchall(), which yields exact Decimals on both sides.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -81,8 +85,15 @@ def _canon_spark(t: str) -> str:
 
 
 def typed_diffs(scols, sdtypes, dcols, dtypes):
-    """Return [(col, spark_class, duck_class)] hash-fatal divergences,
-    including any int128 (HUGEINT) column even if both sides agree."""
+    """Return [(col, spark_class, duck_class)] hash-fatal divergences:
+    any class mismatch, any int128 (HUGEINT) column, and any
+    DECIMAL-typed final column EVEN IF both sides agree — the driver's
+    DuckDB->pandas conversion renders every DECIMAL as float64
+    ('1626024750.0') while Spark publishes exact Decimal
+    ('1626024750'), so same-scale decimal finals hash-mismatch at the
+    driver despite comparing equal under fetchall() here (the r7
+    stats_chi2_independence red). House convention: finals are
+    BIGINT/DOUBLE/VARCHAR/date/bool only; decimals stay internal."""
     smap = {c: _canon_spark(t) for c, t in zip(scols, sdtypes)}
     dmap = {c: _canon_duck(t) for c, t in zip(dcols, dtypes)}
     out = []
@@ -90,7 +101,8 @@ def typed_diffs(scols, sdtypes, dcols, dtypes):
         if c not in dmap:
             continue
         a, b = smap[c], dmap[c]
-        if a != b or "int128" in b or "int128" in a:
+        if (a != b or "int128" in b or "int128" in a
+                or "dec(" in a or "dec(" in b):
             out.append((c, a, b))
     return out
 
