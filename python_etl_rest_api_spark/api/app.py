@@ -115,6 +115,66 @@ def paginate(view, limit: int, offset: int = 0, after: tuple | None = None):
     return rows, limit, offset
 
 
+def parse_cursor(view, after: str) -> tuple:
+    """Validate and decode a keyset cursor (the ``after`` query param).
+
+    Explicit checks, never ``assert`` (stripped under ``python -O``):
+    the JSON must be a list of exactly the view's column count, every
+    cell a scalar or null (nested lists/objects would reach F.lit and
+    surface as a 500), and every non-null cell must CAST cleanly to its
+    column's type — a castable-but-garbage string ("not-a-date" for a
+    date column) casts to NULL and would otherwise silently match
+    nothing and return empty pages forever. Raises ValueError (-> 400
+    at the endpoint)."""
+    import json
+    cols = view.columns
+    shape_msg = ("after must be a JSON list of the previous page's "
+                 f"last row, all {len(cols)} columns {cols}")
+    try:
+        parsed = json.loads(after)
+    except ValueError:
+        raise ValueError(shape_msg)
+    if not isinstance(parsed, list) or len(parsed) != len(cols):
+        raise ValueError(shape_msg)
+    bad = [cols[i] for i, v in enumerate(parsed)
+           if v is not None and not isinstance(v, (str, int, float, bool))]
+    if bad:
+        raise ValueError("cursor cells must be JSON scalars or null; "
+                         f"nested values at {bad}")
+    cursor = tuple(parsed)
+    # one-row local probe job: try_cast evaluates every cast the keyset
+    # predicate would perform (malformed input -> NULL instead of an
+    # ANSI runtime error mid-paginate), surfacing garbage cells as a
+    # 400 up front; type-impossible casts still raise at analysis
+    try:
+        probe = view.sparkSession.range(1).select(
+            *[F.lit(v).try_cast(view.schema[c].dataType).alias(f"c{i}")
+              for i, (c, v) in enumerate(zip(cols, cursor))]).first()
+    except Exception:
+        raise ValueError("cursor cells are not castable to the view's "
+                         f"column types ({cols})")
+    uncastable = [cols[i] for i, v in enumerate(cursor)
+                  if v is not None and probe[i] is None]
+    if uncastable:
+        raise ValueError(
+            f"cursor cells cast to NULL for columns {uncastable}; pass "
+            "values in the column's own format (e.g. YYYY-MM-DD for "
+            "dates)")
+    return cursor
+
+
+def next_cursor(columns, page, limit: int):
+    """The ``next`` token for a page: the last row's full column tuple
+    (stringified, None preserved) when the page is FULL, else None.
+    Emitted for BOTH paging styles so an offset client can switch to
+    keyset before MAX_OFFSET bites, without hand-assembling a cursor
+    from rows[] in exact column order."""
+    if len(page) != limit:
+        return None
+    last = page[-1]
+    return [None if last[c] is None else str(last[c]) for c in columns]
+
+
 def build_app(spark=None, state_path: str | None = None,
               data_root: str | None = None):
     """``data_root`` confines every client-supplied filesystem path
@@ -211,9 +271,10 @@ def build_app(spark=None, state_path: str | None = None,
           past ``MAX_OFFSET``;
         - ``after=<JSON full-row tuple>`` - keyset cursor over ALL view
           columns, O(limit) at any depth, tie-safe even where no column
-          prefix is unique. Each response carries ``next``: pass it back
-          verbatim as ``after`` for the following page (null when the
-          page was short = done).
+          prefix is unique. EVERY full page carries ``next`` (offset or
+          keyset style): pass it back verbatim as ``after`` for the
+          following page (null when the page was short = done), so an
+          offset client can switch to keyset before MAX_OFFSET bites.
         """
         warehouse_dir = _confined(warehouse_dir)
         charges = spark.read.parquet(os.path.join(warehouse_dir, "charges"))
@@ -223,32 +284,16 @@ def build_app(spark=None, state_path: str | None = None,
             view = view.filter(F.col("transaction_date") == F.lit(date).cast("date"))
         elif start and end:
             view = view.filter(F.col("transaction_date").between(start, end))
-        cursor = None
-        if after is not None:
-            import json
-            try:
-                cursor = json.loads(after)
-                assert isinstance(cursor, list) \
-                    and len(cursor) == len(view.columns)
-                cursor = tuple(cursor)
-            except (ValueError, AssertionError):
-                raise HTTPException(
-                    status_code=400,
-                    detail="after must be a JSON list of the previous "
-                           f"page's last row, all {len(view.columns)} "
-                           f"columns {view.columns}")
         try:
+            cursor = parse_cursor(view, after) if after is not None \
+                else None
             page, limit, offset = paginate(view, limit, offset,
                                            after=cursor)
         except ValueError as e:
             raise HTTPException(status_code=400, detail=str(e))
-        nxt = None
-        if cursor is not None and len(page) == limit:
-            last = page[-1]
-            nxt = [None if last[c] is None else str(last[c])
-                   for c in view.columns]
         return {"rows": [r.asDict() for r in page],
-                "limit": limit, "offset": offset, "next": nxt}
+                "limit": limit, "offset": offset,
+                "next": next_cursor(view.columns, page, limit)}
 
     @app.get("/catalog")
     def catalog_index():

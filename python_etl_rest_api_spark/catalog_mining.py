@@ -475,16 +475,22 @@ _JSON_WRITTEN: set[str] = set()
 
 
 def _json_scratch(sf_dir: str) -> str:
-    """Fixed per-sf_dir scratch path for the JSONL rewrite.
+    """Fixed per-(uid, pid, sf_dir) scratch path for the JSONL rewrite.
 
     Deterministic (md5 of sf_dir) instead of tempfile.mkdtemp so that
-    repeated processes OVERWRITE one directory rather than each leaking
-    a fresh JSONL copy of events; Spark's mode("overwrite") handles the
-    replace atomically enough for a scratch landing zone.
+    repeated runs IN ONE PROCESS overwrite a single directory rather
+    than each leaking a fresh JSONL copy of events. The path embeds
+    uid and pid: mode("overwrite") is delete-then-rewrite (not atomic
+    for readers), so two processes sharing one path could clobber each
+    other mid-read, and a predictable /tmp name is a symlink-planting
+    surface on multi-user hosts. Per-process leakage is bounded: one
+    events-sized JSONL per live process, reaped with the OS tempdir.
     """
     import hashlib
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"json_events_{tag}")
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(),
+                        f"json_events_u{uid}_p{os.getpid()}_{tag}")
 
 
 @query("source_json_roundtrip", f"""

@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -89,6 +91,49 @@ def _claim_version(versions: str) -> tuple[int, str]:
             continue  # raced another writer; try the next slot
 
 
+_STALE_CLAIM_SECS = 24 * 3600
+
+
+def _prune_versions(path: str, versions: str, keep: int) -> None:
+    """Remove committed versions beyond the newest ``keep``, but NEVER
+    the version the symlink currently serves: a slower concurrent
+    writer may have flipped an OLDER-numbered version into place after
+    newer ones committed, and pruning it would leave ``path`` a
+    dangling symlink — readers must never observe a missing table.
+    Claimed-but-uncommitted directories are not touched here (see
+    _reap_stale_claims)."""
+    try:
+        live = os.path.realpath(path)
+    except OSError:
+        live = None
+    for n in list_versions(path)[:-max(keep, 1)]:
+        vdir = os.path.join(versions, f"v{n}")
+        if live is not None and os.path.realpath(vdir) == live:
+            continue
+        shutil.rmtree(vdir, ignore_errors=True)
+
+
+def _reap_stale_claims(versions: str) -> None:
+    """Garbage-collect claim directories whose writer crashed: mkdir'd
+    but never committed (_SUCCESS absent) and untouched for longer than
+    _STALE_CLAIM_SECS. Without this, every crashed writer leaks its
+    claim forever (prune only ever removes COMMITTED versions). The age
+    threshold is deliberately generous — a live writer's Spark job
+    keeps the directory mtime fresh as part files land."""
+    now = time.time()
+    for d in os.listdir(versions):
+        if not (d.startswith("v") and d[1:].isdigit()):
+            continue
+        vdir = os.path.join(versions, d)
+        if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            continue
+        try:
+            if now - os.stat(vdir).st_mtime > _STALE_CLAIM_SECS:
+                shutil.rmtree(vdir, ignore_errors=True)
+        except OSError:
+            continue  # racing its writer's commit; leave it
+
+
 def list_versions(path: str) -> list[int]:
     """Committed versions currently retained for ``path`` (ascending).
     A version is committed once its _SUCCESS marker exists - a claimed
@@ -149,10 +194,15 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     os.makedirs(parent, exist_ok=True)
     versions = path.rstrip("/") + ".versions"
     os.makedirs(versions, exist_ok=True)
-    _, target = _claim_version(versions)
+    claimed, target = _claim_version(versions)
     df.write.mode("overwrite").parquet(target)
 
-    tmp_link = os.path.join(parent, f".link_{os.getpid()}_{os.path.basename(path)}")
+    # unique per CLAIM, not per process: two threads of one pid flipping
+    # concurrently must not share a staging link (one could unlink or
+    # rename the other's between symlink() and rename())
+    tmp_link = os.path.join(
+        parent, f".link_{os.getpid()}_{threading.get_ident()}_v{claimed}"
+                f"_{os.path.basename(path)}")
     if os.path.lexists(tmp_link):
         os.unlink(tmp_link)
     os.symlink(os.path.abspath(target), tmp_link)
@@ -169,11 +219,8 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     finally:
         if os.path.lexists(tmp_link):
             os.unlink(tmp_link)
-    # prune committed versions beyond the newest ``keep`` (claimed-but-
-    # uncommitted directories are left for their writer to finish)
-    committed = list_versions(path)
-    for n in committed[:-max(keep, 1)]:
-        shutil.rmtree(os.path.join(versions, f"v{n}"), ignore_errors=True)
+    _prune_versions(path, versions, keep)
+    _reap_stale_claims(versions)
 
 
 def write_history_csv(df: DataFrame, path: str) -> None:

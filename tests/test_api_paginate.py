@@ -169,3 +169,66 @@ def test_keyset_walk_equals_sort_on_null_bearing_view(spark):
         cursor = tuple(page[-1])
     assert pages == expected
     assert len(pages) == 90
+
+
+# --- r8 advice: cursor validation + universal ``next`` -----------------
+
+
+def test_parse_cursor_round_trips_a_page_tail(spark):
+    from python_etl_rest_api_spark.api.app import next_cursor, parse_cursor
+    import json
+
+    v = _view(spark, n=25)
+    p1, limit, _ = paginate(v, limit=10, offset=0)
+    nxt = next_cursor(v.columns, p1, limit)
+    assert nxt is not None
+    cursor = parse_cursor(v, json.dumps(nxt))
+    p2, _, _ = paginate(v, limit=10, after=cursor)
+    assert [r.company for r in p2][0] == "co_010"
+
+
+def test_next_emitted_for_offset_pages_too(spark):
+    """Advice r7: an offset client must get a server-built cursor on
+    every FULL page so it can switch to keyset before MAX_OFFSET."""
+    from python_etl_rest_api_spark.api.app import next_cursor
+
+    v = _view(spark, n=25)
+    full, limit, _ = paginate(v, limit=10, offset=10)   # offset style
+    assert next_cursor(v.columns, full, limit) is not None
+    short, limit, _ = paginate(v, limit=10, offset=20)  # 5 rows left
+    assert next_cursor(v.columns, short, limit) is None
+
+
+def test_parse_cursor_rejects_bad_shapes(spark):
+    import pytest
+
+    from python_etl_rest_api_spark.api.app import parse_cursor
+
+    v = _view(spark)  # 3 columns
+    with pytest.raises(ValueError, match="JSON list"):
+        parse_cursor(v, "not json {")
+    with pytest.raises(ValueError, match="JSON list"):
+        parse_cursor(v, '{"a": 1}')
+    with pytest.raises(ValueError, match="all 3 columns"):
+        parse_cursor(v, '["co_001", "2024-01-01"]')      # prefix cursor
+    with pytest.raises(ValueError, match="scalars or null"):
+        parse_cursor(v, '["co_001", ["2024-01-01"], 10.0]')
+    with pytest.raises(ValueError, match="scalars or null"):
+        parse_cursor(v, '["co_001", {"d": 1}, 10.0]')
+
+
+def test_parse_cursor_rejects_uncastable_cells(spark):
+    """A castable-but-garbage string casts to NULL and would silently
+    return empty pages forever; the probe turns it into a 400."""
+    import pytest
+
+    from python_etl_rest_api_spark.api.app import parse_cursor
+
+    v = _view(spark)
+    with pytest.raises(ValueError, match="transaction_date"):
+        parse_cursor(v, '["co_001", "not-a-date", 10.0]')
+    with pytest.raises(ValueError, match="cast to NULL"):
+        parse_cursor(v, '["co_001", "2024-01-01", "ten"]')
+    # null cells and in-format strings are fine
+    got = parse_cursor(v, '[null, "2024-01-01", "10.0"]')
+    assert got == (None, "2024-01-01", "10.0")

@@ -175,3 +175,56 @@ def test_time_travel_and_retention(spark, tmp_path):
         read_version(spark, path, 0)
     # current link == newest version
     assert spark.read.parquet(path).count() == 3
+
+
+def test_prune_never_removes_live_symlink_target(spark, tmp_path):
+    """Advice r7: a slower writer can flip an OLDER version into place
+    after newer ones committed; a subsequent prune must then retain the
+    symlink's live target even though it is outside the newest ``keep``,
+    else ``path`` dangles for readers. Drive _prune_versions directly in
+    the post-race state: link -> v0, keep=1."""
+    import os
+
+    from python_etl_rest_api_spark.operators.load import (
+        _prune_versions,
+        list_versions,
+    )
+
+    path = str(tmp_path / "tbl")
+    for n in (1, 2, 3):
+        atomic_overwrite(
+            spark.createDataFrame([(i,) for i in range(n)], "x int"),
+            path, keep=10)
+    versions = path + ".versions"
+    assert list_versions(path) == [0, 1, 2]
+    # a losing writer's late flip: the link points at the OLDEST version
+    tmp = path + ".relink"
+    os.symlink(os.path.join(versions, "v0"), tmp)
+    os.rename(tmp, path)
+    _prune_versions(path, versions, keep=1)
+    # v0 is live -> retained; v1 is neither live nor newest -> pruned
+    assert list_versions(path) == [0, 2]
+    assert spark.read.parquet(path).count() == 1   # readers still fine
+
+
+def test_stale_uncommitted_claims_are_reaped(spark, tmp_path):
+    """A crashed writer's claim dir (mkdir'd, no _SUCCESS) must not leak
+    forever: claims older than _STALE_CLAIM_SECS are garbage-collected
+    on the next write; fresh claims are left for their writer."""
+    import os
+    import time
+
+    from python_etl_rest_api_spark.operators import load as L
+
+    path = str(tmp_path / "tbl")
+    atomic_overwrite(spark.createDataFrame([(1,)], "x int"), path)
+    versions = path + ".versions"
+    stale = os.path.join(versions, "v90")
+    fresh = os.path.join(versions, "v91")
+    os.mkdir(stale)
+    os.mkdir(fresh)
+    old = time.time() - L._STALE_CLAIM_SECS - 60
+    os.utime(stale, (old, old))
+    atomic_overwrite(spark.createDataFrame([(2,)], "x int"), path)
+    assert not os.path.exists(stale)      # crashed claim reaped
+    assert os.path.exists(fresh)          # live claim untouched
