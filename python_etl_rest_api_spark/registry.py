@@ -11,21 +11,20 @@ the bug class tools/check_oracle.py now catches), r6 executed the full
 re-pin and went 50/50 green, clearing every standing red. Cumulative
 ledger after r6: 315 entries, 200 driver-green, 115 never checked.
 
-Round-7 pin, per the r6 verdict ("freeze the catalog at 315 - zero new
-@query entries - and drain the verification debt"):
+Round-8 pin, per the r7 verdict ("re-pin the registry debt-first
+against CORRECTNESS_r07.json ... so the r8 window clears ~50 of the 65
+never-verified entries"):
 
-  1-2    the two r7 ADVICE fixes (events_session_coverage tie-order
-         determinism, source_json_roundtrip scratch-path leak), first
-         so CORRECTNESS_r07 proves both fixes driver-side;
-  3-115  the remaining 113 never-driver-verified entries, ordered by
-         this round's measured sf0.01 solo time (tools/check_oracle.py
-         full typed sweep, 315/315 green; the handful of entries whose
-         sweep times were inflated by concurrent pytest runs were
-         re-timed solo) - the ~50 window clears the two fixes plus the
-         ~48 cheapest, leaving the never-verified queue at ~65, within
-         reach of one further window after the next round's refresh;
-  116+   driver-green entries, stalest-first (r2, r3, r4, r5; the r6
-         greens are the freshest signal and defer to the back).
+  1-66   every never-driver-green entry (65 never-windowed + the r7 red
+         stats_chi2_independence, re-shaped this round to DOUBLE finals
+         along with the two DECIMAL(38,0) landmines embed_centroid_drift
+         / embed_outlier_prune - all three inside the first 29 so the
+         window proves the fixes), ordered by this round's measured
+         sf0.01 solo time (tools/check_oracle.py full typed sweep,
+         315/315 green) so the time-based ~50-entry window stretches
+         over the most entries;
+  67+    driver-green entries, stalest-first (r2, r3, r4, r5, r6, r7);
+         whatever the window does not reach stays green-ledgered.
 
 The catalog is FROZEN at 315 until the never-verified queue fits one
 driver window - enforced by tests/test_freeze.py, not just discipline.
@@ -41,125 +40,73 @@ from .catalog import ORACLES as _ORACLES
 from .catalog import QUERIES as _QUERIES
 
 _DEBT_FIRST = [
-    # -- the two r7 ADVICE-fixed entries, first so CORRECTNESS_r07
-    #    proves the fixes driver-side --
-    "events_session_coverage",  # 0.4s; r7 fix
-    "source_json_roundtrip",  # 0.8s; r7 fix
-    # -- never driver-verified, measured-cheapest-first (r7 solo
-    #    sweep; contention-inflated outliers re-timed solo) --
-    "docs_boilerplate_prefixes",  # 0.2s
-    "dq_freshness_watermark",  # 0.2s
-    "embed_norm_histogram",  # 0.2s
-    "sample_kfold_assign",  # 0.2s
-    "dq_split_leakage",  # 0.3s
-    "events_churn_buckets",  # 0.3s
-    "events_first_touch",  # 0.3s
-    "events_uplift_by_arm",  # 0.3s
-    "orders_basket_size_histogram",  # 0.3s
-    "privacy_dp_counts",  # 0.3s
-    "privacy_generalization_ladder",  # 0.3s
-    "privacy_l_diversity",  # 0.3s
-    "source_csv_corrupt_records",  # 0.3s
-    "stats_ab_srm",  # 0.3s
-    "stats_runs_test",  # 0.3s
-    "text_dup_family_spectrum",  # 0.3s
-    "text_term_burstiness",  # 0.3s
-    "events_hourly_bitmap",  # 0.4s
-    "feature_target_encode",  # 0.4s
-    "join_asof_tolerance",  # 0.4s
-    "layout_zonemap_prune",  # 0.4s
-    "orders_priority_mix_drift",  # 0.4s
-    "orders_seasonal_index",  # 0.4s
-    "sample_class_balance",  # 0.4s
-    "scd2_as_of_lookup",  # 0.4s
-    "sketch_kmv_distinct",  # 0.4s
-    "stats_ols_two_regressors",  # 0.4s
-    "stream_dedup_ingest",  # 0.4s
-    "text_encoding_quality",  # 0.4s
-    "text_good_turing",  # 0.4s
-    "text_zipf_topk",  # 0.4s
-    "docs_source_quality_matrix",  # 0.5s
-    "dq_header_detail_reconcile",  # 0.5s
-    "events_activity_streaks",  # 0.5s
-    "events_cusum_drift",  # 0.5s
-    "events_interarrival_hist",  # 0.5s
-    "mix_token_budget_allocation",  # 0.5s
-    "orders_hhi_by_nation",  # 0.5s
-    "privacy_erasure_audit",  # 0.5s
-    "sketch_kmv_jaccard",  # 0.5s
-    "stats_capture_recapture",  # 0.5s
-    "stats_chi2_independence",  # 0.5s
-    "stream_late_arrivals",  # 0.5s
-    "text_rake_keywords",  # 0.5s
-    "events_top_paths",  # 0.6s
-    "orders_cohort_ltv",  # 0.6s
-    "privacy_k_anonymity",  # 0.6s
-    "privacy_pseudonymize_join",  # 0.6s
-    "profile_column_gini",  # 0.6s
-    "sketch_hll_cardinality",  # 0.6s
-    "supply_single_source_risk",  # 0.6s
-    "text_langid_confusion",  # 0.6s
+    # -- never driver-verified, measured-cheapest-first --
+    "mix_epoch_plan",  # 0.4s
+    "stats_benford_first_digit",  # 0.4s
+    "events_ewma_daily",  # 0.5s
+    "join_interval_overlap",  # 0.6s
+    "stats_welch_ttest",  # 0.6s
+    "text_hashing_features",  # 0.6s
+    "dq_sequence_gaps",  # 0.7s
     "embed_centroid_drift",  # 0.7s
-    "embed_outlier_prune",  # 0.7s
-    "sketch_ams_f2",  # 0.7s
-    "stats_acf_daily",  # 0.7s
-    "stats_mann_kendall",  # 0.7s
-    "stats_survival_table",  # 0.7s
-    "text_hashing_features",  # 0.7s
-    "dq_sequence_gaps",  # 0.8s
-    "dq_uniqueness_audit",  # 0.8s
-    "embed_cosine_histogram",  # 0.8s
+    "profile_column_gini",  # 0.7s
+    "text_langid_confusion",  # 0.7s
     "events_ohlc_hourly",  # 0.8s
-    "profile_functional_deps",  # 0.8s
     "search_bm25_topk",  # 0.8s
-    "select_pareto_frontier",  # 0.8s
-    "source_parquet_mergeschema",  # 0.8s
-    "stats_benford_first_digit",  # 0.8s
-    "dq_schema_contract",  # 0.9s
-    "events_peak_concurrency",  # 0.9s
-    "join_interval_overlap",  # 0.9s
-    "sink_partition_overwrite",  # 0.9s
-    "stats_join_size_est",  # 0.9s
-    "text_collocations_pmi",  # 0.9s
-    "text_vocab_coverage_curve",  # 0.9s
-    "graph_degree_distribution",  # 1.0s
-    "orders_reorder_gap_median",  # 1.0s
-    "sketch_cms_width_curve",  # 1.0s
-    "source_orc_roundtrip",  # 1.0s
-    "stats_bootstrap_means",  # 1.0s
-    "embed_label_margin",  # 1.1s
-    "events_ewma_daily",  # 1.1s
-    "graph_triangle_census",  # 1.1s
-    "multimodal_audio_clipping",  # 1.1s
-    "multimodal_gif_decode",  # 1.1s
+    "sketch_ams_f2",  # 0.8s
+    "text_collocations_pmi",  # 0.8s
+    "sketch_hll_cardinality",  # 0.8s
+    "events_holt_forecast",  # 0.9s
+    "profile_functional_deps",  # 0.9s
+    "stats_acf_daily",  # 0.9s
+    "stats_mann_kendall",  # 0.9s
+    "stats_survival_table",  # 0.9s
+    "embed_matryoshka_recall",  # 1.0s
+    "supply_single_source_risk",  # 1.0s
+    "basket_association_lift",  # 1.1s
+    "embed_outlier_prune",  # 1.1s
+    "stats_bootstrap_means",  # 1.1s
+    "stats_chi2_independence",  # 1.1s
+    "stats_gini_lorenz",  # 1.1s
+    "stats_mannwhitney_u",  # 1.1s
     "stats_permutation_test",  # 1.1s
-    "graph_community_modularity",  # 1.2s
-    "multimodal_audio_decimate",  # 1.2s
-    "multimodal_audio_vad",  # 1.2s
-    "multimodal_wht_bands",  # 1.2s
-    "stats_welch_ttest",  # 1.2s
-    "dedup_lsh_scurve",  # 1.3s
-    "embed_matryoshka_recall",  # 1.3s
-    "basket_association_lift",  # 1.4s
-    "layout_partition_pruning",  # 1.4s
-    "events_holt_forecast",  # 1.5s
-    "multimodal_video_motion",  # 1.5s
-    "docs_url_canonicalize",  # 1.7s
-    "events_markov_stationary",  # 1.7s
-    "orders_abc_classes",  # 1.7s
-    "dq_referential_health",  # 1.8s
-    "mix_epoch_plan",  # 1.8s
-    "ann_recall_vs_nprobe",  # 1.9s
-    "graph_kcore_decomposition",  # 2.0s
-    "stats_gini_lorenz",  # 2.1s
-    "dedup_image_ahash_lsh",  # 2.7s
-    "embed_knn_classify",  # 2.7s
-    "stats_mannwhitney_u",  # 2.8s
-    "embed_kmeans_train",  # 3.3s
+    "embed_cosine_histogram",  # 1.2s
+    "graph_triangle_census",  # 1.2s
+    "events_markov_stationary",  # 1.3s
+    "source_orc_roundtrip",  # 1.3s
+    "embed_label_margin",  # 1.4s
+    "orders_abc_classes",  # 1.4s
+    "embed_knn_classify",  # 1.4s
+    "multimodal_gif_decode",  # 1.5s
+    "dq_uniqueness_audit",  # 1.6s
+    "events_peak_concurrency",  # 1.6s
+    "layout_partition_pruning",  # 1.6s
+    "dq_referential_health",  # 1.7s
+    "multimodal_video_motion",  # 1.7s
+    "multimodal_wht_bands",  # 1.7s
+    "sink_partition_overwrite",  # 1.7s
+    "graph_community_modularity",  # 1.7s
+    "multimodal_audio_vad",  # 1.7s
+    "dedup_image_ahash_lsh",  # 1.9s
+    "dedup_incremental_index",  # 2.0s
+    "sketch_cms_width_curve",  # 2.0s
+    "dedup_lsh_scurve",  # 2.1s
+    "ann_recall_vs_nprobe",  # 2.6s
+    "orders_reorder_gap_median",  # 2.8s
+    "graph_degree_distribution",  # 2.9s
+    "multimodal_audio_decimate",  # 2.9s
+    "graph_kcore_decomposition",  # 3.1s
+    "select_pareto_frontier",  # 3.1s
+    "stats_join_size_est",  # 3.5s
     "graph_bfs_levels",  # 3.6s
-    "graph_pagerank_copurchase",  # 4.2s
-    "stats_theilsen_trend",  # 5.6s
-    "dedup_incremental_index",  # 9.8s
+    "source_parquet_mergeschema",  # 3.7s
+    "multimodal_audio_clipping",  # 3.9s
+    "docs_url_canonicalize",  # 5.3s
+    "text_vocab_coverage_curve",  # 5.3s
+    "graph_pagerank_copurchase",  # 5.3s
+    "embed_kmeans_train",  # 5.4s
+    "dq_schema_contract",  # 6.3s
+    "stats_theilsen_trend",  # 8.3s
     # -- last green in r2 --
     "skew_salted_agg",
     "w6_rank_pack",
@@ -365,6 +312,56 @@ _DEBT_FIRST = [
     "sim_ann_index_pq_serve",
     "sim_ann_index_ivfpq_serve",
     "schema_drift_union",
+    # -- last green in r7 --
+    "events_session_coverage",
+    "source_json_roundtrip",
+    "docs_boilerplate_prefixes",
+    "dq_freshness_watermark",
+    "embed_norm_histogram",
+    "sample_kfold_assign",
+    "dq_split_leakage",
+    "events_churn_buckets",
+    "events_first_touch",
+    "events_uplift_by_arm",
+    "orders_basket_size_histogram",
+    "privacy_dp_counts",
+    "privacy_generalization_ladder",
+    "privacy_l_diversity",
+    "source_csv_corrupt_records",
+    "stats_ab_srm",
+    "stats_runs_test",
+    "text_dup_family_spectrum",
+    "text_term_burstiness",
+    "events_hourly_bitmap",
+    "feature_target_encode",
+    "join_asof_tolerance",
+    "layout_zonemap_prune",
+    "orders_priority_mix_drift",
+    "orders_seasonal_index",
+    "sample_class_balance",
+    "scd2_as_of_lookup",
+    "sketch_kmv_distinct",
+    "stats_ols_two_regressors",
+    "stream_dedup_ingest",
+    "text_encoding_quality",
+    "text_good_turing",
+    "text_zipf_topk",
+    "docs_source_quality_matrix",
+    "dq_header_detail_reconcile",
+    "events_activity_streaks",
+    "events_cusum_drift",
+    "events_interarrival_hist",
+    "mix_token_budget_allocation",
+    "orders_hhi_by_nation",
+    "privacy_erasure_audit",
+    "sketch_kmv_jaccard",
+    "stats_capture_recapture",
+    "stream_late_arrivals",
+    "text_rake_keywords",
+    "events_top_paths",
+    "orders_cohort_ltv",
+    "privacy_k_anonymity",
+    "privacy_pseudonymize_join",
 ]
 
 
