@@ -403,7 +403,9 @@ def test_centroid_drift_zero_on_identical_halves(spark):
     assert rows
     for r in rows:
         assert r["n_even"] > 0 and r["n_odd"] > 0
-        assert int(r["drift_sq_scaled"]) >= 0
+        # value = hi*1e9 + lo (BIGINT limbs of the exact decimal)
+        assert r["drift_sq_hi"] >= 0
+        assert 0 <= r["drift_sq_lo"] < 10**9
 
 
 def test_csv_corrupt_records_quarantine(spark):
