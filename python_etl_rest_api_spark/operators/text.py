@@ -178,8 +178,14 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _bpe_symbol_frame(df: DataFrame, text_col: str) -> DataFrame:
     """Shared BPE prelude: word-type frequencies, each word as a string
-    of self-delimited character symbols ('<t><a><b>')."""
-    words = (df.filter(F.col(text_col).isNotNull())
+    of self-delimited character symbols ('<t><a><b>').
+
+    The corpus scan is widened first: the tokenize+explode is the
+    CPU-heavy narrow leg of training, and an under-split parquet scan
+    (10 splits on 32 cores at the 100x point) would run it serially —
+    the widen_scan gate is a no-op once the scan has real splits."""
+    from ..session import widen_scan
+    words = (widen_scan(df.filter(F.col(text_col).isNotNull()))
              .select(F.explode(tokens(text_col)).alias("w"))
              .filter(F.length("w") >= 1)
              .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
@@ -237,24 +243,37 @@ def bpe_merges(df: DataFrame, steps: int = 3,
 
     Returns [(step, 'x y', count)] - the learned merge table.
     """
-    syms = _bpe_symbol_frame(df, text_col)
+    # cache the TYPE table (post-groupBy, vocabulary-bounded — not the
+    # corpus): without it every step's pair count re-runs the full
+    # corpus tokenize+groupBy through the growing replace lineage
+    # (3 corpus scans for 3 merges; measured 11.6s -> ~5s at the 100x
+    # point). Steps recompute only their cheap replace chain on top.
+    base = _bpe_symbol_frame(df, text_col).cache()
+    syms = base
     merges: list[tuple[int, str, int]] = []
-    for step in range(1, steps + 1):
-        # the CASE guard inside _bpe_pair_counts matters here: Spark's
-        # sequence(1, 0) counts DOWN to [1, 0], so a single-symbol word
-        # would index past the array - emit no pairs instead (DuckDB's
-        # range(1, 1) is already empty).
-        pairs = _bpe_pair_counts(syms)
-        best = (pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(1).collect())
-        if not best:
-            break
-        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
-        merges.append((step, pair, cnt))
-        x, y = pair.split(" ")
-        syms = syms.select(
-            F.replace("sym", F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
-            .alias("sym"), "f")
+    try:
+        for step in range(1, steps + 1):
+            # the CASE guard inside _bpe_pair_counts matters here:
+            # Spark's sequence(1, 0) counts DOWN to [1, 0], so a
+            # single-symbol word would index past the array - emit no
+            # pairs instead (DuckDB's range(1, 1) is already empty).
+            pairs = _bpe_pair_counts(syms)
+            best = (pairs.orderBy(F.col("cnt").desc(),
+                                  F.col("pair").asc())
+                    .limit(1).collect())
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            merges.append((step, pair, cnt))
+            x, y = pair.split(" ")
+            syms = syms.select(
+                F.replace("sym", F.lit(f"<{x}><{y}>"),
+                          F.lit(f"<{x}+{y}>")).alias("sym"), "f")
+    finally:
+        try:
+            base.unpersist()
+        except Exception:
+            pass
     return merges
 
 
@@ -289,8 +308,13 @@ def bpe_encode_counts(df: DataFrame, merges: list[tuple[int, str, int]],
                             F.lit(f"<{x}+{y}>"))
         return F.size(F.split(sym, "><"))
 
+    from ..session import widen_scan
     words = F.filter(tokens(text_col), lambda w: F.length(w) >= 1)
-    return (df.filter(F.col(text_col).isNotNull())
+    # widen: the encode is the CPU-heavy narrow map this docstring
+    # describes; an under-split scan would serialize it (10 of 32
+    # cores at the 100x point, measured 27s -> ~9s widened). No-op
+    # once the scan has >= half-core splits.
+    return (widen_scan(df.filter(F.col(text_col).isNotNull()))
             .select("doc_id",
                     F.size(words).cast("long").alias("n_words"),
                     F.aggregate(words, F.lit(0),
@@ -332,30 +356,39 @@ def bpe_merges_batched(df: DataFrame, steps: int = 8, round_size: int = 4,
     if steps % round_size:
         raise ValueError("steps must be a multiple of round_size "
                          "(positional numbering keeps the oracle aligned)")
-    syms = _bpe_symbol_frame(df, text_col)
+    # same type-table cache as bpe_merges: rounds re-aggregate the
+    # cached vocabulary through their replace chains, not the corpus
+    base = _bpe_symbol_frame(df, text_col).cache()
+    syms = base
     merges: list[tuple[int, str, int]] = []
-    for rnd in range(steps // round_size):
-        cand = (_bpe_pair_counts(syms)
-                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(window).collect())
-        if not cand:
-            break
-        used: set[str] = set()
-        sym_col = F.col("sym")
-        picked = 0
-        for r in cand:
-            x, y = r["pair"].split(" ")
-            if x in used or y in used:
-                continue
-            used.update((x, y))
-            picked += 1
-            merges.append((rnd * round_size + picked,
-                           r["pair"], int(r["cnt"])))
-            sym_col = F.replace(
-                sym_col, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
-            if picked == round_size:
+    try:
+        for rnd in range(steps // round_size):
+            cand = (_bpe_pair_counts(syms)
+                    .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                    .limit(window).collect())
+            if not cand:
                 break
-        syms = syms.select(sym_col.alias("sym"), "f")
+            used: set[str] = set()
+            sym_col = F.col("sym")
+            picked = 0
+            for r in cand:
+                x, y = r["pair"].split(" ")
+                if x in used or y in used:
+                    continue
+                used.update((x, y))
+                picked += 1
+                merges.append((rnd * round_size + picked,
+                               r["pair"], int(r["cnt"])))
+                sym_col = F.replace(
+                    sym_col, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
+                if picked == round_size:
+                    break
+            syms = syms.select(sym_col.alias("sym"), "f")
+    finally:
+        try:
+            base.unpersist()
+        except Exception:
+            pass
     return merges
 
 
