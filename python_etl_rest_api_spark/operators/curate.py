@@ -52,7 +52,12 @@ def curate_documents(df: DataFrame, id_col: str = "doc_id",
     ]
     best = F.array_max(F.array(*hit_cols))
     n_tokens = F.size(toks)
-    staged = df.select(
+    # widen: language-ID (one stopword-membership filter per language)
+    # + lexical-diversity scoring is the funnel's CPU-heavy narrow leg;
+    # an under-split corpus scan would serialize it (10 of 32 cores at
+    # the 100x point). No-op once the scan has >= half-core splits.
+    from ..session import widen_scan
+    staged = widen_scan(df).select(
         id_col, text_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
         .alias("predicted_lang"),

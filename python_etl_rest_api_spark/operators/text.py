@@ -94,7 +94,8 @@ def chunk_windows(df: DataFrame, text_col: str = "text",
     runs out). One narrow projection + posexplode - no shuffle, no UDF;
     at 100 TB this is a pure map stage whose output row count is
     n_tokens/stride per doc."""
-    staged = df.select("doc_id", tokens(text_col).alias("_toks"))
+    from ..session import widen_scan
+    staged = widen_scan(df).select("doc_id", tokens(text_col).alias("_toks"))
     n = F.size("_toks")
     # NULL/empty guard: size(NULL) is -1 under non-ANSI defaults and
     # sequence(0, -2, stride) THROWS 'Illegal sequence boundaries' at
