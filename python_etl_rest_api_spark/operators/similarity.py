@@ -69,7 +69,11 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
     never shuffles. Ranking window partitions by qid (k small -> window
     state tiny); ties broken by neighbor id for determinism.
     """
-    corpus = valid_vectors(corpus, vec_col)
+    from ..session import widen_scan
+    # widen: the per-row dot-product fold (64 double multiplies per
+    # query) is CPU-bound; an under-split corpus scan serializes it
+    # (12 of 32 cores at the 100x point). No-op at real scan widths.
+    corpus = widen_scan(valid_vectors(corpus, vec_col))
     queries = valid_vectors(queries, "qv")
     pairs = (corpus.join(F.broadcast(queries),
                          F.col(qid_col) != F.col(id_col))
