@@ -25,6 +25,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
 }
+# NOT tuned here: spark.sql.files.openCostInBytes. Lowering it raises
+# the REPORTED split count (a 34 MB table goes 10 -> 32 "splits"), but
+# parquet splits cannot cross row-group boundaries, so a 2-file /
+# 1-row-group-each table still runs 2 real tasks - and the inflated
+# count fooled widen_scan's gate into skipping its repartition
+# (measured: dedup_minhash_lsh 18.5s -> 85s at the 100x point).
+# widen_scan now measures row groups directly; see _effective_scan_units.
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -69,6 +76,50 @@ def no_pushdown_barrier(df):
     return df.filter(F.monotonically_increasing_id() >= F.lit(-1))
 
 
+# Above this input size the repartition's extra materialization of the
+# whole scan outweighs idle cores: a big scan either feeds a shuffle
+# anyway (joins/aggs re-distribute downstream) or amortizes its decode
+# across enough real splits. 256 MB on 32 cores is ~8 MB/core - a
+# sub-second round robin.
+_WIDEN_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _scan_shape(df, cores: int) -> tuple[int, int | None]:
+    """(effective parallel units, total input bytes|None) of a
+    freshly-scanned frame.
+
+    ``getNumPartitions()`` over-reports for coarse parquet: splits
+    cannot cross row-group boundaries, so a 2-file table whose files
+    hold one row group each runs TWO real tasks no matter how many
+    byte-range splits the planner printed (the 100x corpus measured
+    32 reported / 2 non-empty, and the inflated count disabled
+    widen_scan exactly where it was needed). When the scan has few
+    enough input files to inspect cheaply, cap the reported count by
+    the total parquet row-group count and sum file sizes (driver-side
+    footer/stat reads, one per file); many files, non-parquet sources,
+    or any failure fall back to (reported count, None) - at real scan
+    widths the file count alone already exceeds the gate."""
+    parts = df.rdd.getNumPartitions()
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return parts, None
+    if not files or len(files) > max(cores, 64):
+        return parts, None
+    try:
+        import pyarrow.parquet as pq
+        row_groups, nbytes = 0, 0
+        for f in files:
+            path = f.removeprefix("file://").removeprefix("file:")
+            if not path.endswith(".parquet"):
+                return parts, None
+            row_groups += pq.ParquetFile(path).metadata.num_row_groups
+            nbytes += os.path.getsize(path)
+        return min(parts, row_groups), nbytes
+    except Exception:
+        return parts, None
+
+
 def widen_scan(df, min_factor: int = 2):
     """Rebalance a freshly-scanned frame across all cores when the scan
     itself yields too few splits to use them.
@@ -93,7 +144,14 @@ def widen_scan(df, min_factor: int = 2):
     """
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= cores:
+    units, nbytes = _scan_shape(df, cores)
+    if units * min_factor <= cores \
+            and (nbytes is None or nbytes <= _WIDEN_MAX_BYTES):
+        # size veto: an 880 MB lineitem scan with 8 row groups IS
+        # under-split, but its consumers join/aggregate (shuffle and
+        # re-distribute anyway) - widening it just re-materializes the
+        # scan (q21 at 100x measured 13.3s -> 20.5s widened). Small
+        # under-split scans feeding CPU-heavy narrow legs are the win.
         # barrier: without it Catalyst pushes downstream filters (with
         # their full derivation chains substituted in) below this
         # exchange onto the un-widened scan - the exact serial hot spot
