@@ -364,3 +364,57 @@ def test_url_canonicalize_is_pure_map(spark):
     df = ci.docs_url_canonicalize(spark, SF)
     assert shuffle_count(df) == 0
     assert "BatchEvalPython" not in simple_plan(df)
+
+
+def test_widen_scan_counts_row_groups_not_reported_splits(spark, tmp_path):
+    """Parquet splits cannot cross row-group boundaries: a 2-file /
+    1-row-group-each table runs 2 real tasks no matter how many
+    byte-range splits the planner reports (the 100x corpus measured
+    32 reported / 2 non-empty, which silenced the old
+    getNumPartitions()-based gate exactly where widening was needed —
+    dedup_minhash_lsh 18.5 -> 85 s). The gate must see TRUE units."""
+    from python_etl_rest_api_spark.session import (
+        _scan_shape,
+        widen_scan,
+    )
+
+    path = str(tmp_path / "coarse")
+    spark.range(200_000).selectExpr(
+        "id", "repeat('x', 64) AS pad").repartition(2) \
+        .write.parquet(path)
+    df = spark.read.parquet(path)
+    cores = spark.sparkContext.defaultParallelism
+    units, nbytes = _scan_shape(df, cores)
+    assert units == 2              # row groups, not reported splits
+    assert nbytes and nbytes > 0
+    widened = widen_scan(df)
+    assert widened.rdd.getNumPartitions() == cores
+
+
+def test_widen_scan_size_veto_leaves_big_scans_alone(spark, tmp_path, monkeypatch):
+    """Widening re-materializes the whole scan; above _WIDEN_MAX_BYTES
+    the idle cores are cheaper than the extra pass (q21's 880 MB
+    join-feeding lineitem scan measured 13.3 -> 20.5 s widened)."""
+    from python_etl_rest_api_spark import session as S
+
+    path = str(tmp_path / "big")
+    spark.range(50_000).selectExpr("id").repartition(2).write.parquet(path)
+    df = spark.read.parquet(path)
+    monkeypatch.setattr(S, "_WIDEN_MAX_BYTES", 1)   # everything is "big"
+    assert S.widen_scan(df) is df                   # untouched
+    monkeypatch.setattr(S, "_WIDEN_MAX_BYTES", 1 << 40)
+    assert S.widen_scan(df) is not df               # small again -> widened
+
+
+def test_widen_scan_non_file_frames_fall_back_to_partition_count(spark):
+    """Frames with no file source (createDataFrame/range) must use the
+    reported partition count, not crash on footer inspection."""
+    from python_etl_rest_api_spark.session import _scan_shape, widen_scan
+
+    cores = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000, numPartitions=2)
+    units, nbytes = _scan_shape(narrow, cores)
+    assert units == 2 and nbytes is None
+    assert widen_scan(narrow).rdd.getNumPartitions() == cores
+    wide = spark.range(1000, numPartitions=cores)
+    assert widen_scan(wide) is wide
