@@ -145,12 +145,16 @@ def parse_cursor(view, after: str) -> tuple:
     # one-row local probe job: try_cast evaluates every cast the keyset
     # predicate would perform (malformed input -> NULL instead of an
     # ANSI runtime error mid-paginate), surfacing garbage cells as a
-    # 400 up front; type-impossible casts still raise at analysis
+    # 400 up front; type-impossible casts still raise at ANALYSIS.
+    # Only analysis errors map to 400 — a genuine server-side failure
+    # (stopped session, executor loss) must propagate as the 500 it
+    # is, not be blamed on the client's cursor.
+    from pyspark.errors import AnalysisException
     try:
         probe = view.sparkSession.range(1).select(
             *[F.lit(v).try_cast(view.schema[c].dataType).alias(f"c{i}")
               for i, (c, v) in enumerate(zip(cols, cursor))]).first()
-    except Exception:
+    except AnalysisException:
         raise ValueError("cursor cells are not castable to the view's "
                          f"column types ({cols})")
     uncastable = [cols[i] for i, v in enumerate(cursor)

@@ -151,15 +151,17 @@ def stats_mannwhitney_u(spark, sf_dir):
     j AS (
       SELECT c.et AS event_type, c.bucket, c.o_cnt,
              r.row_total, t.col_total, n.n_total,
-             CAST(c.o_cnt AS DOUBLE) * n.n_total
-               - CAST(r.row_total AS DOUBLE) * t.col_total AS diff_d
+             CAST(CAST(c.o_cnt AS HUGEINT) * n.n_total
+                  - CAST(r.row_total AS HUGEINT) * t.col_total
+                  AS DOUBLE) AS diff_d
       FROM cell c
       JOIN rt r ON r.et = c.et
       JOIN ct t ON t.bucket = c.bucket
       CROSS JOIN n)
     SELECT event_type, bucket, o_cnt, row_total, col_total, n_total,
            diff_d * diff_d AS chi2_num,
-           CAST(row_total AS DOUBLE) * col_total * n_total AS chi2_den
+           CAST(CAST(row_total AS HUGEINT) * col_total * n_total
+                AS DOUBLE) AS chi2_den
     FROM j
 """)
 def stats_chi2_independence(spark, sf_dir):
@@ -167,13 +169,18 @@ def stats_chi2_independence(spark, sf_dir):
     published as the per-cell rational decomposition instead of a
     pre-summed float statistic: (O - E)^2/E == (O*N - r*c)^2 / (r*c*N),
     so each cell carries chi2_num = (O*N - r*c)^2 and chi2_den = r*c*N.
-    Both are DOUBLE built from pure products of exact integers — no
-    order-dependent float sums anywhere, so every IEEE-754 multiply is
-    correctly rounded and bit-identical across engines (the r7 driver
-    red proved DECIMAL(38,0) finals are NOT hash-stable: DuckDB's
-    pandas path renders them float64 while Spark keeps exact Decimal).
-    A consumer sums num/den ratios per cell at whatever precision it
-    wants; the ENGINE never performs an order-dependent float sum.
+    Numeric recipe: diff = O*N - r*c is computed EXACTLY in wide
+    integers (decimal(38,0) / HUGEINT — computing it in double would
+    catastrophically cancel once O*N passes 2^53, i.e. exactly the
+    near-null-hypothesis cells a chi-square exists to measure), cast
+    ONCE to DOUBLE, then squared in double; den is the exact integer
+    product cast once. Finals are DOUBLE because the r7 driver red
+    proved DECIMAL(38,0) finals are NOT hash-stable (DuckDB's pandas
+    path renders them float64 while Spark keeps exact Decimal); at
+    driver scales every value is under 2^53 so the casts are exact and
+    bit-identical cross-engine. No order-dependent float sums anywhere;
+    a consumer sums num/den ratios per cell at whatever precision it
+    wants.
 
     Plan: one narrow scan feeds four tiny aggregations (cells, row
     totals, col totals, grand total) joined broadcast — no windows, no
@@ -192,16 +199,17 @@ def stats_chi2_independence(spark, sf_dir):
     rt = ev.groupBy("et").agg(F.count(F.lit(1)).alias("row_total"))
     ct = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("col_total"))
     n = ev.agg(F.count(F.lit(1)).alias("n_total"))
-    diff_d = (F.col("o_cnt").cast("double") * F.col("n_total")
-              - F.col("row_total").cast("double") * F.col("col_total"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    diff_d = (d19("o_cnt") * F.col("n_total")
+              - d19("row_total") * F.col("col_total")).cast("double")
     return (cell.join(F.broadcast(rt), "et")
             .join(F.broadcast(ct), "bucket")
             .crossJoin(F.broadcast(n))
             .select(F.col("et").alias("event_type"), "bucket", "o_cnt",
                     "row_total", "col_total", "n_total",
                     (diff_d * diff_d).alias("chi2_num"),
-                    (F.col("row_total").cast("double")
-                     * F.col("col_total") * F.col("n_total"))
+                    (d19("row_total") * F.col("col_total")
+                     * F.col("n_total")).cast("double")
                     .alias("chi2_den")))
 
 
@@ -860,6 +868,27 @@ def privacy_dp_counts(spark, sf_dir):
          .cast("long").alias("released_count"))
 
 
+def _limb_cols(col: str, prefix: str):
+    """Three BIGINT limbs (base 1e12) of a non-negative decimal(38,0)
+    column: value = hi*1e24 + mid*1e12 + lo. Covers the ENTIRE
+    decimal(38,0)/int128 range (hi <= ~1.7e14), unlike a two-limb
+    base-1e9 split whose hi overflows BIGINT past ~9.2e27 with
+    DIVERGENT behavior (Spark ``div`` -> NULL, DuckDB CAST -> error).
+    The first division is by 1e24 DIRECTLY — ``div`` yields BIGINT, so
+    dividing by 1e12 first would overflow the intermediate. The 1e24
+    literal parses as DECIMAL(25,0) in Spark (too wide for a long),
+    keeping the quotient path in decimal until the final bounded
+    casts."""
+    d24 = "1000000000000000000000000"   # 1e24 -> DECIMAL literal
+    d12 = "1000000000000"               # 1e12 -> BIGINT literal
+    return (
+        F.expr(f"CAST({col} div {d24} AS BIGINT)").alias(f"{prefix}_hi"),
+        F.expr(f"CAST(({col} % {d24}) div {d12} AS BIGINT)")
+        .alias(f"{prefix}_mid"),
+        F.expr(f"CAST({col} % {d12} AS BIGINT)").alias(f"{prefix}_lo"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Embedding outlier pruning — exact scaled integer distances
 # ---------------------------------------------------------------------
@@ -891,8 +920,11 @@ def privacy_dp_counts(spark, sf_dir):
              COUNT(*) OVER (PARTITION BY label) AS n_label
       FROM d)
     SELECT label, vec_id,
-           CAST(dist_sq_scaled // 1000000000 AS BIGINT) AS dist_sq_hi,
-           CAST(dist_sq_scaled % 1000000000 AS BIGINT) AS dist_sq_lo
+           CAST(dist_sq_scaled // 1000000000000000000000000
+                AS BIGINT) AS dist_sq_hi,
+           CAST((dist_sq_scaled % 1000000000000000000000000)
+                // 1000000000000 AS BIGINT) AS dist_sq_mid,
+           CAST(dist_sq_scaled % 1000000000000 AS BIGINT) AS dist_sq_lo
     FROM r WHERE rk <= (n_label + 9) // 10
 """)
 def embed_outlier_prune(spark, sf_dir):
@@ -902,10 +934,14 @@ def embed_outlier_prune(spark, sf_dir):
     training. EXACT integer arithmetic throughout: values quantize to
     milli-units, and the squared distance to the RATIONAL mean is
     computed scale-free as sum((n*x_i - s_i)^2) (the stats_acf_daily
-    substitution) — exact 128-bit/decimal internally, PUBLISHED as two
-    BIGINT limbs (value = hi*1e9 + lo) because DECIMAL(38,0) finals
-    are not driver-hash-stable (DuckDB's pandas path renders them
-    float64; the r7 chi2 red). The 10% cut uses ceil(n/10) with
+    substitution) — exact 128-bit/decimal internally, PUBLISHED as
+    three BIGINT limbs (value = hi*1e24 + mid*1e12 + lo) because
+    DECIMAL(38,0) finals are not driver-hash-stable (DuckDB's pandas
+    path renders them float64; the r7 chi2 red). Three base-1e12 limbs
+    cover the ENTIRE decimal(38,0)/int128 range (hi <= ~1.7e14), so no
+    input can overflow a limb — a two-limb base-1e9 split capped at
+    ~9.2e27 with DIVERGENT overflow behavior (Spark div -> NULL,
+    DuckDB cast -> error). The 10% cut uses ceil(n/10) with
     (dist DESC, vec_id) total order — boundary-deterministic.
 
     Plan: posexplode shuffles (label, pos) cells, the per-label
@@ -932,8 +968,5 @@ def embed_outlier_prune(spark, sf_dir):
     return (d.withColumn("rk", F.row_number().over(w))
             .join(F.broadcast(nl), "label")
             .filter(F.col("rk") <= (F.col("n_label") + 9) / 10)
-            .select("label", "vec_id",
-                    F.expr("CAST(dist_sq_scaled div 1000000000 "
-                           "AS BIGINT)").alias("dist_sq_hi"),
-                    F.expr("CAST(dist_sq_scaled % 1000000000 "
-                           "AS BIGINT)").alias("dist_sq_lo")))
+            .select("label", "vec_id", *_limb_cols("dist_sq_scaled",
+                                                   "dist_sq")))

@@ -474,23 +474,29 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 _JSON_WRITTEN: set[str] = set()
 
 
-def _json_scratch(sf_dir: str) -> str:
-    """Fixed per-(uid, pid, sf_dir) scratch path for the JSONL rewrite.
+_JSON_SCRATCH: dict[str, str] = {}
 
-    Deterministic (md5 of sf_dir) instead of tempfile.mkdtemp so that
-    repeated runs IN ONE PROCESS overwrite a single directory rather
-    than each leaking a fresh JSONL copy of events. The path embeds
-    uid and pid: mode("overwrite") is delete-then-rewrite (not atomic
-    for readers), so two processes sharing one path could clobber each
-    other mid-read, and a predictable /tmp name is a symlink-planting
-    surface on multi-user hosts. Per-process leakage is bounded: one
-    events-sized JSONL per live process, reaped with the OS tempdir.
-    """
-    import hashlib
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    uid = getattr(os, "getuid", lambda: 0)()
-    return os.path.join(tempfile.gettempdir(),
-                        f"json_events_u{uid}_p{os.getpid()}_{tag}")
+
+def _json_scratch(sf_dir: str) -> str:
+    """Per-process scratch directory for the JSONL rewrite of one
+    corpus: an UNPREDICTABLE tempfile.mkdtemp path, created once per
+    (process, sf_dir) and cached in a module global so repeated runs
+    in one process overwrite a single directory instead of each
+    leaking a fresh events-sized JSONL. mkdtemp (0700, random suffix)
+    is what actually closes the multi-user /tmp hazards: any
+    DETERMINISTIC name — even one embedding uid+pid — is enumerable
+    and pre-creatable (symlink planting), and mode("overwrite") is
+    delete-then-rewrite, not atomic for a concurrent reader of a
+    shared path. Leakage is bounded to one directory per live process
+    per corpus, reaped with the OS tempdir; best-effort cleanup at
+    interpreter exit."""
+    if sf_dir not in _JSON_SCRATCH:
+        d = tempfile.mkdtemp(prefix="json_events_")
+        import atexit
+        import shutil as _sh
+        atexit.register(_sh.rmtree, d, True)
+        _JSON_SCRATCH[sf_dir] = os.path.join(d, "events_jsonl")
+    return _JSON_SCRATCH[sf_dir]
 
 
 @query("source_json_roundtrip", f"""

@@ -2131,8 +2131,12 @@ def text_zipf_topk(spark, sf_dir):
                AS drift_sq_scaled
       FROM p GROUP BY label)
     SELECT label, n_even, n_odd,
-           CAST(drift_sq_scaled // 1000000000 AS BIGINT) AS drift_sq_hi,
-           CAST(drift_sq_scaled % 1000000000 AS BIGINT) AS drift_sq_lo
+           CAST(drift_sq_scaled // 1000000000000000000000000
+                AS BIGINT) AS drift_sq_hi,
+           CAST((drift_sq_scaled % 1000000000000000000000000)
+                // 1000000000000 AS BIGINT) AS drift_sq_mid,
+           CAST(drift_sq_scaled % 1000000000000 AS BIGINT)
+                AS drift_sq_lo
     FROM d
 """)
 def embed_centroid_drift(spark, sf_dir):
@@ -2144,15 +2148,17 @@ def embed_centroid_drift(spark, sf_dir):
     means sums (s0*n1 - s1*n0)^2 per dimension — the cross-multiplied
     mean-difference that never divides (the embed_outlier_prune
     substitution, two-sample form), scaled by (n0*n1)^2. Exact
-    128-bit/decimal internally, PUBLISHED as two BIGINT limbs
-    (value = hi*1e9 + lo): DECIMAL(38,0) finals are not
-    driver-hash-stable (DuckDB's pandas path renders them float64 —
-    the r7 chi2 red). A label whose drift spikes between snapshots is
-    re-indexed.
+    128-bit/decimal internally, PUBLISHED as three BIGINT limbs
+    (value = hi*1e24 + mid*1e12 + lo; base-1e12 limbs cover the whole
+    decimal(38,0)/int128 range — see catalog_infer._limb_cols):
+    DECIMAL(38,0) finals are not driver-hash-stable (DuckDB's pandas
+    path renders them float64 — the r7 chi2 red). A label whose drift
+    spikes between snapshots is re-indexed.
 
     Plan: posexplode shuffles (label, half, pos) cells once; the two
     halves align with one partial-aggregate equi-join; output is
     O(labels). Reference N/A."""
+    from .catalog_infer import _limb_cols
     from .operators import similarity
     tune(spark)
     emb = (similarity.valid_vectors(
@@ -2180,10 +2186,7 @@ def embed_centroid_drift(spark, sf_dir):
                  F.sum(diff * diff).cast("decimal(38,0)")
                  .alias("drift_sq_scaled"))
             .select("label", "n_even", "n_odd",
-                    F.expr("CAST(drift_sq_scaled div 1000000000 "
-                           "AS BIGINT)").alias("drift_sq_hi"),
-                    F.expr("CAST(drift_sq_scaled % 1000000000 "
-                           "AS BIGINT)").alias("drift_sq_lo")))
+                    *_limb_cols("drift_sq_scaled", "drift_sq")))
 
 
 # ---------------------------------------------------------------------

@@ -101,25 +101,59 @@ def _prune_versions(path: str, versions: str, keep: int) -> None:
     newer ones committed, and pruning it would leave ``path`` a
     dangling symlink — readers must never observe a missing table.
     Claimed-but-uncommitted directories are not touched here (see
-    _reap_stale_claims)."""
-    try:
-        live = os.path.realpath(path)
-    except OSError:
-        live = None
+    _reap_stale_claims).
+
+    The live check is re-resolved immediately before EACH rmtree: a
+    one-shot resolve would race a concurrent late flip landing between
+    the read and the delete. Re-resolving shrinks that window to the
+    realpath->rmtree gap; closing it entirely needs a lock or a
+    Delta-style commit log, which this container cannot host — the
+    residual race requires a writer to flip BACKWARD to a
+    beyond-retention version in that microsecond gap, in which case
+    the next write's flip self-heals the link."""
     for n in list_versions(path)[:-max(keep, 1)]:
         vdir = os.path.join(versions, f"v{n}")
-        if live is not None and os.path.realpath(vdir) == live:
-            continue
+        try:
+            if os.path.realpath(vdir) == os.path.realpath(path):
+                continue
+        except OSError:
+            pass
         shutil.rmtree(vdir, ignore_errors=True)
+
+
+def _claim_age(vdir: str) -> float:
+    """Newest mtime anywhere in a claim directory's tree (bounded
+    walk). The claim dir's OWN mtime goes stale the moment Spark
+    mkdirs ``_temporary`` — in-flight part files land under
+    ``_temporary/0/_attempt*/task*/`` and never touch the top-level
+    dir, so judging freshness by the root mtime alone would reap a
+    legitimately long-running (> threshold) write mid-job. A claim's
+    tree is small while uncommitted (task dirs + part files), so the
+    walk is cheap; any statted entry newer than the root refreshes the
+    claim."""
+    newest = 0.0
+    try:
+        for root, _dirs, files in os.walk(vdir):
+            for name in [""] + files:     # "" stats the dir itself
+                try:
+                    newest = max(newest,
+                                 os.stat(os.path.join(root, name))
+                                 .st_mtime)
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
 
 
 def _reap_stale_claims(versions: str) -> None:
     """Garbage-collect claim directories whose writer crashed: mkdir'd
-    but never committed (_SUCCESS absent) and untouched for longer than
-    _STALE_CLAIM_SECS. Without this, every crashed writer leaks its
-    claim forever (prune only ever removes COMMITTED versions). The age
-    threshold is deliberately generous — a live writer's Spark job
-    keeps the directory mtime fresh as part files land."""
+    but never committed (_SUCCESS absent) and with NOTHING in their
+    tree touched for longer than _STALE_CLAIM_SECS (see _claim_age —
+    a live writer refreshes task/part entries under ``_temporary`` as
+    it runs, even though the claim root's own mtime goes stale at job
+    start). Without this, every crashed writer leaks its claim forever
+    (prune only ever removes COMMITTED versions)."""
     now = time.time()
     for d in os.listdir(versions):
         if not (d.startswith("v") and d[1:].isdigit()):
@@ -127,11 +161,9 @@ def _reap_stale_claims(versions: str) -> None:
         vdir = os.path.join(versions, d)
         if os.path.exists(os.path.join(vdir, "_SUCCESS")):
             continue
-        try:
-            if now - os.stat(vdir).st_mtime > _STALE_CLAIM_SECS:
-                shutil.rmtree(vdir, ignore_errors=True)
-        except OSError:
-            continue  # racing its writer's commit; leave it
+        age_anchor = _claim_age(vdir)
+        if age_anchor and now - age_anchor > _STALE_CLAIM_SECS:
+            shutil.rmtree(vdir, ignore_errors=True)
 
 
 def list_versions(path: str) -> list[int]:
@@ -195,7 +227,14 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     versions = path.rstrip("/") + ".versions"
     os.makedirs(versions, exist_ok=True)
     claimed, target = _claim_version(versions)
-    df.write.mode("overwrite").parquet(target)
+    # append, NOT overwrite: overwrite DELETES the target dir before
+    # rewriting it, and in that window the mkdir claim is void — a
+    # concurrent _claim_version would see the slot free and reclaim the
+    # same v{N} (two writers mixing part files in one version). The
+    # claim dir is empty by construction (mkdir just succeeded), so
+    # append writes the identical content while the directory — the
+    # claim token itself — exists continuously.
+    df.write.mode("append").parquet(target)
 
     # unique per CLAIM, not per process: two threads of one pid flipping
     # concurrently must not share a staging link (one could unlink or

@@ -31,7 +31,7 @@ RUNTIME_CONF = {
 # 1-row-group-each table still runs 2 real tasks - and the inflated
 # count fooled widen_scan's gate into skipping its repartition
 # (measured: dedup_minhash_lsh 18.5s -> 85s at the 100x point).
-# widen_scan now measures row groups directly; see _effective_scan_units.
+# widen_scan now measures row groups directly; see _scan_shape.
 
 
 def tune(spark: SparkSession) -> SparkSession:
@@ -105,17 +105,26 @@ def _scan_shape(df, cores: int) -> tuple[int, int | None]:
     except Exception:
         return parts, None
     if not files or len(files) > max(cores, 64):
+        # many files = the scan is wide anyway; no files = in-memory
+        # frame (sizes are meaningless, partition count is honest)
         return parts, None
     try:
         import pyarrow.parquet as pq
-        row_groups, nbytes = 0, 0
+        row_groups, nbytes, all_parquet = 0, 0, True
         for f in files:
             path = f.removeprefix("file://").removeprefix("file:")
-            if not path.endswith(".parquet"):
-                return parts, None
-            row_groups += pq.ParquetFile(path).metadata.num_row_groups
             nbytes += os.path.getsize(path)
-        return min(parts, row_groups), nbytes
+            if path.endswith(".parquet"):
+                row_groups += (pq.ParquetFile(path)
+                               .metadata.num_row_groups)
+            else:
+                # non-parquet (csv/json/gz): no row-group notion, keep
+                # the reported split count — but still return the byte
+                # total so the size veto applies (a 1-split multi-GB
+                # gzip must NOT be re-materialized by a widen)
+                all_parquet = False
+        return (min(parts, row_groups) if all_parquet else parts,
+                nbytes)
     except Exception:
         return parts, None
 

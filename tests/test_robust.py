@@ -403,9 +403,42 @@ def test_centroid_drift_zero_on_identical_halves(spark):
     assert rows
     for r in rows:
         assert r["n_even"] > 0 and r["n_odd"] > 0
-        # value = hi*1e9 + lo (BIGINT limbs of the exact decimal)
+        # value = hi*1e24 + mid*1e12 + lo (BIGINT limbs, base 1e12)
         assert r["drift_sq_hi"] >= 0
-        assert 0 <= r["drift_sq_lo"] < 10**9
+        assert 0 <= r["drift_sq_mid"] < 10**12
+        assert 0 <= r["drift_sq_lo"] < 10**12
+
+
+def test_limb_split_covers_full_decimal38_range(spark):
+    """The base-1e12 3-limb split must reassemble exactly across the
+    WHOLE decimal(38,0) range — including values whose 2-limb base-1e9
+    hi would overflow BIGINT (Spark div -> NULL vs DuckDB cast ->
+    error, the divergence the 3-limb shape exists to remove)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from python_etl_rest_api_spark.catalog_infer import _limb_cols
+
+    vals = [0, 1, 999999999999, 10**12, 9223372036854775807,
+            9 * 10**27 + 123456789,            # 2-limb base-1e9 overflow
+            10**37 + 987654321012345678901234567]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string") \
+        .select(F.col("s").cast("decimal(38,0)").alias("d"))
+    got = {r["d_hi"] * 10**24 + r["d_mid"] * 10**12 + r["d_lo"]
+           for r in df.select(*_limb_cols("d", "d")).collect()}
+    assert got == set(vals)
+
+    con = duckdb.connect()
+    for v in vals:
+        hi, mid, lo = con.execute(
+            f"SELECT CAST(CAST('{v}' AS HUGEINT) // "
+            "1000000000000000000000000 AS BIGINT), "
+            f"CAST((CAST('{v}' AS HUGEINT) % "
+            "1000000000000000000000000) // 1000000000000 AS BIGINT), "
+            f"CAST(CAST('{v}' AS HUGEINT) % 1000000000000 AS BIGINT)"
+        ).fetchone()
+        assert hi * 10**24 + mid * 10**12 + lo == v
 
 
 def test_csv_corrupt_records_quarantine(spark):
