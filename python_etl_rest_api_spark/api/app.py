@@ -115,6 +115,30 @@ def paginate(view, limit: int, offset: int = 0, after: tuple | None = None):
     return rows, limit, offset
 
 
+def _folded_nulls(probe_df):
+    """Per-column null-ness of a fully foldable projection, read off the
+    optimized logical plan instead of executing a job.
+
+    ConstantFolding rewrites ``Project [try_cast(lit) ...]`` to
+    ``Project [Literal ...]`` during ``optimizedPlan()``, which runs
+    entirely on the driver. Returns ``[bool, ...]`` (True = folded to
+    NULL), or None when any projection did not fold to a plain Literal
+    (caller falls back to executing the one-row probe)."""
+    try:
+        exprs = probe_df._jdf.queryExecution().optimizedPlan().expressions()
+        nulls = []
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "Alias":
+                e = e.child()
+            if e.getClass().getSimpleName() != "Literal":
+                return None
+            nulls.append(e.value() is None)
+        return nulls
+    except Exception:  # py4j internals shifted — use the execute path
+        return None
+
+
 def parse_cursor(view, after: str) -> tuple:
     """Validate and decode a keyset cursor (the ``after`` query param).
 
@@ -141,24 +165,43 @@ def parse_cursor(view, after: str) -> tuple:
     if bad:
         raise ValueError("cursor cells must be JSON scalars or null; "
                          f"nested values at {bad}")
+    # JSON ints are arbitrary-precision but F.lit is int64: a cell like
+    # 10**30 raises Py4JError (NumberFormatException) at lit
+    # CONSTRUCTION — not AnalysisException — and would escape the
+    # ValueError->400 mapping as an unhandled 500. Bound-check first.
+    wide = [cols[i] for i, v in enumerate(parsed)
+            if isinstance(v, int) and not isinstance(v, bool)
+            and not (-(2 ** 63) <= v < 2 ** 63)]
+    if wide:
+        raise ValueError("integer cursor cells exceed 64-bit range at "
+                         f"{wide}")
     cursor = tuple(parsed)
-    # one-row local probe job: try_cast evaluates every cast the keyset
-    # predicate would perform (malformed input -> NULL instead of an
-    # ANSI runtime error mid-paginate), surfacing garbage cells as a
-    # 400 up front; type-impossible casts still raise at ANALYSIS.
-    # Only analysis errors map to 400 — a genuine server-side failure
-    # (stopped session, executor loss) must propagate as the 500 it
-    # is, not be blamed on the client's cursor.
+    # cast probe: try_cast evaluates every cast the keyset predicate
+    # would perform (malformed input -> NULL instead of an ANSI runtime
+    # error mid-paginate), surfacing garbage cells as a 400 up front;
+    # type-impossible casts still raise at ANALYSIS. Only analysis
+    # errors map to 400 — a genuine server-side failure (stopped
+    # session, executor loss) must propagate as the 500 it is, not be
+    # blamed on the client's cursor.
     from pyspark.errors import AnalysisException
     try:
-        probe = view.sparkSession.range(1).select(
+        probe_df = view.sparkSession.range(1).select(
             *[F.lit(v).try_cast(view.schema[c].dataType).alias(f"c{i}")
-              for i, (c, v) in enumerate(zip(cols, cursor))]).first()
+              for i, (c, v) in enumerate(zip(cols, cursor))])
     except AnalysisException:
         raise ValueError("cursor cells are not castable to the view's "
                          f"column types ({cols})")
+    # Evaluate WITHOUT a Spark job: every try_cast above is foldable,
+    # so the optimizer constant-folds the projection to literals at
+    # plan time (driver-side). Reading null-ness off the optimized
+    # plan keeps exact Spark cast semantics with zero scheduler
+    # round-trips — a per-request one-row job serialized on the shared
+    # session was a throughput tax under concurrent paging clients.
+    probe = _folded_nulls(probe_df)
+    if probe is None:  # plan shape not the expected Project[literals]
+        probe = [probe_df.first()[i] is None for i in range(len(cols))]
     uncastable = [cols[i] for i, v in enumerate(cursor)
-                  if v is not None and probe[i] is None]
+                  if v is not None and probe[i]]
     if uncastable:
         raise ValueError(
             f"cursor cells cast to NULL for columns {uncastable}; pass "

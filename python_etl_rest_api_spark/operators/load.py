@@ -146,6 +146,9 @@ def _claim_age(vdir: str) -> float:
     return newest
 
 
+_REAPED_MARKER = ".reaped"
+
+
 def _reap_stale_claims(versions: str) -> None:
     """Garbage-collect claim directories whose writer crashed: mkdir'd
     but never committed (_SUCCESS absent) and with NOTHING in their
@@ -153,7 +156,21 @@ def _reap_stale_claims(versions: str) -> None:
     a live writer refreshes task/part entries under ``_temporary`` as
     it runs, even though the claim root's own mtime goes stale at job
     start). Without this, every crashed writer leaks its claim forever
-    (prune only ever removes COMMITTED versions)."""
+    (prune only ever removes COMMITTED versions).
+
+    Reaping TOMBSTONES the claim rather than deleting it: the contents
+    are removed (that's the disk the GC exists to reclaim) but the
+    directory itself stays, holding a ``.reaped`` marker. Deleting the
+    directory would free slot N for ``_claim_version`` to re-issue —
+    and a reaped-but-alive writer (>24 h suspended host) resuming its
+    append would then mix part files with the new claimant inside one
+    committed version. With the tombstone the slot number is never
+    re-issued (the dir still matches ``v{N}`` in the claim scan), so a
+    zombie can only ever write into its own tombstone — whose commit
+    stays unserved unless the zombie itself completes and flips, the
+    already-documented backward-flip boundary. Tombstones carry no
+    _SUCCESS so they are never listed, served, or pruned; one empty
+    dir per crashed writer is the entire residual cost."""
     now = time.time()
     for d in os.listdir(versions):
         if not (d.startswith("v") and d[1:].isdigit()):
@@ -161,9 +178,25 @@ def _reap_stale_claims(versions: str) -> None:
         vdir = os.path.join(versions, d)
         if os.path.exists(os.path.join(vdir, "_SUCCESS")):
             continue
+        if os.path.exists(os.path.join(vdir, _REAPED_MARKER)):
+            continue  # already tombstoned; nothing left to reclaim
         age_anchor = _claim_age(vdir)
         if age_anchor and now - age_anchor > _STALE_CLAIM_SECS:
-            shutil.rmtree(vdir, ignore_errors=True)
+            for entry in os.listdir(vdir):
+                sub = os.path.join(vdir, entry)
+                if os.path.isdir(sub) and not os.path.islink(sub):
+                    shutil.rmtree(sub, ignore_errors=True)
+                else:
+                    try:
+                        os.unlink(sub)
+                    except OSError:
+                        pass
+            try:  # marker LAST: a crash mid-clear leaves no marker and
+                # the next reap pass finishes the job
+                with open(os.path.join(vdir, _REAPED_MARKER), "w"):
+                    pass
+            except OSError:
+                pass
 
 
 def list_versions(path: str) -> list[int]:

@@ -232,3 +232,38 @@ def test_parse_cursor_rejects_uncastable_cells(spark):
     # null cells and in-format strings are fine
     got = parse_cursor(v, '[null, "2024-01-01", "10.0"]')
     assert got == (None, "2024-01-01", "10.0")
+
+def test_parse_cursor_rejects_out_of_int64_cells(spark):
+    """JSON ints are arbitrary-precision; a cell outside int64 used to
+    reach F.lit, raise Py4JError (NumberFormatException, not
+    AnalysisException) and escape the ValueError->400 mapping as an
+    unhandled 500. Now it is a clean 400 before any lit is built."""
+    import pytest
+
+    from python_etl_rest_api_spark.api.app import parse_cursor
+
+    v = _view(spark)
+    with pytest.raises(ValueError, match="64-bit"):
+        parse_cursor(v, '["co_001", "2024-01-01", '
+                        '99999999999999999999999999]')
+    with pytest.raises(ValueError, match="64-bit"):
+        parse_cursor(v, f'["co_001", "2024-01-01", {-(2 ** 63) - 1}]')
+    # int64 boundary values themselves must still reach the cast probe
+    # (amount is double: 2**63-1 casts fine)
+    got = parse_cursor(v, f'["co_001", "2024-01-01", {2 ** 63 - 1}]')
+    assert got[2] == 2 ** 63 - 1
+
+
+def test_parse_cursor_probe_runs_no_spark_job(spark):
+    """The cast probe reads constant-folded literals off the optimized
+    plan — per-request paging validation must not enqueue a job on the
+    shared session (throughput tax under concurrent clients)."""
+    from python_etl_rest_api_spark.api.app import parse_cursor
+
+    v = _view(spark)
+    v.count()  # materialize the view's own lazy bits first
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    parse_cursor(v, '["co_001", "2024-01-01", 10.0]')
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "cast probe scheduled a Spark job"

