@@ -83,6 +83,19 @@ def no_pushdown_barrier(df):
 # sub-second round robin.
 _WIDEN_MAX_BYTES = 256 * 1024 * 1024
 
+# The size veto compares ON-DISK bytes, but a widen re-materializes
+# DECOMPRESSED rows: a ~200 MB non-splittable gzip that inflates to
+# multi-GB would pass a raw 256 MB gate and the repartition would
+# shuffle the entire inflated scan — the exact case the veto exists to
+# prevent. Compressed non-parquet inputs count at a conservative 10x
+# (typical text gzip runs 3-10x), so the veto bites at ~25 MB on disk.
+# Erring high only forgoes a widen (idle cores on a small file), never
+# re-materializes gigabytes. Parquet never hits this: its sizes are
+# already post-encoding and splits follow row groups.
+_COMPRESSED_EXTS = (".gz", ".gzip", ".bz2", ".zst", ".zstd", ".xz",
+                    ".lz4", ".deflate", ".br", ".snappy")
+_COMPRESSED_RATIO = 10
+
 
 def _scan_shape(df, cores: int) -> tuple[int, int | None]:
     """(effective parallel units, total input bytes|None) of a
@@ -113,7 +126,7 @@ def _scan_shape(df, cores: int) -> tuple[int, int | None]:
         row_groups, nbytes, all_parquet = 0, 0, True
         for f in files:
             path = f.removeprefix("file://").removeprefix("file:")
-            nbytes += os.path.getsize(path)
+            size = os.path.getsize(path)
             if path.endswith(".parquet"):
                 row_groups += (pq.ParquetFile(path)
                                .metadata.num_row_groups)
@@ -121,8 +134,13 @@ def _scan_shape(df, cores: int) -> tuple[int, int | None]:
                 # non-parquet (csv/json/gz): no row-group notion, keep
                 # the reported split count — but still return the byte
                 # total so the size veto applies (a 1-split multi-GB
-                # gzip must NOT be re-materialized by a widen)
+                # gzip must NOT be re-materialized by a widen), and
+                # count compressed files at their estimated INFLATED
+                # size (see _COMPRESSED_RATIO)
                 all_parquet = False
+                if path.lower().endswith(_COMPRESSED_EXTS):
+                    size *= _COMPRESSED_RATIO
+            nbytes += size
         return (min(parts, row_groups) if all_parquet else parts,
                 nbytes)
     except Exception:

@@ -418,3 +418,32 @@ def test_widen_scan_non_file_frames_fall_back_to_partition_count(spark):
     assert widen_scan(narrow).rdd.getNumPartitions() == cores
     wide = spark.range(1000, numPartitions=cores)
     assert widen_scan(wide) is wide
+
+def test_widen_scan_counts_compressed_files_at_inflated_size(
+        spark, tmp_path, monkeypatch):
+    """r8 advice: the size veto sums ON-DISK bytes, so a non-splittable
+    gzip inflating to multi-GB passed the 256 MB gate and widen_scan
+    re-materialized the whole decompressed scan. Compressed non-parquet
+    inputs now count at _COMPRESSED_RATIO x their disk size."""
+    import gzip
+    import os
+
+    from python_etl_rest_api_spark import session as S
+
+    path = tmp_path / "docs.csv.gz"
+    with gzip.open(path, "wt") as f:
+        f.write("id,val\n")
+        for i in range(5000):
+            f.write(f"{i},{'x' * 40}\n")
+    df = spark.read.option("header", True).csv(str(path))
+    units, nbytes = S._scan_shape(df, spark.sparkContext.defaultParallelism)
+    assert units == 1                       # non-splittable: one task
+    disk = os.path.getsize(path)
+    assert nbytes == disk * S._COMPRESSED_RATIO
+    # veto: inflated estimate above the cap -> no widen even though the
+    # scan is 1 split on 32 cores
+    monkeypatch.setattr(S, "_WIDEN_MAX_BYTES", disk * S._COMPRESSED_RATIO - 1)
+    assert S.widen_scan(df) is df
+    # genuinely small compressed file -> still widened
+    monkeypatch.setattr(S, "_WIDEN_MAX_BYTES", disk * S._COMPRESSED_RATIO + 1)
+    assert S.widen_scan(df) is not df
