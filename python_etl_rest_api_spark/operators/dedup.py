@@ -367,7 +367,8 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
-                        span_tokens: int = 16) -> DataFrame:
+                        span_tokens: int = 16,
+                        two_pass: bool = True) -> DataFrame:
     """Corpus-level repeated-span removal, keep-first (the C4/RefinedWeb
     line-dedup recipe adapted to an unpunctuated corpus: the 'line' is a
     fixed window of ``span_tokens`` consecutive tokens). Every document
@@ -377,40 +378,80 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     (id, n_spans, n_spans_kept, text_dedup) for documents keeping >= 1
     span - fully-duplicated documents disappear, which IS the policy.
 
-    Scale shape: posexplode is narrow; the single shuffle is the
-    keep-first window, partitioned by the span's md5 DIGEST (fixed 32
-    bytes) - the span text rides along here for the rebuild, but at
-    100 TB you would rank on (digest, id, span_idx) alone and re-derive
-    the text in a second narrow pass, shuffling digests only. The
-    reconstruction groupBy re-shuffles by id (rows already carry only
-    kept spans)."""
+    Scale shape (default ``two_pass=True``, digest-only): posexplode is
+    narrow; pass 1 ranks spans on (md5 digest, id, span_idx) so the one
+    corpus-wide shuffle carries ONLY fixed-width keys (32-hex digest +
+    id + int), never span text; the per-doc kept-index lists it produces
+    shuffle by id carrying just integers. Pass 2 joins those lists back
+    to the source documents on id and re-derives the surviving span text
+    map-side - the document text crosses the wire once, in an equi-join
+    that is shuffle-free when the corpus is id-bucketed (at 100 TB it
+    is). ``two_pass=False`` keeps the legacy single-pass shape whose
+    digest-partitioned window shuffles the span text itself; both
+    variants rank on the same md5 digest and return identical rows
+    (pinned by test_dedup)."""
     from pyspark.sql import Window
 
     # NULL text guard (same latent-crash class ADVICE flagged on
     # chunk_windows): size(NULL) is -1, so an unguarded sequence() emits
     # a phantom empty span here while the SQL oracle emits nothing -
     # null documents must drop on BOTH engines.
-    spans = (df
-             .filter(F.col(text_col).isNotNull())
-             .select(id_col, tokens(text_col).alias("_t"))
-             .select(id_col,
-                     F.expr(f"1 + (size(_t)-1) div {span_tokens}")
-                     .alias("n_spans"),
-                     F.posexplode(F.expr(
-                         f"transform(sequence(0, (size(_t)-1) div {span_tokens}),"
-                         f" i -> concat_ws(' ', slice(_t, i*{span_tokens}+1,"
-                         f" {span_tokens})))"))
-                     .alias("span_idx", "span")))
-    w = Window.partitionBy(F.md5("span")).orderBy(id_col, "span_idx")
-    kept = (spans.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
-    return (kept.groupBy(id_col)
-            .agg(F.max("n_spans").cast("long").alias("n_spans"),
-                 F.count(F.lit(1)).alias("n_spans_kept"),
-                 F.concat_ws(" ", F.transform(
-                     F.array_sort(F.collect_list(
-                         F.struct("span_idx", "span"))),
-                     lambda s: s["span"])).alias("text_dedup")))
+    docs = df.filter(F.col(text_col).isNotNull())
+    spans_expr = (f"transform(sequence(0, (size(_t)-1) div {span_tokens}),"
+                  f" i -> concat_ws(' ', slice(_t, i*{span_tokens}+1,"
+                  f" {span_tokens})))")
+    if not two_pass:
+        spans = (docs
+                 .select(id_col, tokens(text_col).alias("_t"))
+                 .select(id_col,
+                         F.expr(f"1 + (size(_t)-1) div {span_tokens}")
+                         .alias("n_spans"),
+                         F.posexplode(F.expr(spans_expr))
+                         .alias("span_idx", "span")))
+        w = Window.partitionBy(F.md5("span")).orderBy(id_col, "span_idx")
+        kept = (spans.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1))
+        return (kept.groupBy(id_col)
+                .agg(F.max("n_spans").cast("long").alias("n_spans"),
+                     F.count(F.lit(1)).alias("n_spans_kept"),
+                     F.concat_ws(" ", F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("span_idx", "span"))),
+                         lambda s: s["span"])).alias("text_dedup")))
+
+    # Pass 1: keep-first ranking on digests alone. The posexplode output
+    # is projected down to (id, span_idx, md5) BEFORE the window shuffle,
+    # so the corpus-wide exchange never carries span text.
+    digests = (docs
+               .select(id_col, tokens(text_col).alias("_t"))
+               .select(id_col,
+                       F.posexplode(F.expr(spans_expr))
+                       .alias("span_idx", "span"))
+               .select(id_col, "span_idx", F.md5("span").alias("_d")))
+    w = Window.partitionBy("_d").orderBy(id_col, "span_idx")
+    kept_idx = (digests.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_spans_kept"),
+                     F.array_sort(F.collect_list("span_idx"))
+                     .alias("_kept")))
+
+    # Pass 2: narrow rebuild. n_spans is recomputed from _t here (not
+    # carried through the window shuffle) - that second reference to _t
+    # also stops CollapseProject from inlining the split() into the
+    # transform lambda, where it would re-tokenize once per kept span.
+    return (docs.join(kept_idx, id_col)
+            .select(id_col, tokens(text_col).alias("_t"),
+                    "n_spans_kept", "_kept")
+            .select(id_col,
+                    F.expr(f"1 + (size(_t)-1) div {span_tokens}")
+                    .cast("long").alias("n_spans"),
+                    "n_spans_kept",
+                    F.concat_ws(" ", F.transform(
+                        "_kept",
+                        lambda i: F.concat_ws(" ", F.slice(
+                            F.col("_t"), i * span_tokens + 1,
+                            span_tokens)))).alias("text_dedup")))
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -131,6 +131,30 @@ def test_repeated_span_dedup_keep_first(spark):
     assert out[1]["text_dedup"] == words("b", 16)  # shared span removed
 
 
+def test_repeated_span_dedup_two_pass_matches_single_pass(spark):
+    """The digest-only two-pass variant (default) and the legacy
+    single-pass shape must return identical rows on a corpus exercising
+    partial trailing spans, full-duplicate disappearance, and cross-doc
+    keep-first — the r8 verdict's condition for shipping it behind the
+    same catalog entry."""
+    words = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    shared = words("dup", 16)
+    rows = [
+        (0, shared + " " + words("a", 16)),
+        (1, shared + " " + words("b", 7)),      # partial trailing span
+        (2, shared),                            # fully duplicated: drops
+        (3, words("c", 40)),                    # 3 spans, last partial
+        (4, None),                              # null text: drops
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    two = sorted(map(tuple, dedup.repeated_span_dedup(
+        docs, span_tokens=16, two_pass=True).collect()))
+    one = sorted(map(tuple, dedup.repeated_span_dedup(
+        docs, span_tokens=16, two_pass=False).collect()))
+    assert two == one
+    assert [t[0] for t in two] == [0, 1, 3]     # doc 2 and 4 dropped
+
+
 def test_containment_asymmetric(spark):
     """A short doc fully embedded in a long one: low Jaccard (misses the
     0.5 threshold) but containment ~1.0 in the short->long direction."""
