@@ -92,6 +92,7 @@ def _claim_version(versions: str) -> tuple[int, str]:
 
 
 _STALE_CLAIM_SECS = 24 * 3600
+_PRUNE_GRACE_SECS = 60.0
 
 
 def _prune_versions(path: str, versions: str, keep: int) -> None:
@@ -103,17 +104,32 @@ def _prune_versions(path: str, versions: str, keep: int) -> None:
     Claimed-but-uncommitted directories are not touched here (see
     _reap_stale_claims).
 
-    The live check is re-resolved immediately before EACH rmtree: a
-    one-shot resolve would race a concurrent late flip landing between
-    the read and the delete. Re-resolving shrinks that window to the
-    realpath->rmtree gap; closing it entirely needs a lock or a
-    Delta-style commit log, which this container cannot host — the
-    residual race requires a writer to flip BACKWARD to a
-    beyond-retention version in that microsecond gap, in which case
-    the next write's flip self-heals the link."""
+    Two guards close the backward-flip race the multi-process soak
+    (tests/test_load_soak.py) reproduced against the earlier
+    live-check-only version:
+
+    - the live check is re-resolved immediately before EACH rmtree (a
+      one-shot resolve would race a concurrent late flip landing
+      between the read and the delete);
+    - a COMMIT-AGE GRACE: a version whose ``_SUCCESS`` is younger than
+      ``_PRUNE_GRACE_SECS`` is never pruned, however far beyond
+      retention. A straggler writer flips within microseconds of
+      creating ``_SUCCESS``, so any version it is about to serve is
+      grace-protected until well after its flip lands (or is skipped
+      by the monotonic-flip check in _overwrite_protocol).
+
+    The residual race now requires a writer suspended for the full
+    grace period exactly between committing and flipping, resuming to
+    flip a beyond-retention version inside another pruner's
+    realpath->rmtree gap — closing THAT needs a Delta-style commit
+    log, which this container cannot host."""
+    now = time.time()
     for n in list_versions(path)[:-max(keep, 1)]:
         vdir = os.path.join(versions, f"v{n}")
         try:
+            success = os.path.join(vdir, "_SUCCESS")
+            if now - os.stat(success).st_mtime < _PRUNE_GRACE_SECS:
+                continue  # too fresh: its writer may not have flipped yet
             if os.path.realpath(vdir) == os.path.realpath(path):
                 continue
         except OSError:
@@ -199,6 +215,18 @@ def _reap_stale_claims(versions: str) -> None:
                 pass
 
 
+def _served_version(path: str) -> int | None:
+    """Version number the symlink at ``path`` currently serves, or None
+    if the path is absent, not a version symlink, or dangling."""
+    try:
+        base = os.path.basename(os.path.realpath(path))
+    except OSError:
+        return None
+    if base.startswith("v") and base[1:].isdigit():
+        return int(base[1:])
+    return None
+
+
 def list_versions(path: str) -> list[int]:
     """Committed versions currently retained for ``path`` (ascending).
     A version is committed once its _SUCCESS marker exists - a claimed
@@ -255,11 +283,6 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     rename-swap with a documented non-atomic window converts it; all
     subsequent writes are fully atomic.
     """
-    parent = os.path.dirname(path.rstrip("/")) or "."
-    os.makedirs(parent, exist_ok=True)
-    versions = path.rstrip("/") + ".versions"
-    os.makedirs(versions, exist_ok=True)
-    claimed, target = _claim_version(versions)
     # append, NOT overwrite: overwrite DELETES the target dir before
     # rewriting it, and in that window the mkdir claim is void — a
     # concurrent _claim_version would see the slot free and reclaim the
@@ -267,7 +290,38 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
     # claim dir is empty by construction (mkdir just succeeded), so
     # append writes the identical content while the directory — the
     # claim token itself — exists continuously.
-    df.write.mode("append").parquet(target)
+    _overwrite_protocol(
+        lambda target: df.write.mode("append").parquet(target), path, keep)
+
+
+def _overwrite_protocol(write_fn, path: str, keep: int = 2) -> None:
+    """The claim/write/flip/prune/reap protocol behind atomic_overwrite,
+    with the data write injected (``write_fn(target_dir)`` must populate
+    the claimed directory and leave a ``_SUCCESS`` marker, as Spark's
+    committer does). Factored out so the multi-process soak test
+    (tests/test_load_soak.py) can hammer the REAL protocol code —
+    claims, symlink flips, pruning, reaping — without a JVM per
+    process."""
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    os.makedirs(parent, exist_ok=True)
+    versions = path.rstrip("/") + ".versions"
+    os.makedirs(versions, exist_ok=True)
+    claimed, target = _claim_version(versions)
+    write_fn(target)
+
+    # MONOTONIC FLIP: if a HIGHER-numbered version is already served,
+    # skip the rename. Concurrent overwrites then serialize by claim
+    # number (the later claim is the later writer — a legitimate
+    # last-writer-wins order), and the link can never move backward
+    # past retention into a version a concurrent pruner is deleting —
+    # the race the multi-process soak reproduced. The read-then-rename
+    # pair is not atomic, but a newer flip landing inside that gap can
+    # only be outrun by ONE backward step (our claim was live moments
+    # ago), which is always inside retention and further protected by
+    # _prune_versions' commit-age grace.
+    if (served := _served_version(path)) is not None and served > claimed:
+        _reap_stale_claims(versions)
+        return
 
     # unique per CLAIM, not per process: two threads of one pid flipping
     # concurrently must not share a staging link (one could unlink or

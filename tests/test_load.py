@@ -2,13 +2,24 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
+from python_etl_rest_api_spark.operators import load as load_mod
 from python_etl_rest_api_spark.operators.load import (
     atomic_overwrite,
     insert_ignore,
     upsert,
 )
+
+
+@pytest.fixture(autouse=True)
+def _no_prune_grace(monkeypatch):
+    """These tests write sequentially and assert IMMEDIATE retention
+    behavior; the commit-age prune grace (which exists for racing
+    concurrent writers — see tests/test_load_soak.py) would defer every
+    prune past the test's lifetime. Zero it here."""
+    monkeypatch.setattr(load_mod, "_PRUNE_GRACE_SECS", 0.0)
 
 
 def _df(spark, rows):
