@@ -171,19 +171,27 @@ def append_to_ann_index(new_rows: DataFrame, path: str,
 def topk_ann_srp_indexed(corpus: DataFrame, queries: DataFrame, path: str,
                          k: int = 10, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         qid_col: str = "qid") -> DataFrame:
+                         qid_col: str = "qid",
+                         tables: int | None = None) -> DataFrame:
     """Serve SRP ANN top-k from the persisted bucket file: probe buckets
     are computed live for the (small) query batch with the geometry
     pinned in the index meta; the corpus-side cost is the stored
     ``(table, bucket, id)`` scan plus an id equi-join to fetch candidate
-    vectors - value-identical to :func:`similarity.topk_ann_srp`."""
+    vectors - value-identical to :func:`similarity.topk_ann_srp`.
+
+    ``tables`` (default: all built) probes only the first N hash
+    tables — the SRP recall/latency knob at query time, symmetric with
+    IVF's ``nprobe`` (table t's hyperplanes depend only on t, so the
+    first-N subset of a wider index is exactly an N-table index)."""
     spark = corpus.sparkSession
     m = _meta(spark, path)
-    idx = spark.read.parquet(f"{path}/srp_buckets")
+    use_tables = m.tables if tables is None else min(tables, m.tables)
+    idx = spark.read.parquet(f"{path}/srp_buckets") \
+        .filter(F.col("table_id") < use_tables)
     qb = (similarity.srp_buckets(
         queries.select(F.col(qid_col).alias(id_col),
                        F.col("qv").alias(vec_col)),
-        m.dim, m.bits, m.tables, id_col, vec_col)
+        m.dim, m.bits, use_tables, id_col, vec_col)
         .select(F.col(id_col).alias(qid_col), F.col(vec_col).alias("qv"),
                 F.col("table_id").alias("q_table"),
                 F.col("bucket_key").alias("q_bucket")))
