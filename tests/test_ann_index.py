@@ -139,3 +139,22 @@ def test_append_unbuilt_family_is_contract_error(spark, tmp_path):
         emb.filter(F.col("vec_id").between(100, 104)), path)
     after = spark.read.parquet(f"{path}/srp_buckets").count()
     assert after > before
+
+
+def test_srp_tables_subset_equals_narrower_index(spark, built):
+    """The query-time ``tables`` knob: probing the first N tables of a
+    wide index must serve exactly what an N-table index serves (plane
+    j = table*bits + bit is table-local, so the subset IS the narrower
+    index), and the default (all built tables) must stay identical to
+    the pre-knob behavior."""
+    emb, queries, path = built
+    narrowed = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10,
+                                              tables=2)
+    fresh2 = similarity.topk_ann_srp(emb, queries, dim=64, k=10, bits=6,
+                                     tables=2)
+    assert _rows(narrowed) == _rows(fresh2)
+    # over-asking is clamped to what was built
+    clamped = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10,
+                                             tables=99)
+    full = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10)
+    assert _rows(clamped) == _rows(full)

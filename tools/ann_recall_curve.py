@@ -115,9 +115,21 @@ def main() -> None:
         for nprobe in (1, 2, 4, 8, 16):
             rows, sec = _timed(lambda: ann_index.topk_ann_ivfpq_indexed(
                 emb, queries, path, k=K, pool=50, nprobe=nprobe))
-            out["ivfpq"].append({"nprobe": nprobe, "recall_at_10":
+            out["ivfpq"].append({"nprobe": nprobe, "pool": 50,
+                                 "recall_at_10":
                                  round(_recall(rows, truth), 4),
                                  "sec": sec})
+        # PQ distortion makes the ADC ranking noisy, so the re-rank
+        # pool — not nprobe — can bind recall (the sf0.1 smoke showed a
+        # plateau at pool=50). Publish the pool knob too.
+        out["ivfpq_pool"] = []
+        for pool in (50, 100, 200, 400):
+            rows, sec = _timed(lambda: ann_index.topk_ann_ivfpq_indexed(
+                emb, queries, path, k=K, pool=pool, nprobe=8))
+            out["ivfpq_pool"].append({"nprobe": 8, "pool": pool,
+                                      "recall_at_10":
+                                      round(_recall(rows, truth), 4),
+                                      "sec": sec})
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
