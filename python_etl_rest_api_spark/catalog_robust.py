@@ -2250,12 +2250,16 @@ def source_csv_corrupt_records(spark, sf_dir):
         T.StructField("amount", T.LongType()),
         T.StructField("_corrupt_record", T.StringType()),
     ])
-    df = (spark.read.schema(schema)
-          .option("header", "true")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .csv(path)
-          .cache())
+    from .opcache import cache as _opcache
+    # registered cache: released at the next entry boundary instead of
+    # leaking one tiny parsed frame per invocation (.cache is REQUIRED
+    # here - Spark computes _corrupt_record only on the materialized
+    # parse, a recompute would re-read the file per aggregate)
+    df = _opcache(spark.read.schema(schema)
+                  .option("header", "true")
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record")
+                  .csv(path))
     bad = F.col("_corrupt_record").isNotNull()
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -37,21 +37,11 @@ from .text import tokens
 # unpersists the previous call's blocks first, so long-lived sessions
 # (bench loops, oracle sweeps, REST services) hold at most one
 # invocation's worth of cached sketches instead of accumulating until
-# storage eviction (ADVICE round 1).
-_CACHED: list[DataFrame] = []
-
-
-def _cache(df: DataFrame) -> DataFrame:
-    _CACHED.append(df)
-    return df.cache()
-
-
-def _release_prior_cache() -> None:
-    while _CACHED:
-        try:
-            _CACHED.pop().unpersist()
-        except Exception:
-            pass
+# storage eviction (ADVICE round 1). The registry lives in opcache so
+# the catalog's query decorator can ALSO drain it at entry boundaries
+# (see the opcache module docstring).
+from ..opcache import cache as _cache  # noqa: E402
+from ..opcache import release_all as _release_prior_cache  # noqa: E402
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
