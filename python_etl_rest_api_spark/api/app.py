@@ -199,7 +199,13 @@ def parse_cursor(view, after: str) -> tuple:
     # session was a throughput tax under concurrent paging clients.
     probe = _folded_nulls(probe_df)
     if probe is None:  # plan shape not the expected Project[literals]
-        probe = [probe_df.first()[i] is None for i in range(len(cols))]
+        try:
+            probe = [probe_df.first()[i] is None for i in range(len(cols))]
+        except AnalysisException:
+            # analysis deferred to action time must keep the same
+            # 400 contract as analysis at select() time
+            raise ValueError("cursor cells are not castable to the "
+                             f"view's column types ({cols})")
     uncastable = [cols[i] for i, v in enumerate(cursor)
                   if v is not None and probe[i]]
     if uncastable:
@@ -361,11 +367,17 @@ def build_app(spark=None, state_path: str | None = None,
         discipline as the flagship view (total-order sort, MAX_PAGE
         cap, never an unbounded collect)."""
         from .. import registry
-        if name not in registry.QUERIES:
+        if name not in registry.QUERIES_RAW:
             raise HTTPException(status_code=404,
                                 detail=f"no such catalog entry: {name}")
         sf_dir = _confined(sf_dir)
-        df = registry.QUERIES[name](spark, sf_dir)
+        # RAW (janitor-free) callable: FastAPI runs sync endpoints in a
+        # threadpool, and the wrapped entries' entry-boundary cache
+        # release would let request B unpersist request A's in-flight
+        # cache (the corrupt-CSV entry even NEEDS its cache to stay
+        # analyzable). Long-session cache hygiene is the sweep/bench
+        # sessions' concern, not the API's.
+        df = registry.QUERIES_RAW[name](spark, sf_dir)
         try:
             page, limit, offset = paginate(df, limit, offset)
         except ValueError as e:

@@ -23,6 +23,12 @@ from .operators import analytics
 from .session import tune
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+# Janitor-free originals for CONCURRENT callers (the REST API serves
+# catalog entries from a threadpool; the entry-boundary cache release
+# in the wrapped callables below is only safe for single-threaded
+# sweep/bench/driver sessions - thread A's in-flight cache must not be
+# unpersisted because thread B started a different entry).
+QUERIES_RAW: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # Name of the catalog entry whose invocation was seen last via the
@@ -55,6 +61,7 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
+        QUERIES_RAW[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

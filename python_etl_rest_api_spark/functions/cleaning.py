@@ -49,7 +49,16 @@ def _format_literal_chars(fmt: str) -> list[str]:
     """Literal (non-field) characters a java.time pattern requires in its
     input: non-alphanumerics outside quotes, everything inside ``'...'``
     quotes. Presence of each is a NECESSARY condition for a successful
-    parse (literals must be consumed verbatim), never sufficient."""
+    parse (literals must be consumed verbatim), never sufficient.
+
+    A pattern containing an optional section (``[...]``) gets NO guard
+    (empty list): characters inside the brackets are only conditionally
+    required, and the brackets themselves never appear in the input —
+    treating either as required literals would null every value of a
+    legal optional-section format. Same conservatism for ``#``, ``{``,
+    ``}`` (reserved by DateTimeFormatter)."""
+    if any(ch in fmt for ch in "[]#{}"):
+        return []
     lits: set[str] = set()
     in_quote = False
     for ch in fmt:

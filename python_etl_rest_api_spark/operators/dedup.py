@@ -395,7 +395,14 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     is). ``two_pass=False`` keeps the legacy single-pass shape whose
     digest-partitioned window shuffles the span text itself; both
     variants rank on the same md5 digest and return identical rows
-    (pinned by test_dedup)."""
+    (pinned by test_dedup).
+
+    Caller contract: ``id_col`` values must be UNIQUE (the documents
+    table's doc_id is). With duplicate ids the variants diverge — the
+    single-pass groupBy merges duplicate-id rows into one interleaved
+    output row, while pass 2's equi-join re-expands the merged
+    kept-index list against EACH duplicate row's own token array;
+    dedup ids upstream before calling this."""
     from pyspark.sql import Window
 
     # NULL text guard (same latent-crash class ADVICE flagged on

@@ -111,29 +111,37 @@ def _prune_versions(path: str, versions: str, keep: int) -> None:
     - the live check is re-resolved immediately before EACH rmtree (a
       one-shot resolve would race a concurrent late flip landing
       between the read and the delete);
-    - a COMMIT-AGE GRACE: a version whose ``_SUCCESS`` is younger than
-      ``_PRUNE_GRACE_SECS`` is never pruned, however far beyond
-      retention. A straggler writer flips within microseconds of
-      creating ``_SUCCESS``, so any version it is about to serve is
-      grace-protected until well after its flip lands (or is skipped
-      by the monotonic-flip check in _overwrite_protocol).
+    - a FLIP-PENDING GRACE: a version whose writer has not yet recorded
+      its flip decision (no ``.flipped`` marker — see
+      _overwrite_protocol) is never pruned while its ``_SUCCESS`` is
+      younger than ``_PRUNE_GRACE_SECS``. A writer records the marker
+      within microseconds of committing, so the grace protects exactly
+      the commit->flip window without amplifying retention for
+      frequent sequential writers (whose every version is marked
+      flipped immediately and prunes at plain ``keep``).
 
     The residual race now requires a writer suspended for the full
     grace period exactly between committing and flipping, resuming to
     flip a beyond-retention version inside another pruner's
     realpath->rmtree gap — closing THAT needs a Delta-style commit
-    log, which this container cannot host."""
+    log, which this container cannot host.
+
+    Any OSError while judging a candidate (stat on a marker racing a
+    concurrent pruner, transient FS hiccup) skips the candidate — a
+    version we cannot judge must never fall through to rmtree, else a
+    transient stat failure deletes a live or grace-protected version."""
     now = time.time()
     for n in list_versions(path)[:-max(keep, 1)]:
         vdir = os.path.join(versions, f"v{n}")
         try:
-            success = os.path.join(vdir, "_SUCCESS")
-            if now - os.stat(success).st_mtime < _PRUNE_GRACE_SECS:
-                continue  # too fresh: its writer may not have flipped yet
+            if not os.path.exists(os.path.join(vdir, _FLIPPED_MARKER)):
+                success = os.path.join(vdir, "_SUCCESS")
+                if now - os.stat(success).st_mtime < _PRUNE_GRACE_SECS:
+                    continue  # commit->flip window still open
             if os.path.realpath(vdir) == os.path.realpath(path):
-                continue
+                continue  # currently served
         except OSError:
-            pass
+            continue  # cannot judge -> never delete
         shutil.rmtree(vdir, ignore_errors=True)
 
 
@@ -163,6 +171,11 @@ def _claim_age(vdir: str) -> float:
 
 
 _REAPED_MARKER = ".reaped"
+# Written into a version dir by its own writer the moment its flip
+# decision (rename or monotonic skip) completes: tells prune the
+# commit->flip window is closed, so the version needs no age grace.
+# Dot-prefixed: invisible to Spark scans and to list_versions.
+_FLIPPED_MARKER = ".flipped"
 
 
 def _reap_stale_claims(versions: str) -> None:
@@ -217,9 +230,17 @@ def _reap_stale_claims(versions: str) -> None:
 
 def _served_version(path: str) -> int | None:
     """Version number the symlink at ``path`` currently serves, or None
-    if the path is absent, not a version symlink, or dangling."""
+    if the path is absent, not a version symlink, or dangling.
+    ``realpath`` is non-strict (it resolves a dangling link to the
+    missing target's name), so the existence check is what makes a
+    dangling link report None — the monotonic-flip check must treat a
+    dangling table as unserved, else a lower-numbered complete commit
+    would refuse to heal it."""
     try:
-        base = os.path.basename(os.path.realpath(path))
+        resolved = os.path.realpath(path)
+        if not os.path.exists(resolved):
+            return None
+        base = os.path.basename(resolved)
     except OSError:
         return None
     if base.startswith("v") and base[1:].isdigit():
@@ -271,8 +292,10 @@ def atomic_overwrite(df: DataFrame, path: str, keep: int = 2) -> None:
       concurrency): concurrent writers always get DISTINCT versions;
     - a version is COMMITTED by Spark's _SUCCESS marker; half-written
       claims are never linked and never listed by ``list_versions``;
-    - visibility is last-flip-wins: concurrent overwrites serialize at
-      the symlink rename, exactly overwrite semantics;
+    - visibility is last-CLAIM-wins: a writer whose claim number is
+      below the currently served version skips its flip (monotonic
+      flips — see _overwrite_protocol), so concurrent overwrites
+      serialize by claim number, a legitimate overwrite order;
     - ``read_version`` gives bounded time travel over retained versions.
     NOT provided (needs a commit log a la Delta): cross-table
     transactions, conflict DETECTION between concurrent writers (both
@@ -320,6 +343,7 @@ def _overwrite_protocol(write_fn, path: str, keep: int = 2) -> None:
     # ago), which is always inside retention and further protected by
     # _prune_versions' commit-age grace.
     if (served := _served_version(path)) is not None and served > claimed:
+        _mark_flipped(target)
         _reap_stale_claims(versions)
         return
 
@@ -345,8 +369,21 @@ def _overwrite_protocol(write_fn, path: str, keep: int = 2) -> None:
     finally:
         if os.path.lexists(tmp_link):
             os.unlink(tmp_link)
+    _mark_flipped(target)
     _prune_versions(path, versions, keep)
     _reap_stale_claims(versions)
+
+
+def _mark_flipped(target: str) -> None:
+    """Record that this version's writer completed its flip decision
+    (rename or monotonic skip): prune no longer needs the commit-age
+    grace for it. Best-effort — on failure the version just stays
+    grace-protected until the grace expires."""
+    try:
+        with open(os.path.join(target, _FLIPPED_MARKER), "w"):
+            pass
+    except OSError:
+        pass
 
 
 def write_history_csv(df: DataFrame, path: str) -> None:

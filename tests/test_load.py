@@ -249,7 +249,10 @@ def test_stale_uncommitted_claims_are_reaped(spark, tmp_path):
     assert os.path.exists(stale)
     assert sorted(os.listdir(stale)) == [L._REAPED_MARKER]
     assert os.path.exists(fresh)          # live claim untouched
-    assert not os.listdir(fresh) or True  # fresh contents untouched
+    # fresh claim neither cleared nor tombstoned (created empty; a
+    # .reaped marker appearing here would mean the reaper judged a
+    # LIVE claim stale)
+    assert os.listdir(fresh) == []
 
 
 def test_reaped_slot_is_never_reissued(spark, tmp_path):

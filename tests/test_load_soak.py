@@ -70,8 +70,15 @@ def _reader_proc(path: str, stop_path: str, err_q) -> None:
             if "_SUCCESS" not in entries:
                 # A resolved-but-uncommitted dir means a reader could
                 # scan a half-written table - the core invariant.
+                resolved = os.path.realpath(path)
+                try:
+                    vlist = sorted(os.listdir(path + ".versions"))
+                except OSError:
+                    vlist = ["<gone>"]
                 err_q.put(
-                    f"reader: resolved dir without _SUCCESS: {entries}")
+                    f"reader: resolved dir without _SUCCESS: {entries} "
+                    f"at {resolved}; versions={vlist}; "
+                    f"still_exists={os.path.exists(resolved)}")
                 return
             writers = {e.split("writer")[1].split(".")[0]
                        for e in entries if "writer" in e}
