@@ -371,20 +371,25 @@ def build_app(spark=None, state_path: str | None = None,
             raise HTTPException(status_code=404,
                                 detail=f"no such catalog entry: {name}")
         sf_dir = _confined(sf_dir)
-        # RAW (janitor-free) callable: FastAPI runs sync endpoints in a
-        # threadpool, and the wrapped entries' entry-boundary cache
-        # release would let request B unpersist request A's in-flight
-        # cache (the corrupt-CSV entry even NEEDS its cache to stay
-        # analyzable). Long-session cache hygiene is the sweep/bench
-        # sessions' concern, not the API's.
-        df = registry.QUERIES_RAW[name](spark, sf_dir)
+        # RAW (janitor-free) callable: the entry-boundary janitor is a
+        # sweep/bench-session concern; here each request drains exactly
+        # the caches IT registered, in a finally AFTER the page
+        # collects (the opcache registry is threading.local, so the
+        # drain can never touch a concurrent request's in-flight cache,
+        # and threadpool threads — long-lived and reused — don't
+        # accumulate one resident cache per request served).
+        from .. import opcache
         try:
-            page, limit, offset = paginate(df, limit, offset)
-        except ValueError as e:
-            raise HTTPException(status_code=400, detail=str(e))
-        return {"name": name, "columns": df.columns,
-                "rows": [r.asDict() for r in page],
-                "limit": limit, "offset": offset}
+            df = registry.QUERIES_RAW[name](spark, sf_dir)
+            try:
+                page, limit, offset = paginate(df, limit, offset)
+            except ValueError as e:
+                raise HTTPException(status_code=400, detail=str(e))
+            return {"name": name, "columns": df.columns,
+                    "rows": [r.asDict() for r in page],
+                    "limit": limit, "offset": offset}
+        finally:
+            opcache.release_all()
 
     return app
 

@@ -23,17 +23,21 @@ from .operators import analytics
 from .session import tune
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-# Janitor-free originals for CONCURRENT callers (the REST API serves
-# catalog entries from a threadpool; the entry-boundary cache release
-# in the wrapped callables below is only safe for single-threaded
-# sweep/bench/driver sessions - thread A's in-flight cache must not be
-# unpersisted because thread B started a different entry).
+# Janitor-free originals for the REST API: its endpoint drains the
+# caches a request registered in its own finally (per-request scope),
+# so the entry-boundary janitor below would be redundant there. The
+# opcache registry itself is threading.local, so even interleaved
+# threads running WRAPPED entries can only ever drain their own
+# caches, never another thread's in-flight frame.
 QUERIES_RAW: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # Name of the catalog entry whose invocation was seen last via the
-# QUERIES registry — the cache janitor's entry-boundary marker.
-_ACTIVE_ENTRY: list[str | None] = [None]
+# QUERIES registry on THIS thread — the cache janitor's entry-boundary
+# marker. Thread-local for the same reason as the opcache registry:
+# two threads interleaving different entries must not reset each
+# other's boundary (each thread's cache hygiene is its own).
+_ACTIVE = __import__("threading").local()
 
 
 def query(name: str, oracle: str | None = None):
@@ -55,9 +59,9 @@ def query(name: str, oracle: str | None = None):
 
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
-            if _ACTIVE_ENTRY[0] != name:
+            if getattr(_ACTIVE, "entry", None) != name:
                 opcache.release_all()
-                _ACTIVE_ENTRY[0] = name
+                _ACTIVE.entry = name
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

@@ -185,6 +185,11 @@ def topk_ann_srp_indexed(corpus: DataFrame, queries: DataFrame, path: str,
     first-N subset of a wider index is exactly an N-table index)."""
     spark = corpus.sparkSession
     m = _meta(spark, path)
+    if tables is not None and tables < 1:
+        # a non-positive probe count would filter table_id < 0 and
+        # silently serve ZERO neighbors — fail loudly instead, matching
+        # the module's contract-error style (append-to-unbuilt, etc.)
+        raise ValueError(f"tables must be >= 1, got {tables}")
     use_tables = m.tables if tables is None else min(tables, m.tables)
     idx = spark.read.parquet(f"{path}/srp_buckets") \
         .filter(F.col("table_id") < use_tables)

@@ -229,6 +229,10 @@ def ivf_assignments(df: DataFrame, centroids: np.ndarray, nprobe: int = 1,
     hence the whole IVF candidate set) is value-checkable by SQL."""
     from pyspark.sql.functions import pandas_udf
 
+    if nprobe < 1:
+        # argsort[:, :0] would assign ZERO probes and every downstream
+        # serve would silently return no neighbors — contract error.
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     cm = np.asarray(centroids, dtype=np.float64)                 # (k, dim)
 
     def _seq_dot(a, b):

@@ -158,3 +158,15 @@ def test_srp_tables_subset_equals_narrower_index(spark, built):
                                              tables=99)
     full = ann_index.topk_ann_srp_indexed(emb, queries, path, k=10)
     assert _rows(clamped) == _rows(full)
+
+
+def test_nonpositive_knobs_are_contract_errors(spark, built):
+    """tables=0 / nprobe=0 used to filter everything and silently serve
+    ZERO neighbors (r9 ADVICE); both must fail loudly instead."""
+    emb, queries, path = built
+    with pytest.raises(ValueError, match="tables"):
+        ann_index.topk_ann_srp_indexed(emb, queries, path, k=10, tables=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        ann_index.topk_ann_ivf_indexed(emb, queries, path, k=10, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_assignments(emb, [[0.0] * 64], nprobe=-1)
