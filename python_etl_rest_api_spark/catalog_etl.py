@@ -281,18 +281,19 @@ def etl_clean_scaled(spark, sf_dir):
     the inline instance.
 
     Cost at scale: the agg+join fill makes the plan a DIAMOND - the
-    dirty-gen + 4-format parse feeds both the main branch and the
+    dirty-gen + multi-format parse feeds both the main branch and the
     first-valid-name aggregation, and the lazy path recomputes it once
-    per branch. Measured at 30x data: window fill 11.1s (group-bound,
-    5 companies), lazy agg+join 9.8s (double parse, core-bound),
-    persist-before-impute 7.9s. The lazy form is kept because a persist
-    inside a catalog entry has no safe unpersist point across 315-entry
-    sweep sessions; the at-scale answer for a REAL pipeline is
-    split_critical_materialized (parse once, write the flagged frame,
-    impute over the parquet-backed clean tier - see clean.py)."""
+    per branch (measured at 30x data: window fill 11.1s group-bound,
+    lazy agg+join 9.8s double-parse core-bound, persist-before-impute
+    7.9s). Since r9 the opcache janitor gives a persist a SAFE release
+    point (the next entry's start), so the staged frame is now cached
+    and the parse runs once; the at-scale answer for a REAL pipeline
+    remains split_critical_materialized (parse once, write the flagged
+    frame, impute over the parquet-backed clean tier - see clean.py)."""
     tune(spark)
     raw = _scaled_raw_df(spark, sf_dir)
-    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
+    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS,
+                              cache_staged=True)
     return clean
 
 

@@ -75,16 +75,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b.band_id, b.band_key FROM sig,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -132,16 +140,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b.band_id, b.band_key FROM sig,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)
     ),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -296,15 +312,23 @@ def dedup_simhash(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id),
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b.band_id, b.band_key FROM sig,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
@@ -1161,14 +1185,29 @@ def multimodal_avi_frames(spark, sf_dir):
 # Bench headliners (TPC-H-shaped, exercising scan+agg and join+agg paths)
 # ---------------------------------------------------------------------
 
-@query("q1_pricing_summary", """
+# q1's integer-cents limb width: per-row integer units split into
+# (value div 2^20, value % 2^20) and summed as TWO plain longs, so the
+# whole hot path is primitive codegen arithmetic. |lo| < 2^20 and
+# hi <= value/2^20 bound BOTH partial sums by ~count * 2^20, so the
+# long accumulators are exact up to ~8e12 rows PER GROUP (~1.3 PB of
+# lineitem) - far past any per-group cardinality a 100 TB run sees;
+# the recombine hi*2^20 + lo runs in decimal(38,0) on the one final
+# row per group, where overflow is impossible and cost is nil.
+_Q1_LIMB = 1 << 20
+
+
+@query("q1_pricing_summary", f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * ((1 - CAST(l_discount AS DECIMAL(4,2)))
-                       * (1 + CAST(l_tax AS DECIMAL(4,2))))) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+               / 1000000.0 AS sum_charge,
+           CAST(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
@@ -1176,7 +1215,7 @@ def multimodal_avi_frames(spark, sf_dir):
 """)
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: the scan+aggregate throughput
-    headliner. All sums decimal-exact; filter pushes to the scan.
+    headliner. All sums integer-exact; filter pushes to the scan.
 
     Order matters (r3 regression, fixed): filter + project FIRST, widen
     AFTER. Widening the raw scan repartitioned all 16 lineitem columns
@@ -1184,31 +1223,51 @@ def q1_pricing_summary(spark, sf_dir):
     exactly the case session.no_pushdown_barrier's docstring forbids (a
     cheap comparison parquet row-group stats can prune). Narrow-first
     means the exchange moves 6 columns of pre-filtered rows and the
-    predicate reaches PushedFilters; the decimal partial agg still runs
-    on all cores."""
+    predicate reaches PushedFilters.
+
+    Exactness via INTEGER CENTS (r9 verdict item 3): the 2-decimal
+    money columns become exact longs (round(x*100) - both engines
+    round the SAME double product half-away-from-zero), the charge
+    product price_c*(100-disc_c)*(100+tax_c) is a pure long multiply
+    in micros, and the sums run as hi/lo limb pairs (_Q1_LIMB) so the
+    whole per-row path stays in whole-stage-codegen primitives. The
+    previous decimal(18,2/18,6) formulation kept compact-long Decimal
+    sums but paid a per-row BigDecimal MULTIPLY chain for charge
+    (Decimal.* always promotes); measured at the 100x point this
+    reformulation is 12.2 -> 4.1 s with bit-identical output (the
+    final double is round-to-double of the SAME exact integer on both
+    engines, divided by the same exact power of ten)."""
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") <= "2001-08-06 00:00:00")
           .select("l_returnflag", "l_linestatus", "l_quantity",
                   "l_extendedprice", "l_discount", "l_tax"))
-    # widen the (still single-split) filtered scan so the decimal
+    # widen the (still single-split) filtered scan so the integer
     # partial aggregation runs on all cores (no-op at scale)
     li = widen_scan(li)
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
-    # Exactness-preserving precision cap (measured ~20% on the serial agg
-    # path): the product's scale is exactly 2+2+2=6 and its magnitude
-    # < 10^7, so decimal(18,6) holds it EXACTLY while keeping Spark's
-    # Decimal on the long-backed fast path; uncapped inference grows the
-    # type to decimal(30,6) whose sums go through BigDecimal per row.
-    charge = (price * ((F.lit(1) - disc) * (F.lit(1) + tax))
-              ).cast("decimal(18,6)")
-    return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(qty).cast("double").alias("sum_qty"),
-                 F.sum(price).cast("double").alias("sum_base_price"),
-                 F.sum(charge).cast("double").alias("sum_charge"),
-                 (F.sum(qty).cast("double") / F.count(F.lit(1)))
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    rows = li.select(
+        "l_returnflag", "l_linestatus",
+        qty_c.alias("qty_c"), price_c.alias("price_c"),
+        (price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c))
+        .alias("charge_u"))
+
+    def limb_sum(col: str, scale: float):
+        # x = (x div L)*L + (x % L) holds for any long in Spark
+        # (truncating div, sign-of-dividend remainder), so the pair of
+        # long sums recombines to the exact integer total in decimal.
+        hi = F.sum(F.expr(f"{col} div {_Q1_LIMB}"))
+        lo = F.sum(F.col(col) % _Q1_LIMB)
+        return ((hi.cast("decimal(38,0)") * _Q1_LIMB + lo)
+                .cast("double") / F.lit(scale))
+
+    return (rows.groupBy("l_returnflag", "l_linestatus")
+            .agg(limb_sum("qty_c", 100.0).alias("sum_qty"),
+                 limb_sum("price_c", 100.0).alias("sum_base_price"),
+                 limb_sum("charge_u", 1000000.0).alias("sum_charge"),
+                 (limb_sum("qty_c", 100.0) / F.count(F.lit(1)))
                  .cast("double").alias("avg_qty"),
                  F.count(F.lit(1)).alias("count_order")))
 
@@ -1620,15 +1679,23 @@ def text_tfidf_top_terms(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id),
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b.band_id, b.band_key FROM sig,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
@@ -1725,15 +1792,23 @@ def data_split_assign(spark, sf_dir):
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id),
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b.band_id, b.band_key FROM sig,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)),
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)),
     cand AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r

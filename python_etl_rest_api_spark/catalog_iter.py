@@ -180,11 +180,15 @@ def embed_kmeans_train(spark, sf_dir):
 
 _BAND_SQL = """
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM {src} GROUP BY doc_id"""
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM {src}) GROUP BY doc_id"""
 
 _INCR_INDEX_CACHE: dict[str, str] = {}
 
@@ -211,13 +215,21 @@ _INCR_INDEX_CACHE: dict[str, str] = {}
     + _BAND_SQL.format(src="exn") + """),
     bandsc AS (
       SELECT doc_id, b.band_id, b.band_key FROM sigc,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)
     ),
     bandsn AS (
       SELECT doc_id, b.band_id, b.band_key FROM sign,
-      LATERAL (VALUES (0, h0 || h1), (1, h2 || h3),
-                      (2, h4 || h5), (3, h6 || h7)) AS b(band_id, band_key)
+      LATERAL (VALUES
+        (0, CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR)),
+        (1, CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR)),
+        (2, CAST(h4 AS VARCHAR) || ':' || CAST(h5 AS VARCHAR)),
+        (3, CAST(h6 AS VARCHAR) || ':' || CAST(h7 AS VARCHAR))
+      ) AS b(band_id, band_key)
     ),
     cand AS (
       SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id

