@@ -217,7 +217,7 @@ def topk_ann_srp_indexed(corpus: DataFrame, queries: DataFrame, path: str,
 
 
 def topk_ann_ivf_indexed(corpus: DataFrame, queries: DataFrame, path: str,
-                         k: int = 10, nprobe: int = 4,
+                         k: int = 10, nprobe: int = 8,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          qid_col: str = "qid") -> DataFrame:
@@ -266,8 +266,8 @@ def _load_pq_codebooks(spark, path: str, dim: int, m_sub: int
 
 
 def topk_ann_ivfpq_indexed(corpus: DataFrame, queries: DataFrame,
-                           path: str, k: int = 10, pool: int = 30,
-                           nprobe: int = 4, id_col: str = "vec_id",
+                           path: str, k: int = 10, pool: int = 100,
+                           nprobe: int = 8, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            qid_col: str = "qid") -> DataFrame:
     """Serve the COMPOSED IVF-PQ path entirely from stored artifacts -
@@ -292,7 +292,7 @@ def topk_ann_ivfpq_indexed(corpus: DataFrame, queries: DataFrame,
 
 
 def topk_ann_pq_indexed(corpus: DataFrame, queries: DataFrame, path: str,
-                        k: int = 10, pool: int = 30,
+                        k: int = 10, pool: int = 100,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         qid_col: str = "qid") -> DataFrame:

@@ -292,7 +292,7 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int, dim: int,
 
 
 def topk_ann_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
-                 k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                 k: int = 10, n_centroids: int = 16, nprobe: int = 8,
                  refine_steps: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  qid_col: str = "qid") -> DataFrame:
@@ -474,7 +474,7 @@ MAX_PQ_QUERY_BATCH = 4096
 
 
 def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
-                k: int = 10, pool: int = 30, m_sub: int = 4,
+                k: int = 10, pool: int = 100, m_sub: int = 4,
                 n_codewords: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 qid_col: str = "qid",
@@ -504,8 +504,8 @@ def topk_ann_pq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
 
 
 def topk_ann_ivfpq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
-                   k: int = 10, pool: int = 30, n_centroids: int = 16,
-                   nprobe: int = 4, m_sub: int = 4, n_codewords: int = 16,
+                   k: int = 10, pool: int = 100, n_centroids: int = 16,
+                   nprobe: int = 8, m_sub: int = 4, n_codewords: int = 16,
                    refine_steps: int = 0, id_col: str = "vec_id",
                    vec_col: str = "embedding", qid_col: str = "qid",
                    max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
@@ -541,7 +541,7 @@ def topk_ann_ivfpq(corpus: DataFrame, queries: DataFrame, dim: int = 64,
 def ivfpq_adc_topk(inv: DataFrame, codes: DataFrame, cb: np.ndarray,
                    cent: np.ndarray, corpus: DataFrame,
                    queries: DataFrame, dim: int = 64, k: int = 10,
-                   pool: int = 30, nprobe: int = 4, m_sub: int = 4,
+                   pool: int = 100, nprobe: int = 8, m_sub: int = 4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "qid",
                    max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
@@ -616,7 +616,7 @@ def ivfpq_adc_topk(inv: DataFrame, codes: DataFrame, cb: np.ndarray,
 
 def pq_adc_topk(codes: DataFrame, cb: np.ndarray, corpus: DataFrame,
                 queries: DataFrame, dim: int = 64, k: int = 10,
-                pool: int = 30, m_sub: int = 4, id_col: str = "vec_id",
+                pool: int = 100, m_sub: int = 4, id_col: str = "vec_id",
                 vec_col: str = "embedding", qid_col: str = "qid",
                 max_query_batch: int = MAX_PQ_QUERY_BATCH) -> DataFrame:
     """ADC scoring + exact re-rank over an ALREADY-ENCODED corpus: the
