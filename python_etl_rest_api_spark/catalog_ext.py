@@ -113,13 +113,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     WHERE jaccard >= 0.5
 """)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (shingle -> 8 md5 minhashes -> 4 bands ->
-    bucket self-join -> exact Jaccard verify >= 0.5). Candidate generation
-    is a band-key equi-join - never an all-pairs product.
+    """MinHash+LSH near-dup pairs (shingle -> one md5-derived base hash
+    -> 8 affine permutations (dedup.MINHASH_A/B/P) -> 4 bands -> bucket
+    self-join -> exact Jaccard verify >= 0.5). Candidate generation is
+    a band-key equi-join - never an all-pairs product.
 
-    Because every hash in the pipeline is md5 (portable), the ENTIRE
-    pipeline - banding included - is reproduced by the DuckDB oracle, so
-    the driver value-hashes the final pair set instead of rows-only."""
+    Every hash in the pipeline is md5-derived plus portable 64-bit
+    integer arithmetic, so the ENTIRE pipeline - banding included - is
+    reproduced by the DuckDB oracle (whose sig fragment is GENERATED
+    from the same constants), and the driver value-hashes the final
+    pair set instead of rows-only."""
     return dedup.minhash_near_dups(
         _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, threshold=0.5)
 

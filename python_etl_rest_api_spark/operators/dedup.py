@@ -599,8 +599,9 @@ def build_band_index(df: DataFrame, path: str, id_col: str = "doc_id",
     as parquet: the incremental-ingest dedup index. Amortizes the
     corpus-side sketch cost once; each arriving batch then probes it
     with an equi-join instead of re-sketching the corpus. band_key is
-    md5-derived (portable), so the on-disk index is engine-neutral and
-    an oracle can recompute it from the raw corpus."""
+    md5-derived (one base hash + the MINHASH_A/B/P permutations -
+    portable), so the on-disk index is engine-neutral and an oracle
+    can recompute it from the raw corpus."""
     (minhash_bands(df, id_col, text_col, n, num_hashes, bands)
      .write.mode("overwrite").parquet(path))
 

@@ -187,3 +187,40 @@ def test_minhash_candidate_pairs_superset_of_verified(spark):
     assert verified <= cand_set
     assert (0, 1) in cand_set and (0, 1) in verified
     assert (0, 2) not in verified
+
+
+def test_minhash_permutation_parity_with_duckdb(spark):
+    """The r10 signature scheme (one md5-derived base hash + affine
+    permutations) must agree bit-for-bit between engines, and the
+    catalog oracles must embed the SAME constants (they are generated
+    from dedup.MINHASH_A/B/P - this pins against silent drift)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from python_etl_rest_api_spark.operators.dedup import (
+        MINHASH_A, MINHASH_B, MINHASH_P, minhash_signatures,
+    )
+    from python_etl_rest_api_spark.registry import ORACLES
+
+    texts = ["hello world", "", "émoji 😀", "a" * 100, "x:y|z'q"]
+    df = spark.createDataFrame(
+        [(i, [t]) for i, t in enumerate(texts)],
+        "doc_id long, shingles array<string>")
+    got = {r["doc_id"]: [r[f"h{j}"] for j in range(8)]
+           for r in minhash_signatures(df, "doc_id", 8).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        esc = t.replace("'", "''")
+        want = [con.execute(
+            f"SELECT ({MINHASH_A[j]} * (('0x' || substr(md5('{esc}'), 1, 8))"
+            f"::BIGINT % {MINHASH_P}) + {MINHASH_B[j]}) % {MINHASH_P}"
+        ).fetchone()[0] for j in range(8)]
+        assert got[i] == want, (t, got[i], want)
+    # oracle literals carry the same constants (generated, not typed)
+    for entry in ("dedup_minhash_lsh", "dedup_minhash_recall",
+                  "pipeline_docs_curate", "pipeline_training_data",
+                  "dedup_cluster_components", "dedup_incremental_index",
+                  "dedup_lsh_scurve"):
+        sql = ORACLES[entry]
+        assert f"{MINHASH_A[0]} * x + {MINHASH_B[0]}" in sql, entry
+        assert str(MINHASH_P) in sql, entry
