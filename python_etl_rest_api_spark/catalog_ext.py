@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
+from .functions import intmoney
 from .operators import dedup, similarity, text
 from .session import tune, widen_scan
 
@@ -1275,10 +1276,10 @@ def q1_pricing_summary(spark, sf_dir):
                  F.count(F.lit(1)).alias("count_order")))
 
 
-@query("q3_top_revenue", """
+@query("q3_top_revenue", f"""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM({intmoney.REV_UNITS_SQL}) AS DOUBLE) / 10000.0
+             AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1289,16 +1290,21 @@ def q1_pricing_summary(spark, sf_dir):
 """)
 def q3_top_revenue(spark, sf_dir):
     """TPC-H-Q3-shaped: selective dim filter -> broadcast join -> join on
-    the fact -> top-k (TakeOrderedAndProject, no full sort)."""
+    the fact -> top-k (TakeOrderedAndProject, no full sort). Revenue in
+    exact integer 1e-4 units (functions.intmoney): the per-row product
+    is a long multiply, projected BEFORE the join so the fact side
+    ships (orderkey, rev_u) only; the per-ORDER sum is a plain long
+    (overflow needs >8e9 lines in ONE order), converted to double once
+    per output row — bit-identical to the oracle's integer SQL."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", intmoney.rev_units().alias("rev_u"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+            .agg((F.sum("rev_u").cast("double") / F.lit(10000.0))
+                 .alias("revenue"))
             .select("o_orderkey", "revenue",
                     F.to_date("o_orderdate").alias("order_date"))
             .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .catalog import _t, query
+from .functions import intmoney
 
 # Shared money expressions (identical trees to catalog_warehouse.py).
 # Functions, not module constants: Column construction needs a live
@@ -52,6 +53,8 @@ def _qty():
 
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
             " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+# integer 1e-4-unit revenue (functions.intmoney) - the r10 hot-path form
+_REVU_SQL = intmoney.REV_UNITS_SQL
 
 
 def _nation_region(spark, sf_dir, region: str):
@@ -162,7 +165,7 @@ def q4_priority_count(spark, sf_dir):
 @query("q8_market_share", """
     WITH all_nations AS (
       SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-             CAST({rev} AS DECIMAL(18,4)) AS volume,
+             {rev} AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -179,7 +182,7 @@ def q4_priority_count(spark, sf_dir):
                 / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share,
            COUNT(*) AS n_lines
     FROM all_nations GROUP BY o_year ORDER BY o_year
-""".format(rev=_REV_SQL))
+""".format(rev=_REVU_SQL))
 def q8_market_share(spark, sf_dir):
     """TPC-H-Q8-shaped national market share: NATION_1's share of the
     AMERICA market for ECONOMY parts, by order year. Both sums run in
@@ -209,12 +212,16 @@ def q8_market_share(spark, sf_dir):
           .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
           .join(p, li.l_partkey == p.p_partkey)
           .select(F.year("o_orderdate").alias("o_year"),
-                  _rev().alias("volume"), "supp_nation"))
-    nat_vol = F.when(F.col("supp_nation") == "NATION_1",
-                     F.col("volume")).otherwise(F.lit(0).cast("decimal(18,4)"))
+                  intmoney.rev_units().alias("volume"), "supp_nation"))
+    # exact 1e-4 units; the units cancel in the ratio. Per-year groups
+    # are unbounded -> limb-pair sums on both legs.
+    df = df.withColumn(
+        "nat_vol", F.when(F.col("supp_nation") == "NATION_1",
+                          F.col("volume")).otherwise(F.lit(0).cast("long")))
     return (df.groupBy("o_year")
-            .agg((F.sum(nat_vol).cast("double")
-                  / F.sum("volume").cast("double")).alias("mkt_share"),
+            .agg((intmoney.limb_sum_exact("nat_vol").cast("double")
+                  / intmoney.limb_sum_exact("volume").cast("double"))
+                 .alias("mkt_share"),
                  F.count(F.lit(1)).alias("n_lines"))
             .orderBy("o_year"))
 
@@ -226,7 +233,7 @@ def q8_market_share(spark, sf_dir):
 @query("q9_product_profit", """
     SELECT n.n_name AS nation,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST({rev} AS DECIMAL(18,4))) AS DOUBLE) AS profit
+           CAST(SUM({rev}) AS DOUBLE) / 10000.0 AS profit
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -235,7 +242,7 @@ def q8_market_share(spark, sf_dir):
     WHERE p.p_name LIKE '%gear%'
     GROUP BY n.n_name, o_year
     ORDER BY nation, o_year DESC
-""".format(rev=_REV_SQL))
+""".format(rev=_REVU_SQL))
 def q9_product_profit(spark, sf_dir):
     """TPC-H-Q9-shaped product profit: discounted revenue (the missing
     ps_supplycost term is dropped — no partsupp table) for parts named
@@ -245,19 +252,22 @@ def q9_product_profit(spark, sf_dir):
     join chain, one for the (nation, year) rollup."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey",
-        "l_extendedprice", "l_discount")
+        intmoney.rev_units().alias("rev_u"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation"))
     p = (_t(spark, sf_dir, "part")
          .filter(F.col("p_name").like("%gear%")).select("p_partkey"))
+    # profit in exact 1e-4 units projected before the join chain;
+    # (nation, year) groups are unbounded -> limb-pair sums
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(p, li.l_partkey == p.p_partkey)
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-            .agg(F.sum(_rev()).cast("double").alias("profit"))
+            .agg(intmoney.limb_sum_double("rev_u", 10000.0)
+                 .alias("profit"))
             .orderBy(F.col("nation"), F.col("o_year").desc()))
 
 
@@ -401,18 +411,18 @@ def q13_order_distribution(spark, sf_dir):
 @query("q15_top_supplier", """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(CAST({rev} AS DECIMAL(18,4))) AS total_rev
+             SUM({rev}) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name,
-           CAST(r.total_rev AS DOUBLE) AS total_revenue
+           CAST(r.total_rev AS DOUBLE) / 10000.0 AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
     ORDER BY s.s_suppkey
-""".format(rev=_REV_SQL))
+""".format(rev=_REVU_SQL))
 def q15_top_supplier(spark, sf_dir):
     """TPC-H-Q15-shaped top supplier: the supplier(s) with maximum
     revenue in one quarter. The revenue view is computed once; its max
@@ -425,15 +435,21 @@ def q15_top_supplier(spark, sf_dir):
           .filter((F.col("l_shipdate") >= "1997-01-01 00:00:00")
                   & (F.col("l_shipdate") < "1997-04-01 00:00:00"))
           .select("l_suppkey", "l_extendedprice", "l_discount"))
+    # per-supplier totals as exact integers (limb-pair sums in 1e-4
+    # units recombined to decimal(38,0)): the max and the equality
+    # compare EXACT values, so ties surface identically on both
+    # engines, and the conversion to double happens once per output row
+    li = li.select("l_suppkey", intmoney.rev_units().alias("rev_u"))
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")) \
-            .agg(F.sum(_rev()).alias("total_rev"))
+            .agg(intmoney.limb_sum_exact("rev_u").alias("total_rev"))
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("mx"))
             .join(s, F.col("supplier_no") == s.s_suppkey)
             .select("s_suppkey", "s_name",
-                    F.col("total_rev").cast("double").alias("total_revenue"))
+                    (F.col("total_rev").cast("double") / F.lit(10000.0))
+                    .alias("total_revenue"))
             .orderBy("s_suppkey"))
 
 
@@ -532,7 +548,7 @@ def q17_small_qty_revenue(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 @query("q19_disjunctive_revenue", """
-    SELECT CAST(SUM(CAST({rev} AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM({rev}) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -541,7 +557,7 @@ def q17_small_qty_revenue(spark, sf_dir):
            AND l.l_quantity >= 10 AND l.l_quantity <= 20)
        OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity >= 20 AND l.l_quantity <= 30)
-""".format(rev=_REV_SQL))
+""".format(rev=_REVU_SQL))
 def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H-Q19-shaped discounted revenue with a three-branch
     disjunction spanning both join sides (brand/size bands stand in
@@ -562,10 +578,13 @@ def q19_disjunctive_revenue(spark, sf_dir):
            & (qty >= 10) & (qty <= 20))
         | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15)
            & (qty >= 20) & (qty <= 30)))
-    return (li.join(p, li.l_partkey == p.p_partkey)
-            .filter(cond)
-            .agg(F.sum(_rev()).cast("double").alias("revenue"),
-                 F.count(F.lit(1)).alias("n_lines")))
+    # global sum -> limb pairs; revenue units projected post-filter
+    pre = (li.join(p, li.l_partkey == p.p_partkey)
+           .filter(cond)
+           .select(intmoney.rev_units().alias("rev_u")))
+    return pre.agg(
+        intmoney.limb_sum_double("rev_u", 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
 
 
 # ---------------------------------------------------------------------

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .catalog import _events, _t, query
 from .catalog_ext import _COSINE_PAIR_SQL, _SRP_ORACLE_SQL
+from .functions import intmoney
 from .operators import similarity, twopass
 from .session import widen_scan
 
@@ -65,10 +66,9 @@ def q6_forecast_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"))
 
 
-@query("q5_local_supplier_volume", """
+@query("q5_local_supplier_volume", f"""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM({intmoney.REV_UNITS_SQL}) AS DOUBLE) / 10000.0
              AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
@@ -102,28 +102,28 @@ def q5_local_supplier_volume(spark, sf_dir):
                  & (F.col("o_orderdate") < "1998-01-01 00:00:00"))
          .select("o_orderkey", "o_custkey"))
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        "l_orderkey", "l_suppkey", intmoney.rev_units().alias("rev_u"))
     # ASIA suppliers with their nation name via the tiny broadcast dims
     sup = (s.join(F.broadcast(n.join(F.broadcast(r),
                                      n.n_regionkey == r.r_regionkey)),
                   s.s_nationkey == F.col("n_nationkey"))
            .select("s_suppkey", "s_nationkey", "n_name"))
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+    # revenue in exact 1e-4 units (functions.intmoney), projected
+    # BEFORE the joins; per-NATION groups are unbounded at scale, so
+    # the sums run as overflow-safe limb pairs
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(sup, li.l_suppkey == sup.s_suppkey)
             .join(c, (o.o_custkey == c.c_custkey)
                   & (F.col("s_nationkey") == c.c_nationkey))
             .groupBy("n_name")
-            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
-                 .cast("double").alias("revenue"))
+            .agg(intmoney.limb_sum_double("rev_u", 10000.0)
+                 .alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("n_name")))
 
 
-@query("q10_returned_value", """
+@query("q10_returned_value", f"""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM({intmoney.REV_UNITS_SQL}) AS DOUBLE) / 10000.0
              AS lost_revenue,
            n.n_name, c.c_acctbal
     FROM customer c
@@ -153,16 +153,16 @@ def q10_returned_value(spark, sf_dir):
          .select("o_orderkey", "o_custkey"))
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_returnflag") == "R")
-          .select("l_orderkey", "l_extendedprice", "l_discount"))
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+          .select("l_orderkey", intmoney.rev_units().alias("rev_u")))
     cust = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey) \
             .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    # revenue in exact 1e-4 units projected before the joins; per-
+    # customer groups are unbounded in principle -> limb-pair sums
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(cust, o.o_custkey == F.col("c_custkey"))
             .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
-                 .cast("double").alias("lost_revenue"))
+            .agg(intmoney.limb_sum_double("rev_u", 10000.0)
+                 .alias("lost_revenue"))
             .select("c_custkey", "c_name", "lost_revenue", "n_name",
                     "c_acctbal")
             .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
@@ -187,26 +187,42 @@ def q10_returned_value(spark, sf_dir):
     ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
 """)
 def q18_large_orders(spark, sf_dir):
-    """TPC-H-Q18-shaped large-volume-customer report: semi-join the fact
-    against its own aggregate. No forced broadcasts: the qualifying-key
-    set (~0.3% of orders here) GROWS with the data, so a broadcast hint
-    that helps at test scale becomes a driver OOM at 100 TB — the semi
-    join stays declarative and AQE broadcasts it while it is measured
-    small, falling back to a shuffle semi-join co-partitioned with the
-    (l_orderkey) exchange the aggregate already created (exchange
-    reuse) once it is not. Customer likewise joins via AQE's choice."""
+    """TPC-H-Q18-shaped large-volume-customer report, ONE lineitem pass:
+    the oracle's outer sum over joined lineitem rows is algebraically
+    the per-order aggregate the HAVING already computed, so the
+    qualifying (l_orderkey, sq) frame (~0.3% of orders) feeds the joins
+    directly — no second lineitem scan, no semi-join, no re-aggregation
+    of raw rows. EXACT for any input multiset, duplicates included: d
+    duplicate order rows put d copies of sq into the (name, custkey,
+    orderkey, date, totalprice) group either way (d*n_li lineitem rows
+    summing to d*sq in the two-pass form; d pre-summed sq rows here).
+
+    Per-order quantity sums run in integer CENTS (round(qty*100) as
+    long — exact; per-order row counts make overflow unreachable) and
+    convert once per qualifying order: cast(long)/100.0 is IEEE
+    correctly-rounded division of an exactly-representable integer, so
+    the final double equals the oracle's decimal->double cast
+    bit-for-bit. The HAVING compares the same exact integers
+    (sq_c > 30000 <=> decimal sq > 300).
+
+    No forced broadcasts: the qualifying-key set GROWS with the data,
+    so a broadcast hint that helps at test scale becomes a driver OOM
+    at 100 TB — big joins orders via AQE's choice (broadcast while
+    measured small, shuffle join co-partitioned on the aggregate's own
+    l_orderkey exchange once it is not). Measured at the 100x point:
+    11.0 -> 7.0 s solo."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    big = (li.groupBy("l_orderkey").agg(F.sum(qty).alias("sq"))
-           .filter(F.col("sq") > 300).select("l_orderkey"))
-    return (li.join(big, "l_orderkey", "left_semi")
-            .join(o, li.l_orderkey == o.o_orderkey)
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty_c).alias("sq_c"))
+           .filter(F.col("sq_c") > 30000))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                      "o_totalprice")
-            .agg(F.sum(qty).cast("double").alias("sum_qty"))
+            .agg((F.sum("sq_c").cast("double") / F.lit(100.0))
+                 .alias("sum_qty"))
             .select("c_name", "c_custkey", "o_orderkey",
                     F.to_date("o_orderdate").alias("order_date"),
                     "o_totalprice", "sum_qty")
@@ -554,11 +570,10 @@ def dedup_ratio_by_source(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 
-@query("q7_volume_shipping", """
+@query("q7_volume_shipping", f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           CAST(SUM({intmoney.REV_UNITS_SQL}) AS DOUBLE) / 10000.0
              AS volume
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -595,10 +610,10 @@ def q7_volume_shipping(spark, sf_dir):
          .select("c_custkey", "cust_nation"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-        "l_shipdate")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        intmoney.rev_units().alias("rev_u"))
+    # volume in exact 1e-4 units projected before the joins;
+    # (nation-pair, year) groups are unbounded -> limb-pair sums
     return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
@@ -608,18 +623,16 @@ def q7_volume_shipping(spark, sf_dir):
                        & (F.col("cust_nation") == "NATION_1")))
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("int").alias("l_year"))
-            .agg(F.sum((price * (F.lit(1) - disc)).cast("decimal(18,4)"))
-                 .cast("double").alias("volume")))
+            .agg(intmoney.limb_sum_double("rev_u", 10000.0)
+                 .alias("volume")))
 
 
-@query("q14_promo_revenue_share", """
+@query("q14_promo_revenue_share", f"""
     SELECT CAST(strftime(l.l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
            CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                 THEN {intmoney.REV_UNITS_SQL}
+                 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM({intmoney.REV_UNITS_SQL})
                  AS DOUBLE) AS DOUBLE) AS promo_share_pct
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -639,17 +652,20 @@ def q14_promo_revenue_share(spark, sf_dir):
                   & (F.col("l_shipdate") < "1999-01-01 00:00:00"))
           .select("l_partkey", "l_extendedprice", "l_discount",
                   "l_shipdate"))
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    rev = (price * (F.lit(1) - disc)).cast("decimal(18,4)")
+    rev = intmoney.rev_units()
     promo = F.when(F.col("p_type") == "PROMO", rev) \
-        .otherwise(F.lit(0).cast("decimal(18,4)"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .groupBy(F.date_format("l_shipdate", "yyyy-MM")
-                     .alias("ship_month"))
-            .agg((F.lit(100.0) * F.sum(promo).cast("double")
-                  / F.sum(rev).cast("double")).cast("double")
-                 .alias("promo_share_pct")))
+        .otherwise(F.lit(0).cast("long"))
+    # exact 1e-4 units on both legs of the ratio (the units cancel);
+    # per-month groups are unbounded -> limb-pair sums
+    pre = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .select("l_shipdate", promo.alias("promo_u"),
+                   rev.alias("rev_u")))
+    return (pre.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                        .alias("ship_month"))
+            .agg((F.lit(100.0)
+                  * intmoney.limb_sum_exact("promo_u").cast("double")
+                  / intmoney.limb_sum_exact("rev_u").cast("double"))
+                 .cast("double").alias("promo_share_pct")))
 
 
 # ---------------------------------------------------------------------

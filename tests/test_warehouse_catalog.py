@@ -55,10 +55,15 @@ def test_q10_topk_no_global_sort(spark):
     assert all(r.lost_revenue > 0 for r in rows)
 
 
-def test_q18_semi_join_on_aggregate(spark):
+def test_q18_one_pass_over_lineitem(spark):
+    """r10 reshape: the qualifying (orderkey, sq) aggregate feeds the
+    joins directly - ONE lineitem scan, no semi-join, no re-aggregation
+    of raw rows (the oracle keeps the two-pass SQL; equivalence is
+    exact for any multiset - see the operator docstring)."""
     df = cw.q18_large_orders(spark, SF_DIR)
     plan = explain.physical_plan(df)
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem") == 1  # one scan
+    assert "LeftSemi" not in plan       # aggregate joins directly
     for r in df.collect():
         assert r.sum_qty > 300
 
