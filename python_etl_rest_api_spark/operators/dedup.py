@@ -606,6 +606,19 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                         | (F.col("containment_b_in_a") >= threshold))
 
 
+def _band_scheme(n: int, num_hashes: int, bands: int) -> str:
+    """Canonical descriptor of everything that determines a band_key:
+    shingle width, band layout, the affine-permutation constants and
+    the key format. Any change to the signature scheme changes this
+    string, so a persisted index built under an older scheme is
+    detected instead of silently yielding zero collisions."""
+    return ("minhash-affine-v2"            # v1 was md5-hex concat keys
+            f";n={n};k={num_hashes};bands={bands};p={MINHASH_P}"
+            f";a={','.join(map(str, MINHASH_A[:num_hashes]))}"
+            f";b={','.join(map(str, MINHASH_B[:num_hashes]))}"
+            ";key=dec-colon")
+
+
 def build_band_index(df: DataFrame, path: str, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 3,
                      num_hashes: int = 8, bands: int = 4) -> None:
@@ -615,9 +628,18 @@ def build_band_index(df: DataFrame, path: str, id_col: str = "doc_id",
     with an equi-join instead of re-sketching the corpus. band_key is
     md5-derived (one base hash + the MINHASH_A/B/P permutations -
     portable), so the on-disk index is engine-neutral and an oracle
-    can recompute it from the raw corpus."""
-    (minhash_bands(df, id_col, text_col, n, num_hashes, bands)
-     .write.mode("overwrite").parquet(path))
+    can recompute it from the raw corpus.
+
+    The signature scheme (constants + key format) is written alongside
+    the data under ``{path}/_scheme`` (a ``_``-prefixed subdir, so the
+    band read ignores it); :func:`probe_band_index` refuses a
+    mismatched index instead of silently finding zero candidates."""
+    bands_df = minhash_bands(df, id_col, text_col, n, num_hashes, bands)
+    bands_df.write.mode("overwrite").parquet(path)
+    spark = bands_df.sparkSession
+    (spark.createDataFrame([(_band_scheme(n, num_hashes, bands),)],
+                           "scheme string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/_scheme"))
 
 
 def probe_band_index(spark, path: str, batch: DataFrame,
@@ -636,7 +658,25 @@ def probe_band_index(spark, path: str, batch: DataFrame,
     This is the ingest-time shape of dedup at 100 TB: the corpus index
     is built once (build_band_index) and every new shard is a
     batch-sized sketch plus a band-key equi-join - the corpus text is
-    never rescanned except for the matched handful of docs."""
+    never rescanned except for the matched handful of docs.
+
+    Raises ValueError if the index at ``path`` was built under a
+    different signature scheme (or predates scheme stamping): probing
+    such an index would silently return zero candidates."""
+    expect = _band_scheme(n, num_hashes, bands)
+    try:
+        found = [r["scheme"] for r in
+                 spark.read.parquet(f"{path}/_scheme").collect()]
+    except Exception as exc:  # missing _scheme dir -> AnalysisException
+        raise ValueError(
+            f"band index at {path} has no _scheme descriptor — it "
+            f"predates scheme stamping; rebuild with build_band_index "
+            f"(expected {expect!r})") from exc
+    if found != [expect]:
+        raise ValueError(
+            f"band index at {path} was built under scheme "
+            f"{found!r}, probe expects {expect!r}; rebuild with "
+            f"build_band_index")
     idx = (spark.read.parquet(path)
            .select(F.col(id_col).alias("corpus_id"),
                    "band_id", "band_key"))

@@ -216,11 +216,35 @@ def test_minhash_permutation_parity_with_duckdb(spark):
             f"::BIGINT % {MINHASH_P}) + {MINHASH_B[j]}) % {MINHASH_P}"
         ).fetchone()[0] for j in range(8)]
         assert got[i] == want, (t, got[i], want)
-    # oracle literals carry the same constants (generated, not typed)
+    # Every minhash oracle must embed the FULL generated fragments —
+    # all 8 permutation terms from minhash_sig_sql() and all 4 band
+    # tuples from minhash_band_values_sql() — so an edit to ANY A[j] /
+    # B[j] / P or to the banding layout, on either side, fails here
+    # (previously only A[0]/B[0]/P were pinned; A[1..7]/B[1..7] could
+    # drift silently).
+    import re
+
+    from python_etl_rest_api_spark.operators.dedup import (
+        minhash_band_values_sql, minhash_sig_sql,
+    )
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s)
+
+    sig_terms = re.findall(r"min\(.*?\) AS h\d+",
+                           minhash_sig_sql("ex", "doc_id", 8))
+    assert len(sig_terms) == 8
+    band_tuples = re.findall(r"\(\d+, CAST.*?\)(?=,|\s*\))",
+                             minhash_band_values_sql(8, 4))
+    assert len(band_tuples) == 4
     for entry in ("dedup_minhash_lsh", "dedup_minhash_recall",
                   "pipeline_docs_curate", "pipeline_training_data",
                   "dedup_cluster_components", "dedup_incremental_index",
                   "dedup_lsh_scurve"):
-        sql = ORACLES[entry]
-        assert f"{MINHASH_A[0]} * x + {MINHASH_B[0]}" in sql, entry
+        sql = norm(ORACLES[entry])
+        for term in sig_terms:
+            assert norm(term) in sql, (entry, term)
         assert str(MINHASH_P) in sql, entry
+        if "band_key" in sql:
+            for tup in band_tuples:
+                assert norm(tup) in sql, (entry, tup)

@@ -118,6 +118,27 @@ def test_incremental_probe_matches_full_lsh(spark, tmp_path):
     assert got == cross
 
 
+def test_probe_rejects_mismatched_or_unstamped_index(spark, tmp_path):
+    """A persisted band index carries its signature scheme; probing
+    with different banding params (or probing a pre-stamping index)
+    must fail loudly instead of silently finding zero candidates."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    path = str(tmp_path / "bandidx3")
+    dedup.build_band_index(docs, path, num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="scheme"):
+        dedup.probe_band_index(spark, path, docs, docs,
+                               num_hashes=8, bands=2).collect()
+    # legacy index without a _scheme stamp
+    legacy = str(tmp_path / "bandidx_legacy")
+    dedup.minhash_bands(docs).write.mode("overwrite").parquet(legacy)
+    with pytest.raises(ValueError, match="no _scheme"):
+        dedup.probe_band_index(spark, legacy, docs, docs).collect()
+
+
 # ------------------------------------------------------------------- ewma
 
 def test_ewma_recurrence_hand_checked(spark):

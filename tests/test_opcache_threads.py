@@ -87,3 +87,83 @@ def test_interleaved_entries_keep_foreign_caches(spark):
     tb.join()
     assert not errs, errs
     assert not a_cached.storageLevel.useMemory  # A's own drain worked
+
+
+def test_dedup_entry_races_rest_raw_request(spark):
+    """The ADVICE-medium scenario verbatim: thread A is mid-flight in a
+    caching DEDUP entry (operator cache registered, not yet released)
+    while thread B serves a REST RAW request for another caching entry
+    — B runs the QUERIES_RAW callable, paginates, and drains ITS OWN
+    caches in a finally, exactly the /catalog/{name} endpoint body
+    (fastapi isn't installed here, so the endpoint's code path is
+    exercised directly). B's per-request drain must not evict A's
+    in-flight cache."""
+    from python_etl_rest_api_spark import registry
+    from python_etl_rest_api_spark.api.app import paginate
+    from python_etl_rest_api_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    errs = []
+    b_may_start = threading.Event()
+    b_done = threading.Event()
+
+    def thread_a():
+        try:
+            # mid-entry state of a dedup operator: candidate pairs
+            # computed, shingle cache registered and resident, verify
+            # leg not yet run
+            cand, shingled = dedup.minhash_candidate_pairs(docs)
+            shingled.count()
+            assert shingled.storageLevel.useMemory
+            b_may_start.set()
+            assert b_done.wait(120), "REST thread never finished"
+            assert shingled.storageLevel.useMemory, \
+                "REST per-request drain evicted the dedup entry's cache"
+            # finish the entry with the still-resident cache
+            assert cand.count() >= 0
+            opcache.release_all()
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+            b_may_start.set()
+
+    def thread_b():
+        try:
+            assert b_may_start.wait(120)
+            # the RAW endpoint body: janitor-free callable + paginate,
+            # then a per-request drain in finally
+            try:
+                df = registry.QUERIES_RAW["dedup_simhash"](spark, SF_DIR)
+                paginate(df, 10, 0)
+            finally:
+                opcache.release_all()
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+        finally:
+            b_done.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    assert not errs, errs
+
+
+def test_dead_thread_caches_are_reaped(spark):
+    """A worker thread that exits WITHOUT reaching a release point must
+    not strand its caches forever: the next cache()/release_all() on
+    any thread reaps dead threads' registries (live threads are never
+    touched — that's the two tests above)."""
+    df = spark.range(64).select(F.col("id").alias("k"))
+
+    def worker():
+        opcache.cache(df)
+        df.count()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join()
+    assert df.storageLevel.useMemory  # stranded by the dead worker
+    opcache.release_all()             # main thread's hygiene point
+    assert not df.storageLevel.useMemory
