@@ -1230,8 +1230,9 @@ def q1_pricing_summary(spark, sf_dir):
     predicate reaches PushedFilters.
 
     Exactness via INTEGER CENTS (r9 verdict item 3): the 2-decimal
-    money columns become exact longs (round(x*100) - both engines
-    round the SAME double product half-away-from-zero), the charge
+    money columns become exact longs (intmoney.cents: floor(x*100+0.5)
+    on the Spark side, round(x*100) in the oracle — identical nearest
+    integers since 2-decimal money never lands on a .5 tie), the charge
     product price_c*(100-disc_c)*(100+tax_c) is a pure long multiply
     in micros, and the sums run as hi/lo limb pairs (_Q1_LIMB) so the
     whole per-row path stays in whole-stage-codegen primitives. The
@@ -1248,10 +1249,13 @@ def q1_pricing_summary(spark, sf_dir):
     # widen the (still single-split) filtered scan so the integer
     # partial aggregation runs on all cores (no-op at scale)
     li = widen_scan(li)
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    # intmoney.cents = floor(x*100+0.5): same integers as the oracle's
+    # round(), but pure Math.floor in codegen — Spark's Round(double)
+    # allocates a BigDecimal per row (see functions/intmoney.py)
+    qty_c = intmoney.cents("l_quantity")
+    price_c = intmoney.cents("l_extendedprice")
+    disc_c = intmoney.cents("l_discount")
+    tax_c = intmoney.cents("l_tax")
     rows = li.select(
         "l_returnflag", "l_linestatus",
         qty_c.alias("qty_c"), price_c.alias("price_c"),

@@ -214,7 +214,7 @@ def q18_large_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    qty_c = intmoney.cents("l_quantity")  # floor form — no per-row BigDecimal
     big = (li.groupBy("l_orderkey").agg(F.sum(qty_c).alias("sq_c"))
            .filter(F.col("sq_c") > 30000))
     return (big.join(o, big.l_orderkey == o.o_orderkey)

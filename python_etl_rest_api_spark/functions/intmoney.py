@@ -13,8 +13,12 @@ Recipe (mirrored EXACTLY by the DuckDB oracles — both engines round
 the same IEEE double product half-away-from-zero, then do identical
 64-bit integer arithmetic):
 
-- ``cents(col)``: round(col * 100) as BIGINT — exact for 2-decimal
-  money stored as doubles.
+- ``cents(col)``: nearest integer of col * 100 as BIGINT — exact for
+  2-decimal money stored as doubles. Spark side computes it as
+  floor(col*100 + 0.5) (pure Math.floor in codegen; Spark's
+  Round(double) is BigDecimal-backed per row), the oracle as
+  round(col*100) — identical integers because 2-decimal money never
+  lands on a .5 tie (see cents() docstring).
 - ``rev_units()``: price_cents * (100 - discount_cents) — the
   discounted revenue in 1e-4 units (REV_UNITS_SQL is the oracle
   fragment).
@@ -50,9 +54,27 @@ REV_UNITS_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT)"
 
 
 def cents(col: str | Column) -> Column:
-    """Exact integer cents of a 2-decimal money double."""
+    """Exact integer cents of a 2-decimal money double.
+
+    floor(x*100 + 0.5), NOT round(x*100): Spark's Round on DoubleType
+    allocates a java.math.BigDecimal per row even inside whole-stage
+    codegen (BigDecimal.valueOf(v).setScale(0, HALF_UP)), which is
+    exactly the per-row allocation this module exists to remove —
+    measured at the 100x bench point the BigDecimal-backed form put
+    q5_local_supplier_volume at 9.1 s vs 6.5 s for its decimal
+    predecessor; floor compiles to a bare (long) Math.floor(...).
+
+    Identical values to the oracle's round(): for 2-decimal money
+    stored as a double, x*100 lands within ~1e-9 relative error of an
+    INTEGER, so x*100 + 0.5 is never near a floor boundary and
+    floor(x*100+0.5) IS the nearest integer — the same integer DuckDB's
+    round() produces. (The two differ only at exact .5 ties, i.e. x*100
+    half-way between integers, which a 2-decimal value cannot
+    produce.) Holds for negative money too: round() is
+    half-away-from-zero, floor(+0.5) is half-toward-+inf, and with no
+    ties both are just nearest-integer."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("long")
+    return F.floor(c * 100 + F.lit(0.5))
 
 
 def rev_units(price_col: str = "l_extendedprice",

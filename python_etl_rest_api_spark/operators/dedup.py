@@ -146,35 +146,35 @@ def _band_structs(rows_per_band: int, bands: int):
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 8) -> DataFrame:
-    """(id, h0..h{K-1}) minhash signature, ZERO-SHUFFLE: one md5-derived
-    base hash per shingle, K affine permutations, and the per-doc min
-    taken with array_min over the row's own shingle array — a narrow
-    projection, where the previous explode -> groupBy(id) form shuffled
-    one row per (doc, shingle) (26.5M rows on the 100x corpus) just to
-    regroup what was already row-local. Portable semantics unchanged:
-    h_j = min over shingles of (A_j * x(s) + B_j) mod P with x(s) the
-    first 8 md5 hex chars of the shingle as an integer mod P (see
-    MINHASH_A/B/P above); the DuckDB oracles keep their unnest +
-    GROUP BY form — min over the same set, value-identical.
+    """(id, h0..h{K-1}) minhash signature via explode -> one md5-derived
+    base hash -> K affine permutations -> groupBy-min: all codegen, one
+    shuffle on the id. Portable semantics: h_j = min over shingles of
+    (A_j * x(s) + B_j) mod P with x(s) the first 8 md5 hex chars of the
+    shingle as an integer mod P (see MINHASH_A/B/P above).
 
-    Docs with EMPTY shingle arrays are dropped, exactly as explode
-    dropped them (array_min([]) would instead emit a NULL signature,
-    and concat_ws would then fold all-empty docs into one shared ''
-    band bucket — a correctness trap, not just a mismatch)."""
+    Why explode+shuffle and not a per-row array fold: a "zero-shuffle"
+    form (transform/array_min over the row's own shingle array, or a
+    single F.aggregate fold) looks strictly better on paper, but
+    Spark's higher-order functions are CodegenFallback — the md5/conv
+    per element and the K min-passes run INTERPRETED, and measured at
+    the 100x corpus that costs more than the (id, x) long-pair shuffle
+    it saves: transform/array_min 14.0 s vs explode 13.2 s solo, and
+    +40-70%% inside the curation funnels (6.6/7.0 s vs 4.2/4.1 s at
+    100x), where the interpreted sketch leg is a larger share of the
+    plan. The exploded rows are two longs wide and the groupBy-min
+    combines map-side, so the shuffle this form pays is small and
+    flat; keep this form unless higher-order functions stop being
+    CodegenFallback."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}, "
                          f"got {num_hashes}")
-    xs = F.transform(
-        "shingles",
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-        .cast("long") % MINHASH_P)
-    base = (shingled.filter(F.size("shingles") > 0)
-            .select(id_col, xs.alias("_xs")))
-    return base.select(id_col, *[
-        F.array_min(F.transform(
-            "_xs", lambda x: (F.lit(MINHASH_A[j]) * x
-                              + F.lit(MINHASH_B[j])) % MINHASH_P))
-        .alias(f"h{j}")
+    ex = shingled.select(id_col, F.explode("shingles").alias("s"))
+    x = (F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+         .cast("long") % MINHASH_P)
+    ex = ex.select(id_col, x.alias("x"))
+    return ex.groupBy(id_col).agg(*[
+        F.min((F.lit(MINHASH_A[j]) * F.col("x")
+               + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"h{j}")
         for j in range(num_hashes)
     ])
 
