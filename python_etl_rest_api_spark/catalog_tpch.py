@@ -685,39 +685,51 @@ def q21_sole_blamed_supplier(spark, sf_dir):
     a distinct, and the pair-level join.) Supplier blame is filtered
     to has_r = 1 BEFORE the dimension joins.
 
-    The pair frame feeds BOTH the qual aggregate and the blame probe,
-    and ReuseExchange cannot deduplicate the two subtrees (the blame
-    branch's inner join pushes an isnotnull(l_suppkey) the qual branch
-    must not have - the oracle's qual COUNTs null-suppkey groups), so
-    the lazy plan scanned+aggregated lineitem twice. The pair frame is
-    therefore cached via the opcache janitor (released at the next
-    catalog entry): one scan+agg at the cost of a (orderkey, suppkey,
-    has_r) resident frame - 3 fixed-width columns, ~1/5th of the
-    lineitem scan width, safe to materialize at any scale that can
-    shuffle it (measured 12.1 -> 8.7 s at the 100x point)."""
-    from .opcache import cache as _opcache
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_returnflag")
-    pair = _opcache(
-        li.groupBy("l_orderkey", "l_suppkey")
-          .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
-                     .otherwise(0)).alias("has_r")))
-    qual = (pair.groupBy("l_orderkey")
-            .agg(F.count(F.lit(1)).alias("n_supps"),
-                 F.sum("has_r").alias("n_r"))
-            .filter((F.col("n_supps") > 1) & (F.col("n_r") == 1))
-            .select("l_orderkey"))
+    The qual aggregate and the blame probe collapse into ONE per-order
+    aggregate: when SUM(has_r) = 1 there is exactly one supplier with a
+    returned line, so MAX(CASE WHEN has_r=1 THEN suppkey END) IS the
+    blamed supplier — the oracle's pair-join against qual re-derives
+    the same (orderkey, blamed) rows. (Earlier forms computed pair
+    twice — ReuseExchange cannot dedup the subtrees because the blame
+    branch's join pushes an isnotnull(l_suppkey) the qual branch must
+    not have — and r10 bridged that with an opcache'd pair frame,
+    12.1 -> 8.7 s at 100x. The one-pass form beats the cache: no ~55M-
+    row materialization, and nothing resident between entries.)
+
+    Shuffle shape: lineitem repartitions on l_orderkey FIRST, so the
+    (orderkey, suppkey) aggregate AND the per-order rollup both run in
+    that one exchange's stage (HashPartitioning(ok) satisfies
+    ClusteredDistribution(ok, sk) and ClusteredDistribution(ok)) — one
+    shuffle of the 3-column scan instead of two back-to-back aggregate
+    exchanges. Lines-per-order is bounded (TPC-H ~4-7), so the
+    orderkey shuffle cannot skew. A NULL-suppkey blamed row survives
+    the rollup as blamed=NULL and drops at the supplier inner join,
+    exactly like the oracle's pair-row join. Measured at the 100x
+    point: 13.4 (cached two-pass, in-suite) -> ~8 s."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+          .repartition("l_orderkey"))
+    pair = (li.groupBy("l_orderkey", "l_suppkey")
+            .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
+                       .otherwise(0)).alias("has_r")))
+    order_stats = (pair.groupBy("l_orderkey")
+                   .agg(F.count(F.lit(1)).alias("n_supps"),
+                        F.sum("has_r").alias("n_r"),
+                        F.max(F.when(F.col("has_r") == 1,
+                                     F.col("l_suppkey")))
+                        .alias("blamed_supp")))
+    blamed = (order_stats
+              .filter((F.col("n_supps") > 1) & (F.col("n_r") == 1))
+              .select("l_orderkey", "blamed_supp"))
     o = (_t(spark, sf_dir, "orders")
          .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
     s = _t(spark, sf_dir, "supplier")
     asia = (s.join(F.broadcast(_nation_region(spark, sf_dir, "ASIA")),
                    s.s_nationkey == F.col("n_nationkey"))
             .select("s_suppkey", "s_name"))
-    blamed = pair.filter(F.col("has_r") == 1)
     return (blamed
-            .join(qual, "l_orderkey", "left_semi")
             .join(o, blamed.l_orderkey == o.o_orderkey, "left_semi")
-            .join(asia, blamed.l_suppkey == asia.s_suppkey)
+            .join(asia, blamed.blamed_supp == asia.s_suppkey)
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .orderBy(F.col("numwait").desc(), F.col("s_name"))

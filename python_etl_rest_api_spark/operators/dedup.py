@@ -76,12 +76,29 @@ def _grams_from(toks: Column, n: int) -> Column:
 
 def shingled_docs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingles) with the token array materialized in its own
-    projection, so the n-gram lambda references a column (computed once
-    per row) instead of re-splitting the text per element."""
-    staged = df.select(id_col, tokens(text_col).alias("_toks"))
-    return staged.select(
-        id_col, _grams_from(F.col("_toks"), n).alias("shingles"))
+    """(id, shingles): distinct word n-grams per document.
+
+    The sliding window runs through Spark ML's NGram transformer — a
+    JVM Scala closure (iterator.sliding(n).mkString(" ")) — instead of
+    the equivalent transform(sequence(...), concat_ws(element_at...))
+    expression: higher-order functions are CodegenFallback, so the
+    expression form walks an interpreted eval tree PER GRAM, and on
+    the 100x corpus (26.5M grams) that costs 9.7-11.3 s vs 7.3-8.0 s
+    for the closure — the single largest leg of the LSH pipeline.
+    Value-identical: NGram joins with single spaces and emits nothing
+    for docs shorter than n tokens, exactly like the guarded
+    expression form (_grams_from, kept for word_ngrams callers);
+    array_distinct then matches the oracle's list_distinct. Tokens are
+    coalesced to an empty array first: NGram's Scala closure would NPE
+    on a null input array (null text), where the expression form
+    returned an empty shingle set."""
+    from pyspark.ml.feature import NGram
+    empty = F.array().cast("array<string>")
+    staged = df.select(
+        id_col, F.coalesce(tokens(text_col), empty).alias("_toks"))
+    out = NGram(n=n, inputCol="_toks", outputCol="_grams").transform(staged)
+    return out.select(
+        id_col, F.array_distinct("_grams").alias("shingles"))
 
 
 # Permutation family for minhash: h_j(s) = (A_j * x + B_j) mod P over
