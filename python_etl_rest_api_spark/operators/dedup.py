@@ -186,14 +186,23 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}, "
                          f"got {num_hashes}")
     ex = shingled.select(id_col, F.explode("shingles").alias("s"))
-    x = (F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
-         .cast("long") % MINHASH_P)
-    ex = ex.select(id_col, x.alias("x"))
-    return ex.groupBy(id_col).agg(*[
-        F.min((F.lit(MINHASH_A[j]) * F.col("x")
-               + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"h{j}")
-        for j in range(num_hashes)
-    ])
+    ex = ex.select(id_col, _base_hash(F.col("s")).alias("x"))
+    return ex.groupBy(id_col).agg(*_perm_min_aggs(num_hashes))
+
+
+def _base_hash(s: Column) -> Column:
+    """x(s): first 8 md5 hex chars as an integer mod P — the one
+    portable base hash every affine permutation reuses."""
+    return (F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long") % MINHASH_P)
+
+
+def _perm_min_aggs(num_hashes: int) -> list:
+    """min((A_j*x + B_j) mod P) AS h_j aggregate columns over a
+    projected base-hash column ``x``."""
+    return [F.min((F.lit(MINHASH_A[j]) * F.col("x")
+                   + F.lit(MINHASH_B[j])) % MINHASH_P).alias(f"h{j}")
+            for j in range(num_hashes)]
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id",
@@ -271,6 +280,15 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
 
     Both derived tables feed two join sides -> cached to avoid recomputing
     the sketch pipeline per side (previous invocation's cache released).
+
+    A "fold everything into one explode+groupBy" variant (the K
+    permutation minima AND collect_list(xxhash64(s)) in the same
+    aggregate, caching a string-free (id, h0..h7, sh_hash) frame) was
+    measured at the 100x point and is 2x WORSE (20.1 s vs 10.1): a
+    collect_list in the aggregate forces the whole thing off the
+    codegen HashAggregate path onto ObjectHashAggregate, which costs
+    far more than the string cache + second explode it saves. Keep the
+    two-frame shape.
 
     The verify intersects xxhash64-mapped shingle arrays, not the
     shingle strings: identical Jaccard unless two DISTINCT shingles of
