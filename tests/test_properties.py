@@ -184,3 +184,58 @@ def test_containment_bounds_and_symmetry(spark, texts):
         assert len(dup) == 1
         assert dup[0]["containment_a_in_b"] == 1.0
         assert dup[0]["containment_b_in_a"] == 1.0
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.decimals(min_value="-99999999.99", max_value="99999999.99",
+                places=2, allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=60))
+def test_intmoney_floor_cents_equals_round(spark, decimals):
+    """intmoney.cents = floor(x*100 + 0.5) must equal nearest-integer
+    rounding (the oracle's round(x*100)) for EVERY 2-decimal money
+    value, negative included - the exactness claim the hot-path form
+    rests on (Spark's Round(double) is BigDecimal-backed per row, so
+    cents uses floor; see functions/intmoney.py)."""
+    from python_etl_rest_api_spark.functions.intmoney import cents
+
+    values = [float(d) for d in decimals]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i long, amount double")
+    got = {r.i: r.c for r in
+           df.select("i", cents("amount").alias("c")).collect()}
+    for i, d in enumerate(decimals):
+        expect = int(d * 100)  # exact: d has 2 decimal places
+        assert got[i] == expect, (str(d), got[i], expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="ab x", min_size=0, max_size=40)),
+    min_size=1, max_size=20))
+def test_shingled_docs_ngram_matches_expression_form(spark, texts):
+    """shingled_docs (Spark ML NGram closure) must produce exactly the
+    shingle SETS of the expression form it replaced (_grams_from over
+    tokens), including the edge cases: null text, empty text, docs
+    shorter than n tokens, repeated-space token boundaries."""
+    from python_etl_rest_api_spark.operators.dedup import (
+        _grams_from, shingled_docs,
+    )
+    from python_etl_rest_api_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {r.doc_id: sorted(r.shingles) for r in
+           shingled_docs(docs, n=3).collect()}
+    ref_rows = docs.select(
+        "doc_id",
+        _grams_from(tokens("text"), 3).alias("shingles")).collect()
+    for r in ref_rows:
+        expect = sorted(r.shingles) if r.shingles is not None else []
+        assert got[r.doc_id] == expect, (texts[r.doc_id], got[r.doc_id],
+                                         expect)
