@@ -246,10 +246,18 @@ def q8_market_share(spark, sf_dir):
 def q9_product_profit(spark, sf_dir):
     """TPC-H-Q9-shaped product profit: discounted revenue (the missing
     ps_supplycost term is dropped — no partsupp table) for parts named
-    like '%gear%', by supplier nation and order year. The LIKE filter
-    shrinks part to ~1/6 before the fact join; nation broadcasts;
-    everything else is declarative. One shuffle for the 4-way fact
-    join chain, one for the (nation, year) rollup."""
+    like '%gear%', by supplier nation and order year.
+
+    Join order is the whole game here: the '%gear%' LIKE keeps ~1/8 of
+    part (254k keys at the 100x corpus — a ~2 MB single-int broadcast),
+    so lineitem is pruned 60M -> 7.6M rows by BROADCAST joins against
+    filtered part + supplier + nation BEFORE the orders join. Only the
+    pruned (l_orderkey, rev_u, nation) triple reaches the one shuffle
+    join (vs the r11 form, which shuffle-joined the FULL 60M-row
+    lineitem against orders first and pruned after: measured 4.34 ->
+    2.69 s at 100x, value-identical on all 175 rows). Catalyst does not
+    reorder joins without CBO stats, so the pruning order is explicit.
+    One shuffle for li<->orders, one for the (nation, year) rollup."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey",
         intmoney.rev_units().alias("rev_u"))
@@ -261,10 +269,11 @@ def q9_product_profit(spark, sf_dir):
          .filter(F.col("p_name").like("%gear%")).select("p_partkey"))
     # profit in exact 1e-4 units projected before the join chain;
     # (nation, year) groups are unbounded -> limb-pair sums
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(p, li.l_partkey == p.p_partkey)
-            .join(s, li.l_suppkey == s.s_suppkey)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("l_orderkey", "rev_u", "nation")
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
             .groupBy("nation", F.year("o_orderdate").alias("o_year"))
             .agg(intmoney.limb_sum_double("rev_u", 10000.0)
                  .alias("profit"))

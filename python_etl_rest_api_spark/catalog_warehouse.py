@@ -728,6 +728,11 @@ def layout_bucketed_join(spark, sf_dir):
     # different sf_dirs never collide.
     with _BKT_LOCK:
         names = _BKT_CACHE.get(sf_dir)
+        if names is not None and not spark.catalog.tableExists(names[0]):
+            # saveAsTable registrations live in the SESSION's in-memory
+            # catalog: if the session was stopped and recreated in this
+            # process, the cached names dangle (ADVICE r11) — rebuild.
+            names = None
         if names is None:
             suffix = f"{len(_BKT_CACHE)}"
             names = (f"r5_bkt_orders_{suffix}", f"r5_bkt_customers_{suffix}")

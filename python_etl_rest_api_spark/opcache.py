@@ -20,9 +20,10 @@ Thread-exit hygiene: a worker thread that dies without reaching a
 release point would strand its caches (the thread-local registry is
 unreachable, but Spark keeps the persisted frames resident until
 storage eviction). Every per-thread registry is therefore ALSO tracked
-in a global weak map, and both ``cache()`` and ``release_all()``
+in a global map (the list held strongly, the owner Thread by weakref
+— liveness probe only), and both ``cache()`` and ``release_all()``
 opportunistically drain registries whose owner thread is no longer
-alive — a LIVE thread's caches are never touched by another thread,
+alive or whose Thread object has been collected — a LIVE thread's caches are never touched by another thread,
 preserving the isolation guarantee. Callers spawning short-lived
 worker threads should still call ``release_all()`` on the worker
 before it exits (prompt release beats eventual reclamation); the
@@ -52,22 +53,35 @@ from pyspark.sql import DataFrame
 
 _LOCAL = threading.local()
 
-# owner-thread weakref -> that thread's registry list. Guarded by
-# _REG_LOCK; entries for dead/collected threads are drained by
-# _reap_dead_threads(). WeakKeyDictionary keys on the Thread OBJECT
-# (not the reusable ident), so a recycled thread id can never alias an
-# old registry.
-_REGISTRIES: "weakref.WeakKeyDictionary[threading.Thread, list]" = \
-    weakref.WeakKeyDictionary()
+# id(thread) -> (weakref to the owner Thread, that thread's registry
+# list). Guarded by _REG_LOCK. The registry list is held STRONGLY and
+# the Thread only by weakref: holding the Thread itself weakly (the
+# pre-r12 WeakKeyDictionary form) meant a Thread object collected
+# before any cache()/release_all() ran took its registry entry with it,
+# and that thread's persisted frames stranded until storage eviction —
+# the backstop missed exactly the unreferenced-thread case (ADVICE
+# r11). An entry is removed only AFTER its list is drained, so a
+# collected Thread still gets its caches reaped. id() reuse cannot
+# alias a live registry: _register() drains any stale entry (dead or
+# collected owner) before overwriting the slot.
+_REGISTRIES: dict[int, tuple["weakref.ref[threading.Thread]", list]] = {}
 _REG_LOCK = threading.Lock()
+
+
+def _register(lst: list) -> None:
+    t = threading.current_thread()
+    with _REG_LOCK:
+        stale = _REGISTRIES.get(id(t))
+        _REGISTRIES[id(t)] = (weakref.ref(t), lst)
+    if stale is not None and stale[1] is not lst:
+        _drain(stale[1])
 
 
 def _cached() -> list[DataFrame]:
     lst = getattr(_LOCAL, "cached", None)
     if lst is None:
         lst = _LOCAL.cached = []
-        with _REG_LOCK:
-            _REGISTRIES[threading.current_thread()] = lst
+        _register(lst)
     return lst
 
 
@@ -80,14 +94,21 @@ def _drain(lst: list) -> None:
 
 
 def _reap_dead_threads() -> None:
-    """Unpersist caches stranded by threads that exited without a
-    release point. Only DEAD threads' registries are touched; the
-    owner cannot race us (it no longer runs)."""
+    """Unpersist caches stranded by threads that exited (or whose
+    Thread object was collected) without a release point. Only such
+    threads' registries are touched — the owner cannot race us — and
+    each entry is dropped only after its list is drained."""
     with _REG_LOCK:
-        dead = [lst for t, lst in _REGISTRIES.items()
-                if not t.is_alive() and lst]
-    for lst in dead:
+        dead = [(key, lst) for key, (ref, lst) in _REGISTRIES.items()
+                if (t := ref()) is None or not t.is_alive()]
+    for key, lst in dead:
         _drain(lst)
+        with _REG_LOCK:
+            # re-check under the lock: id() reuse may have re-bound the
+            # slot to a new live thread while we drained
+            cur = _REGISTRIES.get(key)
+            if cur is not None and cur[1] is lst:
+                del _REGISTRIES[key]
 
 
 def cache(df: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ measured ~100x slower on the documents table. Keep sketch-building flat.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,8 +92,17 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
     array_distinct then matches the oracle's list_distinct. Tokens are
     coalesced to an empty array first: NGram's Scala closure would NPE
     on a null input array (null text), where the expression form
-    returned an empty shingle set."""
-    from pyspark.ml.feature import NGram
+    returned an empty shingle set.
+
+    pyspark.ml (and its numpy dependency) is imported lazily and
+    OPTIONALLY: a minimal deployment without numpy falls back to the
+    value-identical (slower, interpreted) expression form instead of
+    failing at first dedup entry (ADVICE r11)."""
+    try:
+        from pyspark.ml.feature import NGram
+    except ImportError:
+        return df.select(
+            id_col, _grams_from(tokens(text_col), n).alias("shingles"))
     empty = F.array().cast("array<string>")
     staged = df.select(
         id_col, F.coalesce(tokens(text_col), empty).alias("_toks"))
@@ -702,7 +712,11 @@ def probe_band_index(spark, path: str, batch: DataFrame,
     try:
         found = [r["scheme"] for r in
                  spark.read.parquet(f"{path}/_scheme").collect()]
-    except Exception as exc:  # missing _scheme dir -> AnalysisException
+    except AnalysisException as exc:
+        # ONLY path-not-found maps to the "predates stamping" message;
+        # unrelated failures (permissions, corrupt footer, transient FS
+        # errors) must propagate untranslated (ADVICE r11) — a bare
+        # except here misdiagnosed them as a missing descriptor.
         raise ValueError(
             f"band index at {path} has no _scheme descriptor — it "
             f"predates scheme stamping; rebuild with build_band_index "
