@@ -307,15 +307,35 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     pair-join shuffle ~3x (8-byte longs vs ~25-byte strings) and makes
     the per-pair intersection integer-keyed instead of string-keyed
     (measured 22.6 -> single-digit seconds on the 100x corpus' 3M
-    candidate pairs)."""
+    candidate pairs).
+
+    The intersection is evaluated ONCE per pair, behind a pushdown
+    barrier: writing filter(jaccard >= t) over a projected jaccard
+    column lets PushPredicateThroughNonJoin substitute the alias into
+    the predicate, so the plan evaluates array_intersect TWICE per
+    pair — once in the Filter over all ~3M candidates, once in the
+    Project over survivors (plan-visible, and measured 4.4 vs 3.7 s on
+    the 100x verify leg). The _mid column is that barrier: the rule
+    only pushes through a Project whose fields are ALL deterministic,
+    so one monotonically_increasing_id field (a long per row, never
+    read) pins the intersect+sizes projection below the filter.
+    Verified value-identical to the naive form on the full 100x result
+    (2,503,171 pairs)."""
     cand, shingled = minhash_candidate_pairs(df, id_col, text_col, n,
                                              num_hashes, bands)
     sa = shingled.select(F.col(id_col).alias("id_a"),
                          F.col("sh_hash").alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("id_b"),
                          F.col("sh_hash").alias("sh_b"))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    step = (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", inter.alias("_inter"),
+                    (F.size("sh_a") + F.size("sh_b")).alias("_tot"),
+                    F.monotonically_increasing_id().alias("_mid")))
+    union = F.col("_tot") - F.col("_inter")
+    jac = F.when(union > 0, F.col("_inter").cast("double") / union) \
+        .otherwise(F.lit(0.0))
+    return (step.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
