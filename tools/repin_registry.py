@@ -59,7 +59,8 @@ def main() -> None:
     print(f"# never driver-green: {len(never)}  "
           f"(cumulative green: {len(greens)})")
     print("_DEBT_FIRST = [")
-    print("    # -- never driver-verified, measured-cheapest-first --")
+    if never:
+        print("    # -- never driver-verified, measured-cheapest-first --")
     for n in never:
         t = f"  # {times[n]:.1f}s" if n in times else ""
         print(f'    "{n}",{t}')
