@@ -537,7 +537,19 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     single-pass groupBy merges duplicate-id rows into one interleaved
     output row, while pass 2's equi-join re-expands the merged
     kept-index list against EACH duplicate row's own token array;
-    dedup ids upstream before calling this."""
+    dedup ids upstream before calling this.
+
+    Measured dead end (r12, do not retry): extracting spans with
+    regexp_extract_all(text, r'\\S+( \\S+){0,15}') instead of the
+    interpreted transform+slice is ~40%% faster on the digest leg
+    (1.44 -> 0.90 s at 100x, and bit-identical THERE because the
+    corpus is strictly single-spaced) — but '\\S+' and
+    split(text, ' ') disagree wherever consecutive / leading /
+    trailing spaces produce empty tokens, which the fuzz fixture pins
+    ('a ' * 500 has a trailing empty token; ' ' is whitespace-only).
+    The oracle's string_split(text, ' ') is the entry's semantics, so
+    the regex form is a correctness break outside the happy corpus,
+    rejected for ~0.5 s."""
     from pyspark.sql import Window
 
     # NULL text guard (same latent-crash class ADVICE flagged on
