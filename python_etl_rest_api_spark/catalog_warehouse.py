@@ -33,6 +33,12 @@ import threading  # noqa: E402
 
 _BKT_CACHE: dict[str, tuple[str, str]] = {}
 _BKT_LOCK = threading.Lock()
+# suffix source for the bucketed-table names: monotonic per process so
+# rebuilt layouts (post-session-restart) can never reuse a name another
+# corpus's live tables hold
+import itertools  # noqa: E402
+
+_BKT_SEQ = itertools.count()
 
 # ---------------------------------------------------------------------
 # TPC-H-profile headliners
@@ -734,7 +740,12 @@ def layout_bucketed_join(spark, sf_dir):
             # process, the cached names dangle (ADVICE r11) — rebuild.
             names = None
         if names is None:
-            suffix = f"{len(_BKT_CACHE)}"
+            # monotonic counter, NOT len(_BKT_CACHE): after a session
+            # restart two corpora rebuild by OVERWRITING their slots,
+            # so a len-based suffix would hand both the same table
+            # names and one corpus would silently read the other's
+            # data (r12 review finding).
+            suffix = f"{next(_BKT_SEQ)}"
             names = (f"r5_bkt_orders_{suffix}", f"r5_bkt_customers_{suffix}")
             loc = tempfile.mkdtemp(prefix="r5_bkt_")
             for t in names:

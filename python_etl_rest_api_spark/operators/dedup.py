@@ -102,7 +102,7 @@ def shingled_docs(df: DataFrame, id_col: str = "doc_id",
         from pyspark.ml.feature import NGram
     except ImportError:
         return df.select(
-            id_col, _grams_from(tokens(text_col), n).alias("shingles"))
+            id_col, word_ngrams(text_col, n).alias("shingles"))
     empty = F.array().cast("array<string>")
     staged = df.select(
         id_col, F.coalesce(tokens(text_col), empty).alias("_toks"))
@@ -228,12 +228,21 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "band.band_id", "band.band_key"))
 
 
+def jaccard_from_sizes(inter: Column, total: Column) -> Column:
+    """Jaccard from the integer intersection size and |A|+|B|: the one
+    canonical guard/cast/fallback definition, shared by the inline form
+    (:func:`jaccard`) and the single-eval verify leg of
+    :func:`minhash_near_dups` so the two cannot drift."""
+    union = total - inter
+    return F.when(union > 0, inter.cast("double") / union) \
+        .otherwise(F.lit(0.0))
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard on two distinct-element arrays: integer intersection /
     union sizes divided in double (portable, order-independent)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(a) + F.size(b) - inter
-    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return jaccard_from_sizes(inter, F.size(a) + F.size(b))
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -332,9 +341,7 @@ def minhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", inter.alias("_inter"),
                     (F.size("sh_a") + F.size("sh_b")).alias("_tot"),
                     F.monotonically_increasing_id().alias("_mid")))
-    union = F.col("_tot") - F.col("_inter")
-    jac = F.when(union > 0, F.col("_inter").cast("double") / union) \
-        .otherwise(F.lit(0.0))
+    jac = jaccard_from_sizes(F.col("_inter"), F.col("_tot"))
     return (step.select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -748,7 +755,13 @@ def probe_band_index(spark, path: str, batch: DataFrame,
         # ONLY path-not-found maps to the "predates stamping" message;
         # unrelated failures (permissions, corrupt footer, transient FS
         # errors) must propagate untranslated (ADVICE r11) — a bare
-        # except here misdiagnosed them as a missing descriptor.
+        # except here misdiagnosed them as a missing descriptor. An
+        # AnalysisException that is NOT path-not-found (e.g.
+        # UNABLE_TO_INFER_SCHEMA from a half-written empty _scheme
+        # dir) re-raises too (r12 review finding).
+        klass = exc.getCondition() or ""
+        if "PATH_NOT_FOUND" not in klass:
+            raise
         raise ValueError(
             f"band index at {path} has no _scheme descriptor — it "
             f"predates scheme stamping; rebuild with build_band_index "
