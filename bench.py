@@ -178,6 +178,56 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - diagnostics must not fail bench
         ann["err"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Build-vs-serve splits for the two remaining first-use-amortized
+    # paths (r12 verdict #3), reported the same way as ann_index and
+    # NEVER touching the headline numbers above:
+    # - bucketed layout: the one-time bucketBy write the
+    #   layout_bucketed_join serve path amortizes (reset + fresh build
+    #   timed; the headline entry number IS the serve).
+    # - minhash shingle cache: the cached (id, shingles, sh_hash)
+    #   materialization every dedup_minhash_lsh invocation pays
+    #   (build), vs the band+verify pipeline served from a warm cache
+    #   (serve) - the headline number includes BOTH every rep (each
+    #   invocation releases and rebuilds its cache; nothing is
+    #   amortized across reps there), so build+serve here decompose it.
+    amortized: dict[str, dict] = {}
+    try:
+        from python_etl_rest_api_spark import catalog_warehouse as cw
+        cw.reset_bucketed_layout(spark, SF_DIR)
+        t0 = time.perf_counter()
+        cw.ensure_bucketed_layout(spark, SF_DIR)
+        amortized["bucketed_layout"] = {
+            "build": round(time.perf_counter() - t0, 3),
+            "serve_min": timings.get("layout_bucketed_join"),
+        }
+    except Exception as exc:  # noqa: BLE001
+        amortized["bucketed_layout"] = {
+            "err": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        from python_etl_rest_api_spark import opcache
+        from python_etl_rest_api_spark.operators import dedup as dd
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.perf_counter()
+        shingled = dd.shingle_cache(docs)
+        shingled.write.format("noop").mode("overwrite").save()
+        build = round(time.perf_counter() - t0, 3)
+        serves = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            cand = dd.minhash_candidates_from(shingled)
+            (dd.minhash_verify_from(cand, shingled)
+             .write.format("noop").mode("overwrite").save())
+            serves.append(time.perf_counter() - t0)
+        opcache.release_all()
+        amortized["minhash_shingles"] = {
+            "build": build,
+            "serve_min": round(min(serves), 3),
+            "serve_max": round(max(serves), 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        amortized["minhash_shingles"] = {
+            "err": f"{type(exc).__name__}: {exc}"[:200]}
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -192,6 +242,7 @@ def main() -> None:
         "reps": REPS,
         "sf": sf_val,
         "ann_index": ann,
+        "amortized": amortized,
     }
     if errs:
         out["errors"] = errs

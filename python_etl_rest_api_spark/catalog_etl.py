@@ -282,18 +282,24 @@ def etl_clean_scaled(spark, sf_dir):
 
     Cost at scale: the agg+join fill makes the plan a DIAMOND - the
     dirty-gen + multi-format parse feeds both the main branch and the
-    first-valid-name aggregation, and the lazy path recomputes it once
-    per branch (measured at 30x data: window fill 11.1s group-bound,
-    lazy agg+join 9.8s double-parse core-bound, persist-before-impute
-    7.9s). Since r9 the opcache janitor gives a persist a SAFE release
-    point (the next entry's start), so the staged frame is now cached
-    and the parse runs once; the at-scale answer for a REAL pipeline
-    remains split_critical_materialized (parse once, write the flagged
-    frame, impute over the parquet-backed clean tier - see clean.py)."""
+    first-valid-name aggregation. Three forms measured at the 30x
+    point in r9 (window fill 11.1s group-bound, lazy agg+join 9.8s
+    double-parse core-bound, persist-before-impute 7.9s) picked the
+    cache; r13 re-measured at 100x AFTER the impute join became an
+    explicit broadcast (operators/clean.py::impute_company_name) and
+    the ranking flipped: cache_staged 8.6s vs UNCACHED 7.2s
+    (same-session interleaved mins; shipped r12 form 9.2s). With the
+    15M-row SortMergeJoin exchange gone, the cache's columnar write
+    (+2.8s on the build pass, measured) costs more than the
+    recomputation it saves - Catalyst column-prunes the agg branch to
+    the flag inputs (the updated_at parse drops out), so the second
+    pass is narrower than the first. The at-scale answer for a REAL
+    pipeline remains split_critical_materialized (parse once to
+    parquet, impute over the parquet-backed clean tier - see
+    clean.py)."""
     tune(spark)
     raw = _scaled_raw_df(spark, sf_dir)
-    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS,
-                              cache_staged=True)
+    clean, _ = clean_pipeline(raw, order_col="rid", timestamp_formats=_ETL_FORMATS)
     return clean
 
 

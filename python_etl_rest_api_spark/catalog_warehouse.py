@@ -31,7 +31,10 @@ from .session import widen_scan
 # catalog callers (REST threadpool); see the entry's docstring.
 import threading  # noqa: E402
 
-_BKT_CACHE: dict[str, tuple[str, str]] = {}
+# sf_dir -> ((orders_table, customers_table), on-disk layout dir); the
+# dir rides along so a dangling-catalog rebuild can delete the orphaned
+# layout instead of leaking one per session restart (ADVICE r12)
+_BKT_CACHE: dict[str, tuple[tuple[str, str], str]] = {}
 _BKT_LOCK = threading.Lock()
 # suffix source for the bucketed-table names: monotonic per process so
 # rebuilt layouts (post-session-restart) can never reuse a name another
@@ -721,6 +724,23 @@ def layout_bucketed_join(spark, sf_dir):
     only the first invocation pays the one-time layout write. The
     testdata corpus is immutable, so a cached layout can never go
     stale within a process."""
+    names = ensure_bucketed_layout(spark, sf_dir)
+    bo = spark.table(names[0])
+    bc = spark.table(names[1])
+    return (bo.hint("merge")
+            .join(bc, bo.o_custkey == bc.c_custkey)
+            .groupBy(F.col("o_custkey").alias("custkey"), "c_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("double").alias("total_spend")))
+
+
+def ensure_bucketed_layout(spark, sf_dir) -> tuple[str, str]:
+    """Build (or fetch) the per-(process, corpus) bucketed layout the
+    layout_bucketed_join entry serves from; returns the two table
+    names. Factored out of the entry (r13) so the bench can time the
+    one-time layout write separately from the zero-shuffle serve path
+    (the r12 verdict's build-vs-serve split) — behavior is unchanged."""
     import tempfile
 
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -733,11 +753,25 @@ def layout_bucketed_join(spark, sf_dir):
     # table NAMES are unique per corpus so concurrent entries against
     # different sf_dirs never collide.
     with _BKT_LOCK:
-        names = _BKT_CACHE.get(sf_dir)
-        if names is not None and not spark.catalog.tableExists(names[0]):
+        cached = _BKT_CACHE.get(sf_dir)
+        names = cached[0] if cached else None
+        if names is not None and not all(
+                spark.catalog.tableExists(t) for t in names):
             # saveAsTable registrations live in the SESSION's in-memory
             # catalog: if the session was stopped and recreated in this
-            # process, the cached names dangle (ADVICE r11) — rebuild.
+            # process, the cached names dangle (ADVICE r11; BOTH names
+            # checked — a partial registration must also rebuild,
+            # ADVICE r12) — rebuild, after best-effort dropping the
+            # stale registrations and deleting the prior layout's
+            # on-disk directory so repeated restarts in one process
+            # cannot leak one orphaned layout per rebuild (ADVICE r12).
+            import shutil
+            for t in names:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                except Exception:
+                    pass
+            shutil.rmtree(cached[1], ignore_errors=True)
             names = None
         if names is None:
             # monotonic counter, NOT len(_BKT_CACHE): after a session
@@ -758,15 +792,27 @@ def layout_bucketed_join(spark, sf_dir):
              .option("path", f"{loc}/customers")
              .bucketBy(8, "c_custkey").sortBy("c_custkey")
              .saveAsTable(names[1]))
-            _BKT_CACHE[sf_dir] = names
-    bo = spark.table(names[0])
-    bc = spark.table(names[1])
-    return (bo.hint("merge")
-            .join(bc, bo.o_custkey == bc.c_custkey)
-            .groupBy(F.col("o_custkey").alias("custkey"), "c_name")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("double").alias("total_spend")))
+            _BKT_CACHE[sf_dir] = (names, loc)
+    return names
+
+
+def reset_bucketed_layout(spark, sf_dir) -> None:
+    """Drop this corpus' bucketed layout (tables + on-disk directory)
+    and forget the cache slot, so the next ensure_bucketed_layout pays
+    a fresh build. Bench diagnostics only — the entry itself never
+    resets."""
+    import shutil
+    with _BKT_LOCK:
+        cached = _BKT_CACHE.pop(sf_dir, None)
+    if cached is None:
+        return
+    names, loc = cached
+    for t in names:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 @query("ntile_customer_deciles", """

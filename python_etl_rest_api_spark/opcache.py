@@ -124,6 +124,13 @@ def release_all() -> None:
     """Unpersist every cache registered on the CALLING thread
     (idempotent, exception-safe — a cache whose session already stopped
     just drops from the list). Other LIVE threads' registries are
-    untouched; registries stranded by DEAD threads are reaped."""
-    _drain(_cached())
+    untouched; registries stranded by DEAD threads are reaped.
+
+    A thread that never cached anything allocates nothing here: going
+    through _cached() would insert an empty registry slot for every
+    transient caller thread (reaped only after the thread dies), so the
+    no-op path reads the thread-local directly (ADVICE r12)."""
+    lst = getattr(_LOCAL, "cached", None)
+    if lst is not None:
+        _drain(lst)
     _reap_dead_threads()

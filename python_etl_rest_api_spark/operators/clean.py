@@ -178,12 +178,24 @@ def impute_company_name(df: DataFrame, order_col: str = ROW_ID) -> DataFrame:
     The fill value is a CONSTANT per group (the group's first valid name),
     so it is computed as ``min_by(name, order_col)`` aggregation + join
     back rather than a whole-table window: the agg is map-side
-    combinable (partial per partition, one row per group shuffles) and
-    the join is AQE-broadcastable, so parallelism stays core-bound even
-    when group cardinality is tiny. The previous window form shuffled
-    the WHOLE table on company_id and serialized each group into one
-    partition chain - measured 4.3x superlinear on the 30x scaled
-    corpus, whose generator pins cardinality at 5 companies.
+    combinable (partial per partition, one row per group shuffles).
+    The previous window form shuffled the WHOLE table on company_id and
+    serialized each group into one partition chain - measured 4.3x
+    superlinear on the 30x scaled corpus, whose generator pins
+    cardinality at 5 companies.
+
+    The join back is an EXPLICIT broadcast (r13, guide section 3.1):
+    ``firsts`` is one row per company - dim cardinality by construction
+    - but Catalyst cannot estimate an aggregate's output size, so the
+    declarative plan chose SortMergeJoin and shuffled + sorted the FULL
+    clean tier on company_id (plan-read at the 100x point: a 15M-row
+    full-width Exchange + Sort on the main branch). AQE cannot rescue
+    it: under adaptive execution both child stages are submitted
+    concurrently, so the big shuffle has already been written by the
+    time the runtime sees that the agg side is tiny. The hint removes
+    that exchange outright (measured at 100x, same-session interleaved
+    A/B: full entry 9.2 -> 7.2 s min; plan diff: main-branch
+    Exchange + Sort + SortMergeJoin -> BroadcastHashJoin).
 
     Null-key nuance, matching pandas exactly: pandas ``groupby`` drops
     NaN keys, so null-company_id rows are never filled from each other
@@ -202,7 +214,7 @@ def impute_company_name(df: DataFrame, order_col: str = ROW_ID) -> DataFrame:
               .agg(F.min_by("_valid_name", F.col(order_col))
                    .alias("_first_valid_name")))
     cols = df.columns
-    return (df.join(firsts, "company_id", "left")
+    return (df.join(F.broadcast(firsts), "company_id", "left")
             .withColumn(
                 "company_name",
                 F.coalesce(name, F.col("_first_valid_name"),
