@@ -102,18 +102,29 @@ def q6_forecast_revenue(spark, sf_dir):
 """)
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H-Q5-shaped local-supplier volume: the six-way star join.
-    Broadcast hints ONLY on region and nation (genuinely tiny at any
-    scale); supplier and customer are 1/10 and 1/1 of the customer
-    population — fact-scale at 100 TB, where a forced broadcast OOMs
-    the executors — so their joins stay declarative and AQE picks
-    broadcast at test scale / shuffle at cluster scale from measured
-    sizes. The ASIA restriction lands on supplier through the tiny
-    nation⋈region broadcast BEFORE the fact join, so the supplier side
-    the planner sees is already 1/5 of the table."""
+
+    Join order is explicit, mirroring q9's r12 reorder (Catalyst does
+    not reorder joins without CBO stats): lineitem is pruned 60M ->
+    12M rows by a BROADCAST join against the ASIA-filtered
+    supplier⋈nation⋈region dim chain BEFORE anything shuffles, so the
+    one fact shuffle (li⋈orders on orderkey) carries the pruned
+    (l_orderkey, s_nationkey, n_name, rev_u) quadruple instead of the
+    full fact. The r12 form shuffle-joined the FULL lineitem against
+    orders first and re-shuffled the join output on l_suppkey — two
+    full-fact exchanges (plan-read); measured at the 100x point
+    (same-session interleaved A/B): 4.0 -> 2.4 s min, value-identical
+    on all 5 rows. The broadcast side is the REGION-filtered supplier
+    keyed (s_suppkey, s_nationkey, n_name) — the same explicit
+    supplier broadcast q9 ships (1/5 of it, here); customer stays
+    declarative (fact-scale at 100 TB: AQE picks broadcast at test
+    scale, shuffle on a cluster — and post-prune only ~2M joined rows
+    reach it). Revenue in exact 1e-4 units projected before the
+    joins; per-NATION groups are unbounded at scale, so the sums run
+    as overflow-safe limb pairs."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
-    c = _t(spark, sf_dir, "customer")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = (_t(spark, sf_dir, "orders")
          .filter((F.col("o_orderdate") >= "1997-01-01 00:00:00")
                  & (F.col("o_orderdate") < "1998-01-01 00:00:00"))
@@ -125,11 +136,9 @@ def q5_local_supplier_volume(spark, sf_dir):
                                      n.n_regionkey == r.r_regionkey)),
                   s.s_nationkey == F.col("n_nationkey"))
            .select("s_suppkey", "s_nationkey", "n_name"))
-    # revenue in exact 1e-4 units (functions.intmoney), projected
-    # BEFORE the joins; per-NATION groups are unbounded at scale, so
-    # the sums run as overflow-safe limb pairs
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(sup, li.l_suppkey == sup.s_suppkey)
+    li2 = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .select("l_orderkey", "s_nationkey", "n_name", "rev_u"))
+    return (li2.join(o, F.col("l_orderkey") == o.o_orderkey)
             .join(c, (o.o_custkey == c.c_custkey)
                   & (F.col("s_nationkey") == c.c_nationkey))
             .groupBy("n_name")

