@@ -294,35 +294,51 @@ def bpe_encode_counts(df: DataFrame, merges: list[tuple[int, str, int]],
     Spark's sequence(1, 0) counts DOWN, so an empty word would emit
     phantom symbols), chars = pre-merge symbol count, bpe tokens =
     post-merge symbol count. n_bpe_tokens == n_chars_tokenized minus
-    one per merge occurrence applied."""
-    def encode_count(w):
-        # '><' inserted between every adjacent char pair by ONE regex
-        # pass - identical string to the train-side transform(sequence,
-        # substr) idiom but O(len) instead of O(len^2) per word (substr
-        # copies); measured ~3x on the corpus-wide encode at sf0.1
-        sym = F.concat(F.lit("<"),
-                       F.regexp_replace(w, "(?<=.)(?=.)", "><"),
-                       F.lit(">"))
-        for _step, pair, _cnt in merges:
-            x, y = pair.split(" ")
-            sym = F.replace(sym, F.lit(f"<{x}><{y}>"),
-                            F.lit(f"<{x}+{y}>"))
-        return F.size(F.split(sym, "><"))
+    one per merge occurrence applied.
 
+    The encode runs DOC-LEVEL, not per word (r13): the previous form
+    folded an encode expression over the token array with
+    F.aggregate — a CodegenFallback higher-order function, so the
+    regex + merge replaces ran INTERPRETED once per word occurrence
+    (~140M interpreted evals at the 100x point — the same HOF tax the
+    minhash sketch measured). The whole document is now encoded in a
+    handful of flat string passes (all codegen): one regex inserts
+    '><' between adjacent non-space chars, spaces become '> <' and the
+    ends are bracketed — producing EXACTLY the concatenation of every
+    word's self-delimited symbol string (consecutive spaces yield
+    inert '<>' phantoms that no merge pattern '<x><y>' can touch and
+    the separator counting below never sees) — then each merge is one
+    literal replace over the doc string. A merge match can never span
+    words or phantoms (every cross-boundary span contains a space;
+    patterns are space-free), so the doc-level replace finds exactly
+    the per-word matches in the same left-to-right order. Counts
+    close the loop without any split: per word, tokens = '><'-count
+    + 1, and '><' never crosses the '> <' separators, so summing over
+    the doc gives n_bpe = regexp_count(sym, '><') + n_words, with
+    n_words = regexp_count(text, '[^ ]+') ('[^ ]', not '\\S': tokens
+    may contain tabs/newlines, which are not split delimiters) and
+    n_chars = length minus spaces. Measured at 100x (same-session
+    interleaved A/B): apply leg 3.3 -> 2.6 s min; value-identical on
+    the full 100x, sf0.1 and sf0.01 corpora (0 differing rows)."""
     from ..session import widen_scan
-    words = F.filter(tokens(text_col), lambda w: F.length(w) >= 1)
+    t = F.col(text_col)
+    sym = F.regexp_replace(t, "(?<=[^ ])(?=[^ ])", "><")
+    sym = F.concat(F.lit("<"), F.replace(sym, F.lit(" "), F.lit("> <")),
+                   F.lit(">"))
+    for _step, pair, _cnt in merges:
+        x, y = pair.split(" ")
+        sym = F.replace(sym, F.lit(f"<{x}><{y}>"), F.lit(f"<{x}+{y}>"))
+    n_words = F.regexp_count(t, F.lit("[^ ]+"))
     # widen: the encode is the CPU-heavy narrow map this docstring
     # describes; an under-split scan would serialize it (10 of 32
     # cores at the 100x point, measured 27s -> ~9s widened). No-op
     # once the scan has >= half-core splits.
-    return (widen_scan(df.filter(F.col(text_col).isNotNull()))
+    return (widen_scan(df.filter(t.isNotNull()))
             .select("doc_id",
-                    F.size(words).cast("long").alias("n_words"),
-                    F.aggregate(words, F.lit(0),
-                                lambda a, w: a + F.length(w))
+                    n_words.cast("long").alias("n_words"),
+                    F.length(F.replace(t, F.lit(" "), F.lit("")))
                     .cast("long").alias("n_chars_tokenized"),
-                    F.aggregate(words, F.lit(0),
-                                lambda a, w: a + encode_count(w))
+                    (F.regexp_count(sym, F.lit("><")) + n_words)
                     .cast("long").alias("n_bpe_tokens")))
 
 

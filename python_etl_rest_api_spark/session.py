@@ -196,11 +196,23 @@ def get_spark(app_name: str = "python_etl_rest_api_spark",
     come from spark-submit and only the SQL confs below matter.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # Initial shuffle parallelism follows the session's actual core
+    # count instead of a constant tuned for one machine (r13; the old
+    # hard-coded 32 matched local[32] but over-split an 8-core run and
+    # under-split a wider one). AQE's partition coalescing still sizes
+    # the real post-shuffle partition count from measured bytes; this
+    # is only the upper bound it starts from. Overridable for cluster
+    # deployments via SPARK_GRAFT_SHUFFLE_PARTITIONS (where 2-3x total
+    # executor cores, or input-size/128MB, is the usual figure).
+    try:
+        n_shuffle = str(int(cpus))
+    except ValueError:  # local[*]
+        n_shuffle = str(os.cpu_count() or 32)
+    n_shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", n_shuffle)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        # match local core count, not the 200 default; AQE coalesces further
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", n_shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
