@@ -1350,11 +1350,16 @@ def skew_plain_agg(spark, sf_dir):
     keep where partials cannot reduce: holistic aggregates
     (collect_list, exact media over raw rows), high-cardinality
     per-key state, and skewed JOINs on engines/paths without AQE skew
-    handling (operators/skew.py::salted_join)."""
-    from .functions.cleaning import money
+    handling (operators/skew.py::salted_join).
+
+    Sums run in exact integer cents with limb pairs (r13, the flagship
+    conversion applied to both halves of the A/B pair so the skew
+    comparison stays like-for-like): 1.47 -> 0.43 s at the 100x point,
+    bit-identical."""
     return (_skewed_orders(spark, sf_dir)
+            .select("hot_key", intmoney.cents("o_totalprice").alias("_t_c"))
             .groupBy("hot_key")
-            .agg(F.sum(money("o_totalprice")).cast("double").alias("total"),
+            .agg(intmoney.limb_sum_double("_t_c", 100.0).alias("total"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -1362,21 +1367,23 @@ def skew_plain_agg(spark, sf_dir):
 def skew_salted_agg(spark, sf_dir):
     """Skew-safe two-stage aggregation on the ~99%-hot key: partial agg on
     (key, salt) spreads the hot key over 16 reducers, final agg combines -
-    decimal sums make the salted plan bit-identical to the plain GROUP BY
-    (same oracle as skew_plain_agg). tests/test_skew_stateful.py asserts
-    the spread property (max per-reducer group share drops ~buckets-fold).
+    exact integer-cents limb sums (operators/skew.py::salted_sum_cents,
+    r13 — the same conversion as skew_plain_agg, applied to BOTH halves
+    so the A/B stays like-for-like; limb partials are decomposable, so
+    the salted total is bit-identical to the plain GROUP BY and the
+    same oracle as skew_plain_agg). tests/test_skew_stateful.py asserts
+    the spread property (max per-reducer group share drops
+    ~buckets-fold).
 
     Kept as the measurable A/B twin of skew_plain_agg: for algebraic
     sums the plain plan wins (map-side combine already kills the skew;
     see skew_plain_agg docstring for where salting IS the right tool)."""
-    from .operators.skew import salted_sum
-    from .functions.cleaning import money
-    out = salted_sum(_skewed_orders(spark, sf_dir).select(
-        "hot_key", "o_totalprice"),
-        ["hot_key"], money("o_totalprice"),
-        alias="_total_dec", buckets=16, count_alias="n")
-    return out.select("hot_key",
-                      F.col("_total_dec").cast("double").alias("total"), "n")
+    from .operators.skew import salted_sum_cents
+    out = salted_sum_cents(_skewed_orders(spark, sf_dir).select(
+        "hot_key", intmoney.cents("o_totalprice").alias("_t_c")),
+        ["hot_key"], "_t_c",
+        alias="total", scale=100.0, buckets=16, count_alias="n")
+    return out.select("hot_key", "total", "n")
 
 
 @query("skew_salted_join", """

@@ -44,6 +44,39 @@ def salted_sum(df: DataFrame, group_cols: Sequence[str],
     return stage1.groupBy(*group_cols).agg(*aggs)
 
 
+def salted_sum_cents(df: DataFrame, group_cols: Sequence[str],
+                     cents_col: str, alias: str, scale: float,
+                     buckets: int = 16,
+                     count_alias: str | None = None) -> DataFrame:
+    """Two-stage skew-safe EXACT money sum over a projected integer-
+    cents COLUMN NAME (+ optional count): the limb-pair twin of
+    :func:`salted_sum` (r13; name-not-Column mirrors the
+    intmoney.limb_sum_* convention, which builds the ``div`` limb split
+    as a SQL fragment).
+
+    Stage 1 partial-sums the (value div 2^20, value mod 2^20) limbs per
+    (group, salt) — plain long arithmetic, the same overflow bound as
+    intmoney.limb_sum_* (exact to ~8e12 rows per (group, salt)); stage
+    2 sums the partial limbs per group and recombines hi*2^20 + lo in
+    decimal(38,0) on the one final row, divided by ``scale`` into the
+    output double. Limb partials are themselves decomposable, so the
+    salted result is bit-identical to the unsalted limb sum."""
+    from ..functions.intmoney import LIMB
+    salt = F.pmod(F.xxhash64(*[F.col(x) for x in df.columns]),
+                  F.lit(buckets))
+    stage1 = (df.withColumn("_salt", salt)
+              .groupBy(*group_cols, "_salt")
+              .agg(F.sum(F.expr(f"`{cents_col}` div {LIMB}")).alias("_hi"),
+                   F.sum(F.col(cents_col) % LIMB).alias("_lo"),
+                   F.count(F.lit(1)).alias("_partial_n")))
+    total = ((F.sum("_hi").cast("decimal(38,0)") * LIMB + F.sum("_lo"))
+             .cast("double") / F.lit(scale)).alias(alias)
+    aggs = [total]
+    if count_alias:
+        aggs.append(F.sum("_partial_n").alias(count_alias))
+    return stage1.groupBy(*group_cols).agg(*aggs)
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, key: str,
                 buckets: int = 8) -> DataFrame:
     """Explicit skew-join salting: fact rows get a deterministic salt in

@@ -19,17 +19,29 @@ from ..functions.cleaning import money
 
 
 def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
-    """Tumbling-window counts + exact decimal value sums per event_type.
+    """Tumbling-window counts + exact value sums per event_type.
 
     Batch form uses date_trunc (portable to the DuckDB oracle). The
     streaming form (tumbling_agg_stream) swaps in F.window + watermark -
     same grouping semantics, epoch-aligned buckets.
-    """
+
+    The value sum runs in exact integer cents with limb-pair
+    accumulators (functions/intmoney, r13 — the same conversion as the
+    flagship view): the decimal form paid a BigDecimal allocation per
+    row in the double->decimal cast. Value-identical for the 2-decimal
+    value column (same nearest integer; the final double is the
+    correctly-rounded cents/100 either way); measured at the 100x
+    point (same-session interleaved A/B): 1.36 -> 0.75 s min,
+    bit-identical on all windows."""
+    from ..functions import intmoney
     return (events
-            .groupBy(F.date_trunc(bucket, F.col("ts")).alias("window_start"),
-                     F.col("event_type"))
+            .select(F.date_trunc(bucket, F.col("ts")).alias("window_start"),
+                    F.col("event_type"),
+                    intmoney.cents("value").alias("_v_c"))
+            .groupBy("window_start", "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(money("value")).cast("double").alias("total_value")))
+                 intmoney.limb_sum_double("_v_c", 100.0)
+                 .alias("total_value")))
 
 
 def tumbling_agg_stream(events: DataFrame, window: str = "1 hour",
