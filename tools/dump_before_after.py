@@ -18,7 +18,8 @@ from bench import HEADLINE  # noqa: E402
 
 def main() -> None:
     tag = sys.argv[1]
-    assert tag in ("before", "after"), "tag must be before|after"
+    assert tag.startswith(("before", "after")), \
+        "tag must start with before|after (e.g. before_100x)"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or HEADLINE
 
