@@ -241,6 +241,16 @@ def main() -> None:
         "queries_max": spreads,
         "reps": REPS,
         "sf": sf_val,
+        # Parallelism contract, self-described (r13 verdict #2: the
+        # driver's low-core scaling flag was un-falsifiable from the
+        # artifact). Additive keys only — the headline fields above are
+        # untouched. NOTE for scaling analysis: at sf0.1 per-query times
+        # are 0.2-2 s and dominated by fixed job-submission overhead, so
+        # the low/high-core ratio is only meaningful at sf1x and above.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "ann_index": ann,
         "amortized": amortized,
     }

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from .catalog import _t, query
 from .functions import intmoney
+from .session import broadcast_factscale
 
 # Shared money expressions (identical trees to catalog_warehouse.py).
 # Functions, not module constants: Column construction needs a live
@@ -257,7 +258,11 @@ def q9_product_profit(spark, sf_dir):
     lineitem against orders first and pruned after: measured 4.34 ->
     2.69 s at 100x, value-identical on all 175 rows). Catalyst does not
     reorder joins without CBO stats, so the pruning order is explicit.
-    One shuffle for li<->orders, one for the (nation, year) rollup."""
+    One shuffle for li<->orders, one for the (nation, year) rollup.
+    The part/supplier broadcasts are FACT-SCALE and route through
+    session.broadcast_factscale (droppable per deployment via
+    SPARK_GRAFT_NO_FACTSCALE_BROADCAST=1 — ADVICE r13 #1); nation's
+    stays unconditional (<= 25 rows at any scale)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey",
         intmoney.rev_units().alias("rev_u"))
@@ -269,8 +274,8 @@ def q9_product_profit(spark, sf_dir):
          .filter(F.col("p_name").like("%gear%")).select("p_partkey"))
     # profit in exact 1e-4 units projected before the join chain;
     # (nation, year) groups are unbounded -> limb-pair sums
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return (li.join(broadcast_factscale(p), li.l_partkey == p.p_partkey)
+            .join(broadcast_factscale(s), li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .select("l_orderkey", "rev_u", "nation")
             .join(o, F.col("l_orderkey") == o.o_orderkey)

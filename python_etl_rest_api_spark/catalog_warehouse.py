@@ -24,7 +24,7 @@ from .catalog import _events, _t, query
 from .catalog_ext import _COSINE_PAIR_SQL, _SRP_ORACLE_SQL
 from .functions import intmoney
 from .operators import similarity, twopass
-from .session import widen_scan
+from .session import broadcast_factscale, widen_scan
 
 # layout_bucketed_join's once-per-(process, corpus) bucketed layout:
 # sf_dir -> (orders_table, customers_table). Guarded for concurrent
@@ -120,7 +120,14 @@ def q5_local_supplier_volume(spark, sf_dir):
     scale, shuffle on a cluster — and post-prune only ~2M joined rows
     reach it). Revenue in exact 1e-4 units projected before the
     joins; per-NATION groups are unbounded at scale, so the sums run
-    as overflow-safe limb pairs."""
+    as overflow-safe limb pairs.
+
+    Scale safety (ADVICE r13 #1): the supplier chain is FACT-SCALE, so
+    the explicit broadcast that wins at test scale OOMs executors at
+    100 TB. The hint routes through session.broadcast_factscale — set
+    SPARK_GRAFT_NO_FACTSCALE_BROADCAST=1 on cluster deployments to
+    drop it (threshold guidance in that helper's docstring); the
+    bounded nation/region broadcasts stay unconditional."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
@@ -136,7 +143,7 @@ def q5_local_supplier_volume(spark, sf_dir):
                                      n.n_regionkey == r.r_regionkey)),
                   s.s_nationkey == F.col("n_nationkey"))
            .select("s_suppkey", "s_nationkey", "n_name"))
-    li2 = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    li2 = (li.join(broadcast_factscale(sup), li.l_suppkey == sup.s_suppkey)
            .select("l_orderkey", "s_nationkey", "n_name", "rev_u"))
     return (li2.join(o, F.col("l_orderkey") == o.o_orderkey)
             .join(c, (o.o_custkey == c.c_custkey)
@@ -793,14 +800,30 @@ def ensure_bucketed_layout(spark, sf_dir) -> tuple[str, str]:
             loc = tempfile.mkdtemp(prefix="r5_bkt_")
             for t in names:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
-            (orders.write.format("parquet")
-             .option("path", f"{loc}/orders")
-             .bucketBy(8, "o_custkey").sortBy("o_custkey")
-             .saveAsTable(names[0]))
-            (cust.write.format("parquet")
-             .option("path", f"{loc}/customers")
-             .bucketBy(8, "c_custkey").sortBy("c_custkey")
-             .saveAsTable(names[1]))
+            try:
+                (orders.write.format("parquet")
+                 .option("path", f"{loc}/orders")
+                 .bucketBy(8, "o_custkey").sortBy("o_custkey")
+                 .saveAsTable(names[0]))
+                (cust.write.format("parquet")
+                 .option("path", f"{loc}/customers")
+                 .bucketBy(8, "c_custkey").sortBy("c_custkey")
+                 .saveAsTable(names[1]))
+            except BaseException:
+                # failure-path hygiene (ADVICE r13 #3): a throw between
+                # the two writes would otherwise leave the first table
+                # registered and the fresh mkdtemp orphaned — the exact
+                # leak the restart path above cleans, minus the cache
+                # slot that lets it find the residue. Drop whatever was
+                # created and remove the directory before re-raising.
+                import shutil
+                for t in names:
+                    try:
+                        spark.sql(f"DROP TABLE IF EXISTS {t}")
+                    except Exception:
+                        pass
+                shutil.rmtree(loc, ignore_errors=True)
+                raise
             _BKT_CACHE[sf_dir] = (names, loc)
     return names
 

@@ -188,6 +188,34 @@ def widen_scan(df, min_factor: int = 2):
     return df
 
 
+def broadcast_factscale(df):
+    """Explicit broadcast hint for a FILTERED FACT-SCALE dimension (q5's
+    ASIA supplier chain, q9's supplier and '%gear%' part projections).
+
+    These sides grow linearly with the corpus — at the test scales they
+    are single-digit MB and the hint removes a full-fact shuffle that
+    Catalyst cannot see past (no CBO stats; AQE submits both child
+    stages concurrently, so the big exchange is already written when
+    the runtime sizes the small side). At 100 TB the same side is
+    multi-GB and a forced broadcast OOMs executors (ADVICE r13 #1 — the
+    scale-safety property the pre-r13 q5 guaranteed by staying
+    declarative). The hint is therefore droppable per deployment:
+    set SPARK_GRAFT_NO_FACTSCALE_BROADCAST=1 (same override pattern as
+    SPARK_GRAFT_SHUFFLE_PARTITIONS) and every call degrades to the
+    declarative form, letting AQE/CBO pick the join strategy from
+    measured sizes. Rule of thumb for operators: drop the hints once
+    the filtered side exceeds a few hundred MB framed — roughly 10M
+    rows of (key int, payload) — well under the 8 GB / 512M-row
+    broadcast hard cap.
+
+    Bounded dims (nation/region, <= 25 rows at ANY scale factor) do NOT
+    route through this gate — their broadcast is scale-safe by
+    construction and stays unconditional."""
+    if os.environ.get("SPARK_GRAFT_NO_FACTSCALE_BROADCAST"):
+        return df
+    return F.broadcast(df)
+
+
 def get_spark(app_name: str = "python_etl_rest_api_spark",
               cpus: str | None = None) -> SparkSession:
     """Build (or fetch) the engine session.

@@ -15,9 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import money
-
-
 def tumbling_agg(events: DataFrame, bucket: str = "hour") -> DataFrame:
     """Tumbling-window counts + exact value sums per event_type.
 
@@ -48,12 +45,25 @@ def tumbling_agg_stream(events: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """Streaming twin: watermarked tumbling window. Late rows beyond the
     watermark are dropped; state is bounded by (watermark / window) keys
-    per event_type."""
+    per event_type.
+
+    The value sum shares the batch form's cents()+limb projection
+    (r14, ADVICE r13 #2 — the module's design rule says the transform
+    IS the operator, and the decimal sum this replaced paid the same
+    per-row BigDecimal cost the batch conversion removed). The limb
+    partials are plain long SUMs, so incremental state updates merge
+    exactly like the batch partial aggregation; value-identical per the
+    intmoney argument (same nearest-integer cents, final double the
+    correctly-rounded cents/100)."""
+    from ..functions import intmoney
     return (events
             .withWatermark("ts", watermark)
+            .select("ts", "event_type",
+                    intmoney.cents("value").alias("_v_c"))
             .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum(money("value")).cast("double").alias("total_value"))
+                 intmoney.limb_sum_double("_v_c", 100.0)
+                 .alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "total_value"))
 
