@@ -359,11 +359,35 @@ def minhash_verify_from(cand: DataFrame, shingled: DataFrame,
     """The single-eval hashed-long Jaccard verify over candidate pairs
     (see :func:`minhash_near_dups` for the barrier rationale). Factored
     out in r13 so the bench's warm-cache serve diagnostic runs the
-    EXACT shipped verify — behavior unchanged."""
-    sa = shingled.select(F.col(id_col).alias("id_a"),
-                         F.col("sh_hash").alias("sh_a"))
-    sb = shingled.select(F.col(id_col).alias("id_b"),
-                         F.col("sh_hash").alias("sh_b"))
+    EXACT shipped verify — behavior unchanged.
+
+    The two shingle attachments are explicit broadcasts (r14, guide
+    §2.3/§8 "shuffle keys, not payloads"): Catalyst's static estimate
+    of the cached shingle table flips these joins to SortMergeJoin at
+    the 100x point, and the SECOND join then re-exchanges every pair
+    row WITH its already-attached ~2.4 KB sh_a array — the heaviest
+    shuffle in the whole LSH pipeline (pairs x arrays, ~6 GB at 100x,
+    vs the ~40 MB of pair ids actually needed to route the join).
+    Broadcasting the (id, sh_hash) projection instead keeps the pair
+    stream pipelined through two map-side hash joins with no exchange
+    between them. Measured at 100x (same-session interleaved A/B over
+    8 reps): serve leg 7.90 -> 5.73 s min / 8.51 -> 5.90 s
+    second-best, exceptAll 0 both directions on all 2,503,171 pairs.
+    The shingle table is FACT-SCALE (grows with the corpus), so both
+    hints route through session.broadcast_factscale — set
+    SPARK_GRAFT_NO_FACTSCALE_BROADCAST=1 on deployments where the
+    corpus' (id, sh_hash) projection exceeds executor broadcast
+    budgets and the joins degrade to the declarative form. The band
+    self-join is NOT broadcast: measured same-session, banding-side
+    broadcast is neutral-to-worse (7.12 alone, 6.12 combined vs 5.73
+    attach-only)."""
+    from ..session import broadcast_factscale
+    sa = broadcast_factscale(
+        shingled.select(F.col(id_col).alias("id_a"),
+                        F.col("sh_hash").alias("sh_a")))
+    sb = broadcast_factscale(
+        shingled.select(F.col(id_col).alias("id_b"),
+                        F.col("sh_hash").alias("sh_b")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     step = (cand.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", inter.alias("_inter"),

@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for the bench headliners to
-plans/r13/<query>_{before|after}.txt (the r13 optimization-round
+plans/r14/<query>_{before|after}.txt (the r14 optimization-round
 evidence the judge diff-checks plan claims against).
 
 Usage: python tools/dump_before_after.py {before|after} [sf_dir] [names...]
@@ -26,9 +26,9 @@ def main() -> None:
     from python_etl_rest_api_spark import registry
     from python_etl_rest_api_spark.session import get_spark
 
-    spark = get_spark("dump_plans_r13")
+    spark = get_spark("dump_plans_r14")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     from contextlib import redirect_stdout
     import io
