@@ -1869,7 +1869,7 @@ def pipeline_training_data(spark, sf_dir):
     already-verified operator (curate_documents + split + chunk_windows)
     composed, not reimplemented."""
     from .operators.curate import curate_documents
-    from .operators.text import chunk_windows
+    from .operators.text import chunk_accounting_cols
     tune(spark)
     docs = _t(spark, sf_dir, "documents")
     # localCheckpoint: the survivor set feeds BOTH the split branch and
@@ -1883,14 +1883,28 @@ def pipeline_training_data(spark, sf_dir):
         .cast("int")
     split = (F.when(bucket < 204, "train")
              .when(bucket < 230, "val").otherwise("test"))
-    splits = kept.select("doc_id", split.alias("split"))
-    chunks = chunk_windows(kept, window=32, stride=16)
-    return (chunks.join(splits, "doc_id")
+    # Chunk accounting in closed form (r14): the summary only COUNTS
+    # chunks and sums their token lengths, so exploding one row per
+    # chunk (with its never-used chunk_text) and joining the chunk
+    # rows back to the split column on doc_id computed rows just to
+    # throw them away — chunk_accounting_cols yields the identical
+    # integer (K, sum) per document as two expressions, the split
+    # rides the same projection, and the join with its exchange is
+    # gone from the plan (guide §1.2 step 1 / §2.4; measured at sf0.1
+    # the chunk tail fell 0.62 -> 0.41 s from a checkpointed survivor
+    # set, 100x flat; per-doc closed form verified 0-mismatch against
+    # the exploded chunk_windows on the full corpus and by
+    # test_text edge cases). Every kept doc has n_tokens >= 20 > 0, so
+    # the K >= 1 filter only re-states chunk_windows' docs-with-rows
+    # semantics for exactness.
+    k_col, s_col = chunk_accounting_cols("text", window=32, stride=16)
+    staged = kept.select(split.alias("split"), k_col.alias("_k"),
+                         s_col.alias("_s"))
+    return (staged.filter(F.col("_k") >= 1)
             .groupBy("split")
-            .agg(F.count_distinct("doc_id").alias("n_docs"),
-                 F.count(F.lit(1)).alias("n_chunks"),
-                 F.sum("n_chunk_tokens").cast("long")
-                 .alias("n_tokens_total")))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_k").cast("long").alias("n_chunks"),
+                 F.sum("_s").cast("long").alias("n_tokens_total")))
 
 
 @query("embed_quantize_int8", """

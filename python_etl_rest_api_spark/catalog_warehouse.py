@@ -243,7 +243,18 @@ def q18_large_orders(spark, sf_dir):
     at 100 TB — big joins orders via AQE's choice (broadcast while
     measured small, shuffle join co-partitioned on the aggregate's own
     l_orderkey exchange once it is not). Measured at the 100x point:
-    11.0 -> 7.0 s solo."""
+    11.0 -> 7.0 s solo.
+
+    Measured dead end (r14, do not retry): explicitly broadcasting the
+    post-HAVING (l_orderkey, sq_c) set — the r13-verdict suggestion —
+    does convert the 100x orders SortMergeJoin to a hash join (7.12 ->
+    6.54 s min over 8 interleaved reps, ~8%), but REGRESSES sf0.1 by
+    27% (0.62 -> 0.79 s min): at the bench scale AQE already
+    broadcasts this side, and the forced hint flips the build side so
+    the plan loses the l_orderkey partitioning reuse and pays an extra
+    exchange for the final rollup. The 100x gain is a fraction of the
+    entry (the lineitem HAVING aggregate dominates); the sf0.1 loss is
+    where the driver measures. Kept declarative."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")

@@ -608,7 +608,20 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     ('a ' * 500 has a trailing empty token; ' ' is whitespace-only).
     The oracle's string_split(text, ' ') is the entry's semantics, so
     the regex form is a correctness break outside the happy corpus,
-    rejected for ~0.5 s."""
+    rejected for ~0.5 s.
+
+    Measured dead end (r14, do not retry): the BPE-style FLAT-PASS
+    span build — regexp_replace(text, '(([^ ]* ){15}[^ ]*) ',
+    '$1\\x00') marking every 16th space, split on the NUL, with a
+    contains-NUL fallback to the expression form — is value-identical
+    on the full 100x corpus (exceptAll 0 both ways, 479,754 rows) but
+    74%% SLOWER: digest leg 6.48 -> 11.28 s min, full entry 9.10 ->
+    15.49 s min (same-session interleaved A/B, 6 reps). Unlike the
+    BPE encoder's trivial lookaround insert, this pattern pays a
+    15-repetition captured group with a full-match rewrite per span,
+    which costs more than the interpreted transform+slice it removes.
+    The digest leg (tokenize + span build + md5, ~70%% of the entry)
+    is the measured floor absent a codegen'd higher-order transform."""
     from pyspark.sql import Window
 
     # NULL text guard (same latent-crash class ADVICE flagged on

@@ -200,3 +200,34 @@ def test_bpe_batched_rejects_ragged_steps(spark):
     docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="multiple of round_size"):
         bpe_merges_batched(docs, steps=7, round_size=4)
+
+
+def test_chunk_accounting_matches_chunk_windows(spark):
+    """r14: the closed-form chunk accounting (no explode, no chunk
+    text) must agree with the exploded chunk_windows on (count, token
+    sum) per doc for every boundary shape — token counts spanning the
+    window/stride boundaries, empty string, trailing/consecutive
+    spaces — and across overlapping, exact-tiling and ragged
+    (window, stride) pairs. pipeline_training_data's summary rides
+    this equivalence."""
+    from pyspark.sql import functions as F
+
+    from python_etl_rest_api_spark.operators import text
+
+    rows = [(i, " ".join(["t"] * i)) for i in range(1, 50)]
+    rows += [(100, ""), (101, "a "), (102, " "), (103, "a  b"),
+             (104, "x " * 40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for w, st in ((32, 16), (4, 2), (4, 4), (2, 2), (5, 3)):
+        ref = (text.chunk_windows(df, window=w, stride=st)
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("k"),
+                    F.sum("n_chunk_tokens").cast("long").alias("s")))
+        k, s = text.chunk_accounting_cols("text", w, st)
+        new = df.select("doc_id", k.alias("k2"), s.alias("s2"))
+        j = ref.join(new, "doc_id", "full")
+        bad = j.filter(
+            F.col("k").isNull() | F.col("k2").isNull()
+            | (F.col("k") != F.col("k2"))
+            | (F.col("s") != F.col("s2"))).count()
+        assert bad == 0, f"closed form diverges at window={w} stride={st}"
